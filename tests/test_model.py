@@ -1,0 +1,63 @@
+"""Model-level differential tests: jitted jnp forward vs the independent
+NumPy oracle — the TPU analog of the reference's ViT_seq/ViT_opencl
+cross-check (Main.c:48-53, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_tpu.models import oracle, vit
+
+
+def test_forward_matches_oracle(tiny_cfg, tiny_params, tiny_images):
+    logits = np.asarray(vit.forward(tiny_params, jnp.asarray(tiny_images), tiny_cfg))
+    want = oracle.forward(tiny_params, tiny_images, tiny_cfg)
+    assert np.abs(logits - want).max() < 1e-3  # BASELINE.md north-star gate
+    np.testing.assert_allclose(logits, want, atol=1e-4)
+
+
+def test_scan_equals_unrolled(tiny_cfg, tiny_params, tiny_images):
+    x = jnp.asarray(tiny_images)
+    a = np.asarray(vit.forward(tiny_params, x, tiny_cfg, unroll_layers=False))
+    b = np.asarray(vit.forward(tiny_params, x, tiny_cfg, unroll_layers=True))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_forward_is_jittable(tiny_cfg, tiny_params, tiny_images):
+    fn = jax.jit(vit.logits_fn(tiny_cfg))
+    logits = fn(tiny_params, jnp.asarray(tiny_images))
+    assert logits.shape == (len(tiny_images), tiny_cfg.num_classes)
+    assert logits.dtype == jnp.float32
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_batch_row_independence(tiny_cfg, tiny_params, tiny_images):
+    # Batched forward must equal per-image forward (the reference runs the
+    # batch serially, ViT_seq.c:354; we must match while batching).
+    x = jnp.asarray(tiny_images)
+    full = np.asarray(vit.forward(tiny_params, x, tiny_cfg))
+    one = np.asarray(vit.forward(tiny_params, x[1:2], tiny_cfg))
+    np.testing.assert_allclose(full[1:2], one, atol=1e-5)
+
+
+def test_param_count_matches_config(tiny_cfg, tiny_params):
+    assert vit.num_params(tiny_params) == tiny_cfg.num_params()
+
+
+def test_probabilities_agree_with_oracle(tiny_cfg, tiny_params, tiny_images):
+    from vit_tpu.ops import reference as R
+
+    logits = vit.forward(tiny_params, jnp.asarray(tiny_images), tiny_cfg)
+    probs = np.asarray(R.softmax(logits))
+    want = oracle.probabilities(oracle.forward(tiny_params, tiny_images, tiny_cfg))
+    np.testing.assert_allclose(probs, want, atol=1e-5)
+    assert (np.argmax(probs, -1) == np.argmax(want, -1)).all()
+
+
+def test_bf16_forward_close_to_fp32(tiny_cfg, tiny_params, tiny_images):
+    bf16_params = vit.cast_params(tiny_params, jnp.bfloat16)
+    a = np.asarray(vit.forward(tiny_params, jnp.asarray(tiny_images), tiny_cfg))
+    b = np.asarray(vit.forward(bf16_params, jnp.asarray(tiny_images), tiny_cfg))
+    # bf16 activations: expect ~1e-2 absolute agreement on O(1) logits
+    assert np.abs(a - b).max() < 5e-2
+    assert (np.argmax(a, -1) == np.argmax(b, -1)).all()

@@ -1,0 +1,102 @@
+"""Weight loader tests: format round-trip, 6-decimal rounding parity
+(Network.c:184-187), torchvision-layout repacking, and — when the real
+reference checkpoint is present — shape validation against it."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from vit_tpu.config import VIT_B_16
+from vit_tpu.io import weights as wio
+
+REFERENCE_NETWORK_DIR = Path("/root/reference/Network")
+
+
+def test_round6_matches_reference_semantics():
+    x = np.array([0.12345649, -0.98765449, 1.5e-7, 123.4567891], np.float32)
+    got = wio.round6(x)
+    want = (np.round(x.astype(np.float32) * 1e6) / 1e6).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spec_count_is_152_for_b16():
+    # 4 + 12*12 + 4 tensors (SURVEY.md §5 index layout)
+    assert len(wio.reference_tensor_specs(VIT_B_16)) == 152
+
+
+def test_save_load_roundtrip(tmp_path, tiny_cfg):
+    tensors = wio.synth_reference_tensors(tiny_cfg, seed=3)
+    wio.save_reference_weights(tensors, tmp_path, tiny_cfg)
+    loaded = wio.load_reference_tensors(tmp_path, tiny_cfg, round_to_6dp=False)
+    assert set(loaded) == set(tensors)
+    for idx in tensors:
+        np.testing.assert_array_equal(loaded[idx], tensors[idx])
+
+
+def test_load_applies_rounding(tmp_path, tiny_cfg):
+    tensors = wio.synth_reference_tensors(tiny_cfg, seed=3)
+    wio.save_reference_weights(tensors, tmp_path, tiny_cfg)
+    loaded = wio.load_reference_tensors(tmp_path, tiny_cfg, round_to_6dp=True)
+    for idx in tensors:
+        np.testing.assert_array_equal(loaded[idx], wio.round6(tensors[idx]))
+
+
+def test_missing_file_raises_without_synth(tmp_path, tiny_cfg):
+    tensors = wio.synth_reference_tensors(tiny_cfg, seed=3)
+    del tensors[1]
+    wio.save_reference_weights(tensors, tmp_path, tiny_cfg)
+    with pytest.raises(FileNotFoundError):
+        wio.load_reference_tensors(tmp_path, tiny_cfg)
+
+
+def test_missing_file_synthesized_when_allowed(tmp_path, tiny_cfg):
+    tensors = wio.synth_reference_tensors(tiny_cfg, seed=3)
+    del tensors[1]
+    wio.save_reference_weights(tensors, tmp_path, tiny_cfg)
+    loaded = wio.load_reference_tensors(tmp_path, tiny_cfg, allow_synth=True)
+    assert loaded[1].shape == (
+        tiny_cfg.embed_dim, tiny_cfg.in_channels, tiny_cfg.patch_size, tiny_cfg.patch_size
+    )
+
+
+def test_params_repack_shapes(tiny_cfg):
+    params = wio.params_from_tensors(
+        wio.synth_reference_tensors(tiny_cfg, seed=0), tiny_cfg
+    )
+    d, f, L = tiny_cfg.embed_dim, tiny_cfg.mlp_dim, tiny_cfg.depth
+    assert params["patch_embed"]["kernel"].shape == (tiny_cfg.patch_dim, d)
+    assert params["pos_embed"].shape == (tiny_cfg.seq_len, d)
+    assert params["blocks"]["wqkv"].shape == (L, d, 3 * d)
+    assert params["blocks"]["w1"].shape == (L, d, f)
+    assert params["blocks"]["w2"].shape == (L, f, d)
+    assert params["head"]["kernel"].shape == (d, tiny_cfg.num_classes)
+
+
+def test_qkv_packing_order(tiny_cfg):
+    # torchvision in_proj row blocks are Q/K/V at offsets 0/D/2D
+    # (ViT_seq.c:137-141); after our transpose those become column blocks.
+    tensors = wio.synth_reference_tensors(tiny_cfg, seed=0)
+    d = tiny_cfg.embed_dim
+    in_proj = tensors[6]  # layer 0 in_proj_weight, [3D, D]
+    params = wio.params_from_tensors(tensors, tiny_cfg)
+    wqkv = params["blocks"]["wqkv"][0]
+    np.testing.assert_array_equal(wqkv[:, :d], in_proj[:d].T)      # Q
+    np.testing.assert_array_equal(wqkv[:, d : 2 * d], in_proj[d : 2 * d].T)  # K
+    np.testing.assert_array_equal(wqkv[:, 2 * d :], in_proj[2 * d :].T)      # V
+
+
+@pytest.mark.skipif(
+    not REFERENCE_NETWORK_DIR.exists(), reason="reference checkpoint not mounted"
+)
+def test_real_reference_checkpoint_loads():
+    # The snapshot strips 37 large blobs; allow_synth fills those, every
+    # present file must parse into its documented shape.
+    params = wio.load_reference_weights(
+        REFERENCE_NETWORK_DIR, VIT_B_16, allow_synth=True
+    )
+    assert params["pos_embed"].shape == (197, 768)
+    assert params["head"]["kernel"].shape == (768, 1000)
+    assert params["blocks"]["wqkv"].shape == (12, 768, 2304)
+    # class_token from the real file should be non-trivial
+    assert np.abs(params["cls_token"]).sum() > 0

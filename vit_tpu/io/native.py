@@ -1,0 +1,104 @@
+"""ctypes binding to the native C++ I/O library (native/vitio.cpp).
+
+The reference's loaders are native C (Network.c, dirent.c); this framework's
+equivalent is a small C++ library doing the bulk fp32 reads (with the
+6-decimal rounding quirk, Network.c:186) off the Python heap path.  NumPy
+remains the portable fallback when the shared library hasn't been built
+(``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATHS = (
+    Path(__file__).resolve().parents[2] / "native" / "libvitio.so",
+    Path(__file__).resolve().parent / "libvitio.so",
+)
+
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    for p in _LIB_PATHS:
+        if p.exists():
+            try:
+                lib = ctypes.CDLL(str(p))
+            except OSError:
+                continue
+            lib.vitio_file_size.restype = ctypes.c_longlong
+            lib.vitio_file_size.argtypes = [ctypes.c_char_p]
+            lib.vitio_read_fp32.restype = ctypes.c_longlong
+            lib.vitio_read_fp32.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_longlong,
+                ctypes.c_int,
+            ]
+            lib.vitio_read_image_bin_header.restype = ctypes.c_int
+            lib.vitio_read_image_bin_header.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.vitio_read_image_bin_data.restype = ctypes.c_longlong
+            lib.vitio_read_image_bin_data.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_longlong,
+            ]
+            _lib = lib
+            break
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_fp32(path, round_to_6dp: bool = True) -> np.ndarray:
+    """Read a whole file of little-endian fp32, optionally applying the
+    reference's 6-decimal rounding (Network.c:184-187) in C++."""
+    lib = _load()
+    assert lib is not None, "native vitio library not built (make -C native)"
+    cpath = str(path).encode()
+    nbytes = lib.vitio_file_size(cpath)
+    if nbytes < 0:
+        raise FileNotFoundError(path)
+    count = nbytes // 4
+    out = np.empty(count, dtype=np.float32)
+    got = lib.vitio_read_fp32(
+        cpath,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        count,
+        1 if round_to_6dp else 0,
+    )
+    if got != count:
+        raise IOError(f"{path}: short read ({got}/{count} floats)")
+    return out
+
+
+def read_image_bin(path) -> np.ndarray:
+    """Native read of the input-100.bin format -> (N, C, H, W) float32."""
+    lib = _load()
+    assert lib is not None, "native vitio library not built (make -C native)"
+    cpath = str(path).encode()
+    header = (ctypes.c_int * 4)()
+    if lib.vitio_read_image_bin_header(cpath, header) != 0:
+        raise IOError(f"{path}: bad header")
+    n, c, h, w = header[0], header[1], header[2], header[3]
+    out = np.empty(n * c * h * w, dtype=np.float32)
+    got = lib.vitio_read_image_bin_data(
+        cpath, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.size
+    )
+    if got != out.size:
+        raise IOError(f"{path}: short read ({got}/{out.size} floats)")
+    return out.reshape(n, c, h, w)

@@ -1,0 +1,171 @@
+"""Functional ViT forward pass on a params pytree.
+
+Replaces the reference's two hand-unrolled model graphs (`ViT_seq`
+ViT_seq.c:326-439 with 12 explicit Encoder calls at :366-426, and
+`ViT_opencl` ViT_opencl.c:785-883 with the unrolled encoders at :813-871).
+TPU-first differences:
+
+  - Encoder layers are *stacked* on a leading axis and iterated with
+    ``lax.scan`` — one compiled block body instead of 12 unrolled copies
+    (faster compile, natural seam for pipeline-parallel sharding).
+  - The whole batch flows through at once (the reference loops images
+    serially, ViT_seq.c:354 / ViT_opencl.c:802); batching tokens across
+    images is what fills the MXU (SURVEY.md §7 "hard parts").
+  - Everything is a pure function of (params, images): XLA owns residency,
+    so there are no host round-trips (the reference crosses PCIe ≥8x per
+    encoder layer, SURVEY.md §3.2).
+
+Params pytree layout (all weights pre-transposed to [in, out] at load time —
+see vit_tpu.io.weights for the mapping from torchvision's 152-tensor layout):
+
+  {
+    'cls_token':  (D,),
+    'patch_embed': {'kernel': (C*p*p, D), 'bias': (D,)},
+    'pos_embed':  (T, D),
+    'blocks': {                       # leading axis L = depth (stacked)
+      'ln1_scale': (L, D), 'ln1_bias': (L, D),
+      'wqkv': (L, D, 3D), 'bqkv': (L, 3D),
+      'wo':   (L, D, D),  'bo':   (L, D),
+      'ln2_scale': (L, D), 'ln2_bias': (L, D),
+      'w1': (L, D, F), 'b1': (L, F),
+      'w2': (L, F, D), 'b2': (L, D),
+    },
+    'ln_final': {'scale': (D,), 'bias': (D,)},
+    'head': {'kernel': (D, num_classes), 'bias': (num_classes,)},
+  }
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from vit_tpu.config import ViTConfig
+from vit_tpu.ops import reference
+from vit_tpu.ops.dispatch import REFERENCE_OPS, OpsImpl
+
+Params = Dict[str, Any]
+
+
+def encoder_block(
+    x: jax.Array,
+    blk: Dict[str, jax.Array],
+    cfg: ViTConfig,
+    ops: OpsImpl = REFERENCE_OPS,
+    gelu_variant: str = "exact",
+) -> jax.Array:
+    """One pre-LN encoder block: LN1→MHA→residual; LN2→MLP→residual
+    (Encoder, ViT_seq.c:271-302)."""
+    h = ops.layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps)
+    h = ops.attention(h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"], cfg.num_heads)
+    x = x + h
+    h = ops.layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps)
+    h = ops.mlp(x=h, w1=blk["w1"], b1=blk["b1"], w2=blk["w2"], b2=blk["b2"],
+                gelu_variant=gelu_variant)
+    return x + h
+
+
+def forward(
+    params: Params,
+    images: jax.Array,
+    cfg: ViTConfig,
+    ops: OpsImpl = REFERENCE_OPS,
+    gelu_variant: str = "exact",
+    unroll_layers: bool = False,
+) -> jax.Array:
+    """Full forward pass: images (B, C, H, W) -> logits (B, num_classes).
+
+    Pipeline mirrors ViT_seq (ViT_seq.c:337-439): patch-embed → CLS → pos →
+    depth x encoder → final LN → CLS row → head linear.  Softmax is left to
+    the caller (vit_tpu.ops.reference.softmax) like the reference separates
+    `Softmax` (ViT_seq.c:304).
+    """
+    compute_dtype = params["pos_embed"].dtype
+    x = images.astype(compute_dtype)
+    x = ops.patch_embed(
+        x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
+        cfg.patch_size,
+    )
+    x = reference.add_cls_and_pos(x, params["cls_token"], params["pos_embed"])
+
+    blocks = params["blocks"]
+    if unroll_layers:
+        for l in range(cfg.depth):
+            blk = jax.tree.map(lambda a: a[l], blocks)
+            x = encoder_block(x, blk, cfg, ops, gelu_variant)
+    else:
+        def body(carry, blk):
+            return encoder_block(carry, blk, cfg, ops, gelu_variant), None
+
+        x, _ = jax.lax.scan(body, x, blocks)
+
+    x = ops.layer_norm(
+        x, params["ln_final"]["scale"], params["ln_final"]["bias"], cfg.layernorm_eps
+    )
+    cls = x[..., 0, :]  # CLS row (ViT_seq.c:433)
+    logits = reference.linear(cls, params["head"]["kernel"], params["head"]["bias"])
+    return logits.astype(jnp.float32)
+
+
+def logits_fn(cfg: ViTConfig, ops: OpsImpl = REFERENCE_OPS, **kw):
+    """Convenience closure: (params, images) -> logits."""
+
+    def fn(params, images):
+        return forward(params, images, cfg, ops, **kw)
+
+    return fn
+
+
+def init_params(
+    key: jax.Array, cfg: ViTConfig, dtype=jnp.float32
+) -> Params:
+    """Random-init a params pytree (truncated-normal-ish; ViT-standard scales).
+
+    The reference has no initializer (weights always come from disk,
+    Network.c:99-194); this exists for synthetic tests/benchmarks since the
+    snapshot's large weight blobs are stripped (SURVEY.md §4 note), and for
+    training.
+    """
+    d, f, t, p, c = cfg.embed_dim, cfg.mlp_dim, cfg.seq_len, cfg.patch_dim, cfg.num_classes
+    L = cfg.depth
+    keys = iter(jax.random.split(key, 16))
+
+    def trunc(key, shape, fan_in):
+        std = (1.0 / max(fan_in, 1)) ** 0.5
+        return (jax.random.truncated_normal(key, -2, 2, shape, jnp.float32) * std).astype(dtype)
+
+    return {
+        "cls_token": jnp.zeros((d,), dtype),
+        "patch_embed": {
+            "kernel": trunc(next(keys), (p, d), p),
+            "bias": jnp.zeros((d,), dtype),
+        },
+        "pos_embed": (jax.random.normal(next(keys), (t, d), jnp.float32) * 0.02).astype(dtype),
+        "blocks": {
+            "ln1_scale": jnp.ones((L, d), dtype),
+            "ln1_bias": jnp.zeros((L, d), dtype),
+            "wqkv": trunc(next(keys), (L, d, 3 * d), d),
+            "bqkv": jnp.zeros((L, 3 * d), dtype),
+            "wo": trunc(next(keys), (L, d, d), d),
+            "bo": jnp.zeros((L, d), dtype),
+            "ln2_scale": jnp.ones((L, d), dtype),
+            "ln2_bias": jnp.zeros((L, d), dtype),
+            "w1": trunc(next(keys), (L, d, f), d),
+            "b1": jnp.zeros((L, f), dtype),
+            "w2": trunc(next(keys), (L, f, d), f),
+            "b2": jnp.zeros((L, d), dtype),
+        },
+        "ln_final": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+        "head": {"kernel": trunc(next(keys), (d, c), d), "bias": jnp.zeros((c,), dtype)},
+    }
+
+
+def num_params(params: Params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))
+
+
+def cast_params(params: Params, dtype) -> Params:
+    """Cast all floating-point leaves (bf16 policy lives in runtime.engine)."""
+    return jax.tree.map(lambda a: a.astype(dtype), params)

@@ -1,0 +1,50 @@
+"""Op dispatch: select the jnp reference path or the Pallas TPU kernels.
+
+Preserves the reference's dual-implementation architecture (ViT_seq vs
+ViT_opencl sharing one model structure, SURVEY.md §1 L2) the TPU-native way:
+one functional model parameterized by an op table, instead of two copied
+forward passes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+from vit_tpu.ops import reference
+
+
+@dataclasses.dataclass(frozen=True)
+class OpsImpl:
+    """The pluggable op table consumed by ``vit_tpu.models.vit``."""
+
+    name: str
+    layer_norm: Callable
+    attention: Callable
+    mlp: Callable
+    patch_embed: Callable
+
+
+REFERENCE_OPS = OpsImpl(
+    name="xla",
+    layer_norm=reference.layer_norm,
+    attention=reference.attention,
+    mlp=reference.mlp,
+    patch_embed=reference.patch_embed,
+)
+
+
+def get_ops(impl: str = "xla") -> OpsImpl:
+    """Return the op table for ``impl`` ∈ {'xla', 'pallas'}.
+
+    'xla' is the pure-jnp reference (oracle) path; 'pallas' swaps in the
+    fused TPU kernels (vit_tpu.ops.pallas), which replace the reference's
+    kernel.cl.  Imported lazily so CPU-only use never touches Pallas.
+    """
+    if impl == "xla":
+        return REFERENCE_OPS
+    if impl == "pallas":
+        from vit_tpu.ops import pallas  # lazy: TPU-only dependency path
+
+        return pallas.PALLAS_OPS
+    raise ValueError(f"unknown ops impl {impl!r}; expected 'xla' or 'pallas'")
