@@ -7,7 +7,7 @@ driver's dryrun).  Environment must be set before the first jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import dataclasses
 
 import jax
+
+# The environment's sitecustomize force-registers the axon TPU platform and
+# overrides JAX_PLATFORMS; undo it before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -1,0 +1,78 @@
+"""CLI driver end-to-end tests (replaces Main.c's manual flow) on tiny
+synthetic checkpoints."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from vit_tpu.cli.main import main
+from vit_tpu.eval import comparator as C
+from vit_tpu.io import images as iio
+from vit_tpu.io import weights as wio
+
+
+@pytest.fixture()
+def tiny_checkpoint(tmp_path, tiny_cfg):
+    wio.save_reference_weights(
+        wio.synth_reference_tensors(tiny_cfg, seed=1), tmp_path / "Network", tiny_cfg
+    )
+    iio.save_image_bin(
+        iio.synth_images(4, tiny_cfg, seed=2), tmp_path / "input.bin"
+    )
+    return tmp_path
+
+
+def _run(args):
+    return main([str(a) for a in args])
+
+
+def test_cli_end_to_end(tiny_checkpoint, tiny_cfg, capsys, monkeypatch):
+    import vit_tpu.config as config_mod
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    out_file = tiny_checkpoint / "result.txt"
+    rc = _run([
+        "--config", "vit_tiny_test", "--weights", tiny_checkpoint / "Network",
+        "--input", tiny_checkpoint / "input.bin", "--output", out_file,
+        "--dtype", "float32", "--ops", "xla", "--batch-pad", "4",
+    ])
+    assert rc == 0
+    lines = C.parse_result_file(out_file)
+    assert len(lines) == 4
+    stdout = capsys.readouterr().out
+    assert "[0] label:" in stdout
+
+
+def test_cli_golden_compare_self(tiny_checkpoint, tiny_cfg, capsys, monkeypatch):
+    # Run once to produce a result file, then use it as its own golden:
+    # comparator must report 0 errors and exit 0.
+    import vit_tpu.config as config_mod
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    out_file = tiny_checkpoint / "result.txt"
+    args = [
+        "--config", "vit_tiny_test", "--weights", tiny_checkpoint / "Network",
+        "--input", tiny_checkpoint / "input.bin", "--output", out_file,
+        "--dtype", "float32", "--ops", "xla", "--batch-pad", "4",
+    ]
+    assert _run(args) == 0
+    assert _run(args + ["--golden", out_file]) == 0
+    assert "comparator: 0 error(s)" in capsys.readouterr().out
+
+
+def test_cli_golden_compare_detects_mismatch(
+    tiny_checkpoint, tiny_cfg, capsys, monkeypatch
+):
+    import vit_tpu.config as config_mod
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    golden = tiny_checkpoint / "golden.txt"
+    C.write_result_file([0, 1, 2, 3], [0.9, 0.9, 0.9, 0.9], golden)  # wrong labels
+    rc = _run([
+        "--config", "vit_tiny_test", "--weights", tiny_checkpoint / "Network",
+        "--input", tiny_checkpoint / "input.bin",
+        "--dtype", "float32", "--ops", "xla", "--batch-pad", "4",
+        "--golden", golden,
+    ])
+    assert rc == 1

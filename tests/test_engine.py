@@ -1,0 +1,50 @@
+"""InferenceEngine tests: dtype policy, batch padding, classify output."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vit_tpu.models import oracle, vit
+from vit_tpu.runtime import InferenceEngine
+
+
+def test_engine_fp32_matches_direct_forward(tiny_cfg, tiny_params, tiny_images):
+    engine = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", batch_pad=4)
+    got = np.asarray(engine.logits(tiny_images))
+    want = np.asarray(vit.forward(tiny_params, jnp.asarray(tiny_images), tiny_cfg))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_engine_pads_odd_batches(tiny_cfg, tiny_params, tiny_images):
+    engine = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", batch_pad=4)
+    got3 = np.asarray(engine.logits(tiny_images[:3]))  # pads 3 -> 4
+    got4 = np.asarray(engine.logits(tiny_images))
+    assert got3.shape == (3, tiny_cfg.num_classes)
+    np.testing.assert_allclose(got3, got4[:3], atol=1e-5)
+
+
+def test_engine_classify_matches_oracle(tiny_cfg, tiny_params, tiny_images):
+    engine = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", batch_pad=4)
+    labels, probs = engine.classify(tiny_images)
+    want = oracle.probabilities(oracle.forward(tiny_params, tiny_images, tiny_cfg))
+    assert (labels == want.argmax(-1)).all()
+    np.testing.assert_allclose(probs, want.max(-1), atol=1e-4)
+
+
+def test_engine_bf16_labels_match_fp32(tiny_cfg, tiny_params, tiny_images):
+    fp32 = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", batch_pad=4)
+    bf16 = InferenceEngine(tiny_cfg, tiny_params, dtype="bfloat16", batch_pad=4)
+    l32, _ = fp32.classify(tiny_images)
+    l16, _ = bf16.classify(tiny_images)
+    assert (l32 == l16).all()
+
+
+def test_engine_gelu_variants_diverge_slightly(tiny_cfg, tiny_params, tiny_images):
+    # erf (reference CPU) vs tanh (reference GPU kernel) — the framework
+    # keeps both conventions (SURVEY.md §4.3).
+    a = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", gelu_variant="exact",
+                        batch_pad=4)
+    b = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", gelu_variant="tanh",
+                        batch_pad=4)
+    la = np.asarray(a.logits(tiny_images))
+    lb = np.asarray(b.logits(tiny_images))
+    assert 0 < np.abs(la - lb).max() < 0.05

@@ -73,13 +73,13 @@ def test_attention_matches_per_head_numpy(rng):
     bo = rng.normal(size=(d,)).astype(np.float32)
 
     qkv = x @ wqkv + bqkv
-    q, k, v = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
     heads = []
-    for h in range(H):
-        sl = slice(h * hd, (h + 1) * hd)
-        s = (q[:, sl] @ k[:, sl].T) / math.sqrt(hd)
+    for h in range(H):  # packed columns are (head, {q,k,v}, head_dim)-ordered
+        base = h * 3 * hd
+        qh, kh, vh = (qkv[:, base + i * hd : base + (i + 1) * hd] for i in range(3))
+        s = (qh @ kh.T) / math.sqrt(hd)
         e = np.exp(s - s.max(-1, keepdims=True))
-        heads.append((e / e.sum(-1, keepdims=True)) @ v[:, sl])
+        heads.append((e / e.sum(-1, keepdims=True)) @ vh)
     want = np.concatenate(heads, -1) @ wo + bo
 
     got = np.asarray(

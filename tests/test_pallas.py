@@ -1,0 +1,98 @@
+"""Pallas-kernel parity tests vs the jnp reference ops (interpret mode on
+CPU; compiled on TPU).  The reference had no per-op tests — this is the
+framework's version of its dual-implementation cross-check, per kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vit_tpu.ops.pallas.attention_kernel as pattn
+import vit_tpu.ops.pallas.ln_kernel as pln
+import vit_tpu.ops.pallas.mlp_kernel as pmlp
+from vit_tpu.ops import reference as R
+
+
+@pytest.fixture(scope="module")
+def key():
+    return jax.random.key(42)
+
+
+def test_layer_norm_parity(key):
+    x = jax.random.normal(key, (3, 37, 128), jnp.float32) * 3 + 1
+    scale = jax.random.normal(jax.random.fold_in(key, 1), (128,), jnp.float32)
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (128,), jnp.float32)
+    got = pln.layer_norm(x, scale, bias, 1e-6, interpret=True)
+    want = R.layer_norm(x, scale, bias, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_layer_norm_parity_bf16(key):
+    x = (jax.random.normal(key, (4, 197, 128), jnp.float32) * 2).astype(jnp.bfloat16)
+    scale = jnp.ones((128,), jnp.bfloat16)
+    bias = jnp.zeros((128,), jnp.bfloat16)
+    got = pln.layer_norm(x, scale, bias, 1e-6, interpret=True)
+    want = R.layer_norm(x, scale, bias, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=2e-2
+    )
+
+
+def test_layer_norm_ragged_rows(key):
+    # 197 rows with block 64: exercises the padded final block
+    x = jax.random.normal(key, (197, 256), jnp.float32)
+    scale = jnp.ones((256,))
+    bias = jnp.zeros((256,))
+    got = pln.layer_norm(x, scale, bias, 1e-6, block_rows=64, interpret=True)
+    want = R.layer_norm(x, scale, bias, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_flash_attention_core_parity(key):
+    b, h, t, dh = 2, 3, 29, 16
+    q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.float32)
+    got = pattn.scaled_dot_product_attention(q, k, v, interpret=True)
+    # jnp reference
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision="highest") / np.sqrt(dh)
+    want = jnp.einsum(
+        "bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v, precision="highest"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_full_attention_parity(key, rng):
+    t, d, H = 19, 32, 4
+    x = jax.random.normal(key, (2, t, d), jnp.float32)
+    wqkv = jax.random.normal(jax.random.fold_in(key, 1), (d, 3 * d)) * 0.3
+    bqkv = jax.random.normal(jax.random.fold_in(key, 2), (3 * d,)) * 0.1
+    wo = jax.random.normal(jax.random.fold_in(key, 3), (d, d)) * 0.3
+    bo = jax.random.normal(jax.random.fold_in(key, 4), (d,)) * 0.1
+    got = pattn.attention(x, wqkv, bqkv, wo, bo, H, interpret=True)
+    want = R.attention(x, wqkv, bqkv, wo, bo, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["exact", "tanh"])
+def test_mlp_parity(key, variant):
+    r, d, f = 67, 64, 256
+    x = jax.random.normal(key, (r, d), jnp.float32)
+    w1 = jax.random.normal(jax.random.fold_in(key, 1), (d, f)) * 0.2
+    b1 = jax.random.normal(jax.random.fold_in(key, 2), (f,)) * 0.1
+    w2 = jax.random.normal(jax.random.fold_in(key, 3), (f, d)) * 0.2
+    b2 = jax.random.normal(jax.random.fold_in(key, 4), (d,)) * 0.1
+    got = pmlp.mlp(x, w1, b1, w2, b2, gelu_variant=variant, block_rows=32,
+                   interpret=True)
+    want = R.mlp(x, w1, b1, w2, b2, gelu_variant=variant)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_full_model_pallas_matches_xla(tiny_cfg, tiny_params, tiny_images):
+    from vit_tpu.models import vit
+    from vit_tpu.ops.dispatch import get_ops
+
+    x = jnp.asarray(tiny_images)
+    a = np.asarray(vit.forward(tiny_params, x, tiny_cfg, ops=get_ops("xla")))
+    b = np.asarray(vit.forward(tiny_params, x, tiny_cfg, ops=get_ops("pallas")))
+    np.testing.assert_allclose(a, b, atol=1e-4)

@@ -74,16 +74,27 @@ def test_params_repack_shapes(tiny_cfg):
 
 
 def test_qkv_packing_order(tiny_cfg):
-    # torchvision in_proj row blocks are Q/K/V at offsets 0/D/2D
-    # (ViT_seq.c:137-141); after our transpose those become column blocks.
+    # torchvision in_proj rows are Q/K/V blocks at offsets 0/D/2D
+    # (ViT_seq.c:137-141); the repack transposes AND reorders columns to
+    # (head, {q,k,v}, head_dim) blocks for clean tensor-parallel sharding.
     tensors = wio.synth_reference_tensors(tiny_cfg, seed=0)
-    d = tiny_cfg.embed_dim
+    d, hd = tiny_cfg.embed_dim, tiny_cfg.head_dim
     in_proj = tensors[6]  # layer 0 in_proj_weight, [3D, D]
+    bias = tensors[7]
     params = wio.params_from_tensors(tensors, tiny_cfg)
     wqkv = params["blocks"]["wqkv"][0]
-    np.testing.assert_array_equal(wqkv[:, :d], in_proj[:d].T)      # Q
-    np.testing.assert_array_equal(wqkv[:, d : 2 * d], in_proj[d : 2 * d].T)  # K
-    np.testing.assert_array_equal(wqkv[:, 2 * d :], in_proj[2 * d :].T)      # V
+    bqkv = params["blocks"]["bqkv"][0]
+    for h in range(tiny_cfg.num_heads):
+        base = h * 3 * hd
+        for i, off in enumerate((0, d, 2 * d)):  # q, k, v torchvision rows
+            tv_rows = in_proj[off + h * hd : off + (h + 1) * hd]
+            np.testing.assert_array_equal(
+                wqkv[:, base + i * hd : base + (i + 1) * hd], tv_rows.T
+            )
+            np.testing.assert_array_equal(
+                bqkv[base + i * hd : base + (i + 1) * hd],
+                bias[off + h * hd : off + (h + 1) * hd],
+            )
 
 
 @pytest.mark.skipif(

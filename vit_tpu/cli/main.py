@@ -1,0 +1,158 @@
+"""Classification driver CLI.
+
+Replaces Main.c:18-88: load an image batch + weights, run the model, argmax
+probabilities, write results in the reference's text format, optionally run
+the comparator against a golden file, print timing.  Differences by design:
+paths and model variant are flags (the reference hard-codes them,
+Main.c:22,30,40), the whole batch runs at once (the reference forces n=1,
+Main.c:45-46), and the comparator gates every line by default (the
+reference checks only line 0).
+
+Usage examples::
+
+    vit-tpu --weights ./Network --input ./Data/input-100.bin \
+            --output ./Data/result.txt --golden ./Data/answer_result.txt
+    vit-tpu --weights ./Network --synth 8 --allow-synth-weights --top 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vit-tpu", description="TPU-native ViT ImageNet classifier"
+    )
+    p.add_argument("--config", default="vit_b_16", help="model variant name")
+    p.add_argument("--weights", required=True, help="dir of Weight_{idx}_{name}.bin")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="input-100.bin-format image batch")
+    src.add_argument("--synth", type=int, help="use N synthetic images")
+    p.add_argument("--output", help="write results here (reference text format)")
+    p.add_argument("--golden", help="golden answer_result.txt to compare against")
+    p.add_argument(
+        "--compare-count",
+        type=int,
+        default=None,
+        help="gate only the first N lines (reference parity: 1); default all",
+    )
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--ops", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--gelu", default="exact", choices=["exact", "tanh"])
+    p.add_argument("--batch-pad", type=int, default=32)
+    p.add_argument(
+        "--no-round6",
+        action="store_true",
+        help="skip the reference's 6-decimal weight rounding (Network.c:186)",
+    )
+    p.add_argument(
+        "--allow-synth-weights",
+        action="store_true",
+        help="synthesize any missing weight files (stripped-blob checkpoints)",
+    )
+    p.add_argument("--labels", help="label names: text file or C source array")
+    p.add_argument("--top", type=int, default=1, help="print top-K classes per image")
+    p.add_argument("--json", action="store_true", help="machine-readable summary")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from vit_tpu.config import get_config
+    from vit_tpu.eval import comparator
+    from vit_tpu.io import images as iio
+    from vit_tpu.io import weights as wio
+    from vit_tpu.io.labels import load_labels
+    from vit_tpu.runtime import InferenceEngine
+
+    cfg = get_config(args.config)
+
+    ops = args.ops
+    if ops == "auto":
+        ops = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    t_load0 = time.perf_counter()
+    if args.input:
+        images = iio.load_image_bin(args.input)
+    else:
+        images = iio.synth_images(args.synth, cfg, seed=0)
+    params = wio.load_reference_weights(
+        args.weights,
+        cfg,
+        round_to_6dp=not args.no_round6,
+        allow_synth=args.allow_synth_weights,
+    )
+    t_load = time.perf_counter() - t_load0
+
+    engine = InferenceEngine(
+        cfg, params, dtype=args.dtype, ops=ops,
+        batch_pad=args.batch_pad, gelu_variant=args.gelu,
+    )
+
+    t0 = time.perf_counter()
+    probs = np.asarray(engine.probabilities(images))
+    elapsed = time.perf_counter() - t0
+
+    pred = probs.argmax(-1)
+    top_prob = probs[np.arange(len(pred)), pred]
+
+    label_names = load_labels(args.labels, cfg.num_classes)
+    for i in range(len(pred)):
+        line = comparator.format_result_line(i, pred[i], top_prob[i])
+        if args.top > 1:
+            order = probs[i].argsort()[::-1][: args.top]
+            extra = ", ".join(f"{label_names[j]}={probs[i, j]:.4f}" for j in order)
+            line += f"   [{extra}]"
+        else:
+            line += f"   ({label_names[pred[i]]})"
+        print(line)
+
+    if args.output:
+        comparator.write_result_file(pred, top_prob, args.output)
+
+    n_errors = 0
+    if args.golden:
+        got = [
+            comparator.ResultLine(i, int(l), float(p))
+            for i, (l, p) in enumerate(zip(pred, top_prob))
+        ]
+        want = comparator.parse_result_file(args.golden)
+        mismatches = comparator.compare_results(got, want, count=args.compare_count)
+        n_errors = len(mismatches)
+        for m in mismatches:
+            print(f"MISMATCH {m}", file=sys.stderr)
+        print(f"comparator: {n_errors} error(s) over {len(want) if args.compare_count is None else args.compare_count} line(s)")
+
+    print(
+        f"model: {cfg.name}  images: {len(pred)}  ops: {ops}  dtype: {args.dtype}  "
+        f"load: {t_load:.2f}s  inference: {elapsed:.3f}s "
+        f"({len(pred) / elapsed:.1f} img/s incl. compile)"
+    )
+    if args.json:
+        print(
+            json.dumps(
+                {
+                    "images": int(len(pred)),
+                    "inference_sec": elapsed,
+                    "images_per_sec": len(pred) / elapsed,
+                    "comparator_errors": n_errors,
+                    "ops": ops,
+                    "dtype": args.dtype,
+                }
+            )
+        )
+    return 1 if n_errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,109 @@
+"""Golden-file comparator.
+
+Replaces comparator.c: the reference parses ``[i] label: %d / prob: %f``
+lines from the program output and the golden file (parse_line,
+comparator.c:11-14), requiring exact label match (comparator.c:64) and
+absolute probability difference <= 0.01 (comparator.c:70).  The reference
+only gates line 0 (``IMAGE_COUNT 1``, comparator.c:8); here the default is
+*all* lines, with the count overridable for strict reference parity.
+
+The line format contract (Main.c:71): ``[%d] label: %d / prob: %.6f``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+PROB_TOLERANCE = 0.01  # comparator.c:70
+
+_LINE_RE = re.compile(
+    r"^\[(\d+)\]\s*label:\s*(\d+)\s*/\s*prob:\s*([0-9.eE+-]+)\s*$"
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResultLine:
+    index: int
+    label: int
+    prob: float
+
+
+@dataclasses.dataclass(frozen=True)
+class Mismatch:
+    index: int
+    kind: str  # 'label' | 'prob' | 'format' | 'missing'
+    got: Optional[ResultLine]
+    want: Optional[ResultLine]
+
+    def __str__(self) -> str:
+        return f"[{self.index}] {self.kind}: got {self.got}, want {self.want}"
+
+
+def parse_line(line: str) -> Optional[ResultLine]:
+    m = _LINE_RE.match(line.strip())
+    if not m:
+        return None
+    return ResultLine(int(m.group(1)), int(m.group(2)), float(m.group(3)))
+
+
+def parse_result_file(path) -> List[ResultLine]:
+    lines = []
+    for raw in Path(path).read_text().splitlines():
+        if raw.strip():
+            parsed = parse_line(raw)
+            if parsed is not None:
+                lines.append(parsed)
+    return lines
+
+
+def format_result_line(index: int, label: int, prob: float) -> str:
+    """Exact output format of the reference driver (Main.c:71)."""
+    return f"[{index}] label: {label} / prob: {prob:.6f}"
+
+
+def write_result_file(labels: Sequence[int], probs: Sequence[float], path) -> None:
+    text = "".join(
+        format_result_line(i, int(l), float(p)) + "\n"
+        for i, (l, p) in enumerate(zip(labels, probs))
+    )
+    Path(path).write_text(text)
+
+
+def compare_results(
+    got: Sequence[ResultLine],
+    want: Sequence[ResultLine],
+    count: Optional[int] = None,
+    prob_tolerance: float = PROB_TOLERANCE,
+) -> List[Mismatch]:
+    """Label exact + |dprob| <= tol, over the first ``count`` lines
+    (default: all golden lines — stricter than the reference's 1)."""
+    n = len(want) if count is None else count
+    errors: List[Mismatch] = []
+    for i in range(n):
+        w = want[i] if i < len(want) else None
+        g = got[i] if i < len(got) else None
+        if w is None or g is None:
+            errors.append(Mismatch(i, "missing", g, w))
+            continue
+        if g.label != w.label:
+            errors.append(Mismatch(i, "label", g, w))
+        elif abs(g.prob - w.prob) > prob_tolerance:
+            errors.append(Mismatch(i, "prob", g, w))
+    return errors
+
+
+def compare_files(
+    result_path,
+    golden_path,
+    count: Optional[int] = None,
+    prob_tolerance: float = PROB_TOLERANCE,
+) -> List[Mismatch]:
+    return compare_results(
+        parse_result_file(result_path),
+        parse_result_file(golden_path),
+        count=count,
+        prob_tolerance=prob_tolerance,
+    )

@@ -178,16 +178,40 @@ def params_from_tensors(
     on the MXU), flattens conv_proj_weight [D,C,p,p] to (C*p*p, D) in the
     channel-major patch order the model's patch_embed uses, and stacks the
     encoder layers on a leading axis.
+
+    The packed in_proj columns are *reordered* from torchvision's
+    (3, heads, head_dim) blocks (Q/K/V at offsets 0/D/2D, ViT_seq.c:137-141)
+    to (heads, 3, head_dim): a contiguous tensor-parallel shard of the 3D
+    output axis is then a clean group of whole heads, each with its own
+    Q/K/V — Megatron-style column-parallel QKV with zero resharding.
     """
     d = cfg.embed_dim
     L = cfg.depth
+    hd = cfg.head_dim
+    nh = cfg.num_heads
     base_final = 4 + WEIGHTS_PER_LAYER * L
 
     def t(i):
         return np.asarray(tensors[i], dtype=np.float32)
 
+    def qkv_reorder(w):
+        """[3D, ...] rows (3, H, Dh)-major -> (H, 3, Dh)-major."""
+        return w.reshape(3, nh, hd, *w.shape[1:]).transpose(
+            1, 0, *range(2, w.ndim + 2)
+        ).reshape(w.shape)
+
     def stack(offset):
         return np.stack([t(4 + WEIGHTS_PER_LAYER * l + offset) for l in range(L)])
+
+    def stack_qkv(offset):
+        return np.stack(
+            [qkv_reorder(t(4 + WEIGHTS_PER_LAYER * l + offset)) for l in range(L)]
+        )
+
+    def stack_qkv_t(offset):
+        return np.stack(
+            [qkv_reorder(t(4 + WEIGHTS_PER_LAYER * l + offset)).T for l in range(L)]
+        )
 
     def stack_t(offset):
         return np.stack(
@@ -204,8 +228,8 @@ def params_from_tensors(
         "blocks": {
             "ln1_scale": stack(0),
             "ln1_bias": stack(1),
-            "wqkv": stack_t(2),
-            "bqkv": stack(3),
+            "wqkv": stack_qkv_t(2),
+            "bqkv": stack_qkv(3),
             "wo": stack_t(4),
             "bo": stack(5),
             "ln2_scale": stack(6),

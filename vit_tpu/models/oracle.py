@@ -68,12 +68,15 @@ def forward_one(
         ln1 = _layer_norm(x, p["blocks.ln1_scale"][l], p["blocks.ln1_bias"][l],
                           cfg.layernorm_eps)
         qkv = ln1 @ p["blocks.wqkv"][l] + p["blocks.bqkv"][l]
-        q, k, v = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
         heads = []
         for hh in range(cfg.num_heads):  # serial per-head loop, like ViT_seq.c:156
-            sl = slice(hh * hd, (hh + 1) * hd)
-            s = (q[:, sl] @ k[:, sl].T) / math.sqrt(hd)
-            heads.append(_softmax(s, axis=-1) @ v[:, sl])
+            # packed columns are (head, {q,k,v}, head_dim)-ordered (io.weights)
+            base = hh * 3 * hd
+            qh = qkv[:, base : base + hd]
+            kh = qkv[:, base + hd : base + 2 * hd]
+            vh = qkv[:, base + 2 * hd : base + 3 * hd]
+            s = (qh @ kh.T) / math.sqrt(hd)
+            heads.append(_softmax(s, axis=-1) @ vh)
         attn = np.concatenate(heads, axis=-1) @ p["blocks.wo"][l] + p["blocks.bo"][l]
         x = x + attn
 

@@ -24,7 +24,7 @@ see vit_tpu.io.weights for the mapping from torchvision's 152-tensor layout):
     'pos_embed':  (T, D),
     'blocks': {                       # leading axis L = depth (stacked)
       'ln1_scale': (L, D), 'ln1_bias': (L, D),
-      'wqkv': (L, D, 3D), 'bqkv': (L, 3D),
+      'wqkv': (L, D, 3D), 'bqkv': (L, 3D),   # columns (head, {q,k,v}, head_dim)-ordered
       'wo':   (L, D, D),  'bo':   (L, D),
       'ln2_scale': (L, D), 'ln2_bias': (L, D),
       'w1': (L, D, F), 'b1': (L, F),

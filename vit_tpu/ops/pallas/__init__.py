@@ -1,0 +1,42 @@
+"""Pallas TPU kernels — the replacement for the reference's kernel.cl.
+
+Mapping (SURVEY.md §2.2):
+  - ``layer_norm``   replaces layer_norm_kernel (kernel.cl:6-80): one fused
+    VPU pass instead of twin tree-reductions in local memory; eps is applied
+    (the reference GPU kernel dropped it, kernel.cl:63 — we follow the CPU
+    convention).
+  - ``flash_attention`` replaces the per-head GEMM→softmax→GEMM event chain
+    (ViT_opencl.c:546-564 + MHA_gemm_kernel/softmax_reduction_kernel): one
+    kernel per (batch, head), scores live entirely in VMEM, softmax in fp32,
+    nothing T² ever touches HBM.
+  - ``mlp`` replaces fc1_kernel→gelu_kernel→fc2_kernel (kernel.cl:374-503):
+    both GEMMs and the GELU fused in one kernel, weights VMEM-resident,
+    rows streamed.
+
+Each kernel runs in interpreter mode off-TPU so the parity tests execute on
+the CPU mesh.
+"""
+
+import jax
+
+from vit_tpu.ops import reference
+from vit_tpu.ops.dispatch import OpsImpl
+from vit_tpu.ops.pallas.ln_kernel import layer_norm
+from vit_tpu.ops.pallas.attention_kernel import attention, scaled_dot_product_attention
+from vit_tpu.ops.pallas.mlp_kernel import mlp
+
+
+def interpret_default() -> bool:
+    """Pallas kernels compile natively on TPU, interpret elsewhere."""
+    return jax.default_backend() != "tpu"
+
+
+PALLAS_OPS = OpsImpl(
+    name="pallas",
+    layer_norm=layer_norm,
+    attention=attention,
+    mlp=mlp,
+    patch_embed=reference.patch_embed,  # one large GEMM — XLA is already optimal
+)
+
+__all__ = ["PALLAS_OPS", "layer_norm", "attention", "mlp", "interpret_default"]

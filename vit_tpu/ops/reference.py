@@ -64,15 +64,20 @@ def gelu_tanh(x: jax.Array) -> jax.Array:
 
 
 # This JAX build's DEFAULT matmul precision computes fp32 dots in bf16 (one
-# MXU pass).  The reference/oracle path must be true fp32, so every dot here
-# pins precision=HIGHEST; bf16 operands (the fast path) are unaffected by it.
-_PRECISION = jax.lax.Precision.HIGHEST
+# MXU pass), so the fp32 oracle path must pin precision=HIGHEST.  bf16
+# operands take DEFAULT (single native MXU pass; HIGHEST costs ~10% there).
+def _prec(x: jax.Array):
+    return (
+        jax.lax.Precision.HIGHEST
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
 
 def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
     """y = x @ W (+ b); W is [in, out] (pre-transposed torchvision [out, in],
     ViT_seq.c:240-250).  Accumulates in float32 on the MXU."""
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32, precision=_PRECISION)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32, precision=_prec(x))
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
@@ -91,8 +96,11 @@ def attention(
     Args:
       x: (..., T, D) tokens.
       wqkv: (D, 3*D) packed in_proj, pre-transposed from torchvision's
-        [3D, D] with Q/K/V row blocks at offsets 0/D/2D (ViT_seq.c:137-141).
-      bqkv: (3*D,) packed in_proj bias.
+        [3D, D] (Q/K/V row blocks at offsets 0/D/2D, ViT_seq.c:137-141) and
+        column-reordered to (heads, 3, head_dim) blocks so a contiguous
+        tensor-parallel shard of the output axis is a group of whole heads
+        (see vit_tpu.io.weights.params_from_tensors).
+      bqkv: (3*D,) packed in_proj bias, same column order.
       wo: (D, D) out_proj, pre-transposed.
       bo: (D,) out_proj bias.
       num_heads: head count; head_dim = D // num_heads.
@@ -104,11 +112,11 @@ def attention(
     """
     *lead, t, d = x.shape
     head_dim = d // num_heads
-    qkv = linear(x, wqkv, bqkv)  # (..., T, 3D)
-    qkv = qkv.reshape(*lead, t, 3, num_heads, head_dim)
-    q = jnp.moveaxis(qkv[..., 0, :, :], -2, -3)  # (..., H, T, Dh)
-    k = jnp.moveaxis(qkv[..., 1, :, :], -2, -3)
-    v = jnp.moveaxis(qkv[..., 2, :, :], -2, -3)
+    qkv = linear(x, wqkv, bqkv)  # (..., T, 3D), columns (H, 3, Dh)-ordered
+    qkv = qkv.reshape(*lead, t, num_heads, 3, head_dim)
+    q = jnp.moveaxis(qkv[..., 0, :], -2, -3)  # (..., H, T, Dh)
+    k = jnp.moveaxis(qkv[..., 1, :], -2, -3)
+    v = jnp.moveaxis(qkv[..., 2, :], -2, -3)
 
     scale = 1.0 / math.sqrt(head_dim)  # 1/sqrt(64), ViT_seq.c:160
     scores = (
@@ -117,7 +125,7 @@ def attention(
             q,
             k,
             preferred_element_type=jnp.float32,
-            precision=_PRECISION,
+            precision=_prec(x),
         )
         * scale
     )
@@ -127,7 +135,7 @@ def attention(
         probs.astype(x.dtype),
         v,
         preferred_element_type=jnp.float32,
-        precision=_PRECISION,
+        precision=_prec(x),
     ).astype(x.dtype)
     ctx = jnp.moveaxis(ctx, -3, -2).reshape(*lead, t, d)  # concat heads
     return linear(ctx, wo, bo)

@@ -1,0 +1,77 @@
+"""Sharding rules for the ViT params pytree and activations.
+
+Strategy (per SURVEY.md §2.3: DP is the reference's one natural scale-out
+axis — its serial per-image loop — with TP-over-heads as the designed
+extension of its per-head loop, ViT_opencl.c:546):
+
+  - **dp**: batch axis of images/activations. Params replicated over dp.
+  - **tp** (Megatron-style, over heads / MLP hidden):
+      * wqkv (L, D, 3D) column-parallel on the packed output axis — the
+        loader orders those columns (head, {q,k,v}, head_dim) so each tp
+        shard owns whole heads.
+      * wo (L, D, D) row-parallel on the input axis (each shard contributes
+        a partial out_proj; XLA inserts the psum).
+      * w1 (L, D, F) column-parallel, w2 (L, F, D) row-parallel.
+      * LN params, embeddings, head: replicated.
+
+Everything is expressed as ``NamedSharding(mesh, PartitionSpec(...))`` on the
+pytree; ``jax.jit`` + XLA GSPMD propagate the shardings through the forward
+and insert ICI collectives.  No hand-written NCCL/MPI equivalent exists or is
+needed (the reference's only transport is PCIe staging, ViT_opencl.c:173).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _named(mesh: Mesh, *spec) -> NamedSharding:
+    # Drop axis names the mesh doesn't have (lets the same rules serve
+    # dp-only or tp-only meshes).
+    clean = tuple(s if s in mesh.axis_names else None for s in spec)
+    return NamedSharding(mesh, P(*clean))
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding pytree matching vit_tpu.models.vit's params layout."""
+    rep1 = _named(mesh)  # fully replicated
+
+    block_rules = {
+        "ln1_scale": _named(mesh, None, None),
+        "ln1_bias": _named(mesh, None, None),
+        "wqkv": _named(mesh, None, None, "tp"),   # column-parallel QKV
+        "bqkv": _named(mesh, None, "tp"),
+        "wo": _named(mesh, None, "tp", None),     # row-parallel out_proj
+        "bo": _named(mesh, None, None),
+        "ln2_scale": _named(mesh, None, None),
+        "ln2_bias": _named(mesh, None, None),
+        "w1": _named(mesh, None, None, "tp"),     # column-parallel MLP in
+        "b1": _named(mesh, None, "tp"),
+        "w2": _named(mesh, None, "tp", None),     # row-parallel MLP out
+        "b2": _named(mesh, None, None),
+    }
+    return {
+        "cls_token": rep1,
+        "patch_embed": {"kernel": rep1, "bias": rep1},
+        "pos_embed": rep1,
+        "blocks": block_rules,
+        "ln_final": {"scale": rep1, "bias": rep1},
+        "head": {"kernel": rep1, "bias": rep1},
+    }
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) axis over dp; rest replicated."""
+    return _named(mesh, *(["dp"] + [None] * (ndim - 1)))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return _named(mesh)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """device_put the params pytree with the TP/replication rules."""
+    return jax.device_put(params, param_shardings(mesh, params))

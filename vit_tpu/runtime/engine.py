@@ -1,0 +1,125 @@
+"""Batched inference engine.
+
+Replaces the reference's driver loop + OpenCL runtime pairing
+(Main.c:45-60 calling ViT_opencl per image with hand-managed device
+buffers).  TPU-native shape: params live on HBM once (one ``device_put``,
+vs the reference re-creating cl buffers per op call, ViT_opencl.c:133-141),
+the whole forward is one jitted XLA program, inputs stream host→HBM
+asynchronously, and batches are padded to a fixed shape so the jit cache
+never fragments.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_tpu.config import ViTConfig
+from vit_tpu.models import vit
+from vit_tpu.ops import reference
+from vit_tpu.ops.dispatch import get_ops
+from vit_tpu.parallel import batch_sharding, param_shardings
+
+
+class InferenceEngine:
+    """Owns params residency, dtype policy, and the jitted forward.
+
+    Args:
+      cfg: model config.
+      params: params pytree (numpy or jax arrays, fp32 from the loader).
+      dtype: compute dtype for weights/activations ('bfloat16' for the fast
+        path, 'float32' for the oracle-grade path).  Logits and softmax are
+        always fp32.
+      ops: 'xla' (pure-jnp) or 'pallas' (fused TPU kernels).
+      mesh: optional jax.sharding.Mesh; batch is sharded over 'dp', params
+        over 'tp' per vit_tpu.parallel.sharding.
+      batch_pad: round batch sizes up to a multiple of this (one compiled
+        program per padded size; avoids per-size recompiles).
+      gelu_variant: 'exact' (reference CPU, erf) or 'tanh' (reference GPU).
+    """
+
+    def __init__(
+        self,
+        cfg: ViTConfig,
+        params: Any,
+        dtype: str = "bfloat16",
+        ops: str = "xla",
+        mesh=None,
+        batch_pad: int = 32,
+        gelu_variant: str = "exact",
+        donate_inputs: bool = False,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.batch_pad = batch_pad
+        self.compute_dtype = jnp.dtype(dtype)
+        self._ops = get_ops(ops)
+
+        params = jax.tree.map(jnp.asarray, params)
+        params = vit.cast_params(params, self.compute_dtype)
+        if mesh is not None:
+            params = jax.device_put(params, param_shardings(mesh, params))
+        else:
+            params = jax.device_put(params)
+        self.params = params
+
+        fwd = vit.logits_fn(cfg, self._ops, gelu_variant=gelu_variant)
+        jit_kwargs = {}
+        if mesh is not None:
+            jit_kwargs["in_shardings"] = (
+                param_shardings(mesh, params),
+                batch_sharding(mesh, 4),
+            )
+        self._forward = jax.jit(fwd, **jit_kwargs)
+        self._input_sharding = batch_sharding(mesh, 4) if mesh is not None else None
+
+    # -- core API ---------------------------------------------------------
+
+    def logits(self, images) -> jax.Array:
+        """(B, C, H, W) -> (B, num_classes) fp32 logits (unpadded)."""
+        x, n = self._stage(images)
+        out = self._forward(self.params, x)
+        return out[:n]
+
+    def probabilities(self, images) -> jax.Array:
+        return reference.softmax(self.logits(images))
+
+    def classify(self, images) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (labels, top_probs), the reference driver's output quantities
+        (argmax over probabilities, Main.c:62-69)."""
+        probs = np.asarray(self.probabilities(images))
+        labels = probs.argmax(-1)
+        return labels, probs[np.arange(len(labels)), labels]
+
+    # -- internals --------------------------------------------------------
+
+    def _stage(self, images) -> Tuple[jax.Array, int]:
+        """Host->device staging: cast to compute dtype, pad batch to the
+        padding grain, place with the dp sharding."""
+        images = np.asarray(images)
+        n = images.shape[0]
+        grain = self.batch_pad
+        if self.mesh is not None:
+            grain = _lcm(grain, self.mesh.shape.get("dp", 1))
+        padded = max(grain, math.ceil(n / grain) * grain)
+        if padded != n:
+            pad = np.zeros((padded - n, *images.shape[1:]), images.dtype)
+            images = np.concatenate([images, pad], axis=0)
+        x = jnp.asarray(images, dtype=self.compute_dtype)
+        if self._input_sharding is not None:
+            x = jax.device_put(x, self._input_sharding)
+        return x, n
+
+    def compiled_text(self, batch: int) -> str:
+        """Lowered-HLO dump for inspection/debugging."""
+        shape = (batch, self.cfg.in_channels, self.cfg.image_size, self.cfg.image_size)
+        args = (self.params, jax.ShapeDtypeStruct(shape, self.compute_dtype))
+        return jax.jit(vit.logits_fn(self.cfg, self._ops)).lower(*args).as_text()
+
+
+def _lcm(a: int, b: int) -> int:
+    return a * b // math.gcd(a, b)

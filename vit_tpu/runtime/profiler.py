@@ -1,0 +1,94 @@
+"""Profiling utilities: phase timers + MXU roofline.
+
+Replaces the reference's clock()-printf instrumentation (Main.c:55-60,
+ViT_opencl.c:745-779, plus the vestigial accumulator globals in
+Network.h:23-32) with (a) a context-manager phase timer that actually
+aggregates, (b) an MXU-utilization roofline calculator (the metric BASELINE
+gates on), and (c) a hook into jax.profiler for real traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+import jax
+
+from vit_tpu.config import ViTConfig
+
+# Peak specs per chip. v5e: 197 TFLOP/s bf16, 98.5 TFLOP/s fp32-ish via
+# bf16x3 passes is lower in practice; HBM ~819 GB/s.
+CHIP_PEAKS_TFLOPS = {
+    "v5e_bf16": 197.0,
+    "v5e_fp32": 49.0,  # HIGHEST precision ≈ 6 bf16 passes; conservative
+    "v6e_bf16": 918.0,
+}
+
+
+class PhaseTimer:
+    """Accumulating wall-clock phase timer.
+
+    Usage::
+
+        timer = PhaseTimer()
+        with timer.phase("attn"):
+            out = jax.block_until_ready(f(x))
+        print(timer.report())
+    """
+
+    def __init__(self):
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self) -> str:
+        lines = []
+        for name, total in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            n = self.counts[name]
+            lines.append(f"{name:24s} {total*1e3:10.2f} ms total  {total/n*1e3:8.2f} ms/call  x{n}")
+        return "\n".join(lines)
+
+
+def roofline(
+    cfg: ViTConfig,
+    batch: int,
+    seconds: float,
+    chip: str = "v5e",
+    dtype: str = "bf16",
+    n_chips: int = 1,
+) -> Dict[str, float]:
+    """Achieved FLOP/s and MXU utilization for a timed forward pass."""
+    flops = cfg.flops_per_image() * batch
+    achieved = flops / seconds
+    peak = CHIP_PEAKS_TFLOPS.get(f"{chip}_{dtype}", CHIP_PEAKS_TFLOPS["v5e_bf16"])
+    peak_total = peak * 1e12 * n_chips
+    return {
+        "flops": float(flops),
+        "tflops_per_sec": achieved / 1e12,
+        "mxu_utilization": achieved / peak_total,
+        "images_per_sec": batch / seconds,
+        "images_per_sec_per_chip": batch / seconds / n_chips,
+    }
+
+
+@contextlib.contextmanager
+def trace(logdir: Optional[str] = None):
+    """jax.profiler trace context (view with tensorboard / xprof)."""
+    if logdir is None:
+        yield
+        return
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

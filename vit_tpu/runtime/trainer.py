@@ -1,0 +1,113 @@
+"""Training step (cross-entropy fine-tuning / from-scratch) over a device mesh.
+
+The reference is inference-only (SURVEY.md: no training exists), but a
+complete framework at this model family's scale ships one.  This is the
+multi-chip path the driver dry-runs: params sharded tensor-parallel, batch
+sharded data-parallel, XLA inserting the psum/all-reduce collectives from the
+shardings (scaling-book recipe — no hand-written communication).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vit_tpu.config import ViTConfig
+from vit_tpu.models import vit
+from vit_tpu.ops.dispatch import REFERENCE_OPS, OpsImpl
+from vit_tpu.parallel import batch_sharding, param_shardings, replicate
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return nll.mean()
+
+
+def make_train_step(
+    cfg: ViTConfig,
+    optimizer: optax.GradientTransformation,
+    ops: OpsImpl = REFERENCE_OPS,
+    remat: bool = True,
+):
+    """Build ``(params, opt_state, images, labels) -> (params, opt_state, loss)``.
+
+    ``remat`` wraps the forward in jax.checkpoint so activations are
+    rematerialized in the backward pass (HBM for FLOPs — the standard TPU
+    memory trade).
+    """
+
+    def loss_fn(params, images, labels):
+        fwd = vit.logits_fn(cfg, ops)
+        if remat:
+            fwd = jax.checkpoint(fwd)
+        logits = fwd(params, images)
+        return cross_entropy_loss(logits, labels)
+
+    def train_step(params, opt_state, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def jit_train_step_for_mesh(
+    cfg: ViTConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    params_like: Any,
+    opt_state_like: Any,
+    ops: OpsImpl = REFERENCE_OPS,
+    remat: bool = True,
+):
+    """jit the train step with explicit mesh shardings.
+
+    Params + optimizer state follow the TP rules (optimizer moments shard
+    like their params); images/labels shard over dp; loss is replicated.
+    """
+    p_shard = param_shardings(mesh, params_like)
+    # optax states are pytrees whose array leaves mirror param shapes (mu/nu)
+    # or are scalars (count); map matching-structure leaves to param rules.
+    o_shard = _opt_state_shardings(opt_state_like, params_like, p_shard, mesh)
+    step = make_train_step(cfg, optimizer, ops, remat)
+    return jax.jit(
+        step,
+        in_shardings=(p_shard, o_shard, batch_sharding(mesh, 4), batch_sharding(mesh, 1)),
+        out_shardings=(p_shard, o_shard, replicate(mesh)),
+        donate_argnums=(0, 1),
+    )
+
+
+def _opt_state_shardings(opt_state, params, p_shard, mesh):
+    """Shard optimizer-state leaves like their corresponding params when the
+    shapes line up (adam mu/nu mirror param shapes); replicate everything
+    else (step counts etc.)."""
+    param_leaves = jax.tree.leaves(params)
+    shard_leaves = jax.tree.leaves(p_shard)
+    by_shape = {}
+    for leaf, s in zip(param_leaves, shard_leaves):
+        by_shape.setdefault((leaf.shape, leaf.dtype), s)
+
+    rep = replicate(mesh)
+
+    def rule(leaf):
+        return by_shape.get((getattr(leaf, "shape", None), getattr(leaf, "dtype", None)), rep)
+
+    return jax.tree.map(rule, opt_state)
+
+
+def init_train_state(
+    key: jax.Array,
+    cfg: ViTConfig,
+    optimizer: optax.GradientTransformation,
+    dtype=jnp.float32,
+) -> Tuple[Any, Any]:
+    params = vit.init_params(key, cfg, dtype)
+    opt_state = optimizer.init(params)
+    return params, opt_state
