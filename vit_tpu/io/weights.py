@@ -80,9 +80,17 @@ def reference_tensor_specs(cfg: ViTConfig = VIT_B_16) -> List[Tuple[int, str, Tu
 
 def round6(x: np.ndarray) -> np.ndarray:
     """The reference's 6-decimal load-time rounding (Network.c:186):
-    ``roundf(v * 1e6) / 1e6`` in fp32."""
-    x = x.astype(np.float32)
-    return (np.round(x * np.float32(1e6)) / np.float32(1e6)).astype(np.float32)
+    ``roundf(v * 1e6f) / 1e6f`` in fp32.
+
+    C's roundf rounds halves AWAY FROM ZERO (np.round rounds half-to-even),
+    so the tie-break is emulated exactly: scale in fp32 like the C code,
+    round in float64 (where |y|+0.5 and floor are exact for all fp32 y),
+    then divide back in fp32.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    y = (x * np.float32(1e6)).astype(np.float64)
+    r = np.copysign(np.floor(np.abs(y) + 0.5), y)
+    return (r.astype(np.float32) / np.float32(1e6)).astype(np.float32)
 
 
 def scan_weight_dir(weight_dir: Path) -> Dict[int, Path]:
