@@ -37,8 +37,8 @@ def main() -> None:
         try:
             from vit_tpu.ops.dispatch import get_ops
 
-            get_ops("pallas")
-            ops_impl = "pallas"
+            get_ops("fused")
+            ops_impl = "fused"  # per-layer Pallas megakernels
         except ImportError:
             pass
 

@@ -96,3 +96,34 @@ def test_full_model_pallas_matches_xla(tiny_cfg, tiny_params, tiny_images):
     a = np.asarray(vit.forward(tiny_params, x, tiny_cfg, ops=get_ops("xla")))
     b = np.asarray(vit.forward(tiny_params, x, tiny_cfg, ops=get_ops("pallas")))
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_full_model_fused_matches_xla(tiny_cfg, tiny_params, tiny_images):
+    # The megakernel path (LN1+QKV / attn+out_proj+residual / LN2+MLP+residual)
+    from vit_tpu.models import vit
+    from vit_tpu.ops.dispatch import get_ops
+
+    x = jnp.asarray(tiny_images)
+    a = np.asarray(vit.forward(tiny_params, x, tiny_cfg, ops=get_ops("xla")))
+    b = np.asarray(vit.forward(tiny_params, x, tiny_cfg, ops=get_ops("fused")))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["exact", "tanh"])
+def test_fused_block_parity(tiny_cfg, tiny_params, variant, key):
+    # Single fused block vs the composed reference block on (B*T, D) data.
+    import jax as _jax
+
+    from vit_tpu.models import vit as vmodel
+    from vit_tpu.ops.dispatch import REFERENCE_OPS
+    from vit_tpu.ops.pallas.fused_block import fused_encoder_block
+
+    t, d = tiny_cfg.seq_len, tiny_cfg.embed_dim
+    x = jax.random.normal(key, (2, t, d), jnp.float32)
+    blk = _jax.tree.map(lambda a: a[0], tiny_params["blocks"])
+    want = vmodel.encoder_block(x, blk, tiny_cfg, REFERENCE_OPS, variant)
+    got = fused_encoder_block(
+        x.reshape(2 * t, d), blk, tiny_cfg.num_heads, t,
+        tiny_cfg.layernorm_eps, variant, interpret=True,
+    ).reshape(2, t, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

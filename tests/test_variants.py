@@ -1,0 +1,50 @@
+"""Model-variant coverage: every registered config (B/16, B/32, L/16, L/32,
+H/14, 384px) builds, shape-checks, and has a consistent weight-spec table —
+via jax.eval_shape so nothing big actually runs."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vit_tpu.config import CONFIGS, get_config
+from vit_tpu.io import weights as wio
+from vit_tpu.models import vit
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_variant_forward_shape(name):
+    cfg = get_config(name)
+
+    def build_and_run(key):
+        params = vit.init_params(key, cfg)
+        imgs = jnp.zeros((2, cfg.in_channels, cfg.image_size, cfg.image_size))
+        return vit.forward(params, imgs, cfg)
+
+    out = jax.eval_shape(build_and_run, jax.random.key(0))
+    assert out.shape == (2, cfg.num_classes)
+    assert out.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_variant_param_count_consistency(name):
+    cfg = get_config(name)
+    params = jax.eval_shape(lambda k: vit.init_params(k, cfg), jax.random.key(0))
+    total = sum(int(jnp.prod(jnp.asarray(l.shape))) for l in jax.tree.leaves(params))
+    assert total == cfg.num_params()
+    # weight-spec table agrees with the pytree
+    spec_total = sum(
+        int(jnp.prod(jnp.asarray(shape)))
+        for _, _, shape in wio.reference_tensor_specs(cfg)
+    )
+    assert spec_total == cfg.num_params()
+
+
+def test_known_param_counts():
+    # torchvision-published parameter counts (sanity anchors)
+    assert abs(get_config("vit_b_16").num_params() - 86_567_656) < 1000
+    assert abs(get_config("vit_l_16").num_params() - 304_326_632) < 1000
+
+
+def test_384_variant_token_count():
+    cfg = get_config("vit_b_16_384")
+    assert cfg.seq_len == 577  # BASELINE.json config 4

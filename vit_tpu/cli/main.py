@@ -44,7 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="gate only the first N lines (reference parity: 1); default all",
     )
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    p.add_argument("--ops", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument(
+        "--ops", default="auto", choices=["auto", "xla", "pallas", "fused"]
+    )
     p.add_argument("--gelu", default="exact", choices=["exact", "tanh"])
     p.add_argument("--batch-pad", type=int, default=32)
     p.add_argument(
@@ -79,7 +81,7 @@ def main(argv=None) -> int:
 
     ops = args.ops
     if ops == "auto":
-        ops = "pallas" if jax.default_backend() == "tpu" else "xla"
+        ops = "fused" if jax.default_backend() == "tpu" else "xla"
 
     t_load0 = time.perf_counter()
     if args.input:

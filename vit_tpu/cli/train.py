@@ -1,0 +1,129 @@
+"""Training driver CLI.
+
+The reference is inference-only; this driver completes the framework: a
+sharded (dp x tp) cross-entropy training loop with rematerialization,
+running on whatever devices are present (real chips or the virtual CPU
+mesh).  Data is an input-100.bin-format batch plus an int32 label file, or
+synthetic.
+
+Usage::
+
+    vit-tpu-train --config vit_b_16 --steps 20 --batch 32 --tp 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vit-tpu-train")
+    p.add_argument("--config", default="vit_b_16")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight-decay", type=float, default=0.05)
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--dp", type=int, default=None, help="data-parallel size")
+    p.add_argument("--input", help="input-100.bin-format images (else synthetic)")
+    p.add_argument("--labels", help="raw int32 label file matching --input")
+    p.add_argument("--init-weights", help="warm-start from Weight_*.bin dir")
+    p.add_argument("--allow-synth-weights", action="store_true")
+    p.add_argument("--save", help="save final params to this .npz")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-remat", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vit_tpu.config import get_config
+    from vit_tpu.io import checkpoint as ckpt
+    from vit_tpu.io import images as iio
+    from vit_tpu.io import weights as wio
+    from vit_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        mesh_shape_for,
+        param_shardings,
+        shard_params,
+    )
+    from vit_tpu.runtime import trainer
+
+    cfg = get_config(args.config)
+    n_dev = jax.device_count()
+    mesh_axes = mesh_shape_for(
+        args.dp * args.tp if args.dp else n_dev, tp=args.tp, dp=args.dp
+    )
+    mesh = make_mesh(mesh_axes, jax.devices()[: mesh_axes["dp"] * mesh_axes["tp"]])
+    print(f"mesh: {mesh_axes} over {n_dev} device(s), backend={jax.default_backend()}")
+
+    optimizer = optax.adamw(args.lr, weight_decay=args.weight_decay)
+    if args.init_weights:
+        params = wio.load_reference_weights(
+            args.init_weights, cfg, allow_synth=args.allow_synth_weights
+        )
+        params = jax.tree.map(jnp.asarray, params)
+        opt_state = optimizer.init(params)
+    else:
+        params, opt_state = trainer.init_train_state(
+            jax.random.key(args.seed), cfg, optimizer
+        )
+    params = shard_params(params, mesh)
+    opt_state = jax.device_put(
+        opt_state,
+        trainer._opt_state_shardings(
+            opt_state, params, param_shardings(mesh, params), mesh
+        ),
+    )
+    step = trainer.jit_train_step_for_mesh(
+        cfg, optimizer, mesh, params, opt_state, remat=not args.no_remat
+    )
+
+    rng = np.random.default_rng(args.seed)
+    if args.input:
+        images = iio.load_image_bin(args.input)
+        if args.labels:
+            labels = np.fromfile(args.labels, dtype="<i4")
+        else:
+            labels = rng.integers(0, cfg.num_classes, len(images)).astype(np.int32)
+    else:
+        images = iio.synth_images(args.batch, cfg, seed=args.seed)
+        labels = rng.integers(0, cfg.num_classes, args.batch).astype(np.int32)
+
+    n = (len(images) // args.batch) * args.batch or args.batch
+    images, labels = images[:n], labels[:n]
+
+    for s in range(args.steps):
+        i0 = (s * args.batch) % max(n - args.batch + 1, 1)
+        xb = jax.device_put(
+            jnp.asarray(images[i0 : i0 + args.batch]), batch_sharding(mesh, 4)
+        )
+        yb = jax.device_put(
+            jnp.asarray(labels[i0 : i0 + args.batch]), batch_sharding(mesh, 1)
+        )
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, xb, yb)
+        loss = float(loss)
+        print(f"step {s:4d}  loss {loss:.4f}  {time.perf_counter()-t0:.2f}s")
+        if not np.isfinite(loss):
+            print("non-finite loss; aborting", file=sys.stderr)
+            return 1
+
+    if args.save:
+        ckpt.save_npz(jax.device_get(params), args.save)
+        print(f"saved params to {args.save}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

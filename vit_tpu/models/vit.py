@@ -91,7 +91,29 @@ def forward(
     x = reference.add_cls_and_pos(x, params["cls_token"], params["pos_embed"])
 
     blocks = params["blocks"]
-    if unroll_layers:
+    if ops.encoder_block is not None:
+        # Fused megakernel path: flat (B*T, D) activation, three Pallas
+        # kernels per layer, zero layout shuffles.
+        *lead, t, d = x.shape
+        rows = 1
+        for s in lead:
+            rows *= s
+        x2 = x.reshape(rows * t, d)
+
+        def body(carry, blk):
+            out = ops.encoder_block(
+                carry, blk, cfg.num_heads, t, cfg.layernorm_eps, gelu_variant
+            )
+            return out, None
+
+        if unroll_layers:
+            for l in range(cfg.depth):
+                blk = jax.tree.map(lambda a: a[l], blocks)
+                x2, _ = body(x2, blk)
+        else:
+            x2, _ = jax.lax.scan(body, x2, blocks)
+        x = x2.reshape(*lead, t, d)
+    elif unroll_layers:
         for l in range(cfg.depth):
             blk = jax.tree.map(lambda a: a[l], blocks)
             x = encoder_block(x, blk, cfg, ops, gelu_variant)

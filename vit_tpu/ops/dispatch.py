@@ -9,20 +9,27 @@ forward passes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, Optional
 
 from vit_tpu.ops import reference
 
 
 @dataclasses.dataclass(frozen=True)
 class OpsImpl:
-    """The pluggable op table consumed by ``vit_tpu.models.vit``."""
+    """The pluggable op table consumed by ``vit_tpu.models.vit``.
+
+    ``encoder_block``, when set, replaces the whole per-layer composition
+    with a fused implementation of signature
+    ``(x2d, blk, num_heads, seq_len, eps, gelu_variant) -> x2d``
+    on a flat (B*T, D) activation (the Pallas megakernel path).
+    """
 
     name: str
     layer_norm: Callable
     attention: Callable
     mlp: Callable
     patch_embed: Callable
+    encoder_block: Optional[Callable] = None
 
 
 REFERENCE_OPS = OpsImpl(
@@ -47,4 +54,10 @@ def get_ops(impl: str = "xla") -> OpsImpl:
         from vit_tpu.ops import pallas  # lazy: TPU-only dependency path
 
         return pallas.PALLAS_OPS
-    raise ValueError(f"unknown ops impl {impl!r}; expected 'xla' or 'pallas'")
+    if impl == "fused":
+        from vit_tpu.ops import pallas
+
+        return pallas.FUSED_OPS
+    raise ValueError(
+        f"unknown ops impl {impl!r}; expected 'xla', 'pallas', or 'fused'"
+    )

@@ -24,6 +24,7 @@ from vit_tpu.ops.dispatch import OpsImpl
 from vit_tpu.ops.pallas.ln_kernel import layer_norm
 from vit_tpu.ops.pallas.attention_kernel import attention, scaled_dot_product_attention
 from vit_tpu.ops.pallas.mlp_kernel import mlp
+from vit_tpu.ops.pallas.fused_block import fused_encoder_block
 
 
 def interpret_default() -> bool:
@@ -39,4 +40,23 @@ PALLAS_OPS = OpsImpl(
     patch_embed=reference.patch_embed,  # one large GEMM — XLA is already optimal
 )
 
-__all__ = ["PALLAS_OPS", "layer_norm", "attention", "mlp", "interpret_default"]
+# Megakernel path: the whole encoder block as three fused Pallas kernels
+# (LN1+QKV / attention+out_proj+residual / LN2+MLP+residual).
+FUSED_OPS = OpsImpl(
+    name="fused",
+    layer_norm=layer_norm,
+    attention=attention,
+    mlp=mlp,
+    patch_embed=reference.patch_embed,
+    encoder_block=fused_encoder_block,
+)
+
+__all__ = [
+    "PALLAS_OPS",
+    "FUSED_OPS",
+    "layer_norm",
+    "attention",
+    "mlp",
+    "fused_encoder_block",
+    "interpret_default",
+]

@@ -1,0 +1,246 @@
+"""Fused encoder-block Pallas kernels — the per-layer "megakernel" path.
+
+The reference runs each encoder phase as separate kernel launches with full
+device-memory round-trips between them (LN / QKV GEMMs+bias / per-head
+GEMM-softmax-GEMM chain / out_proj / FC1-GELU-FC2, plus residual adds on the
+HOST CPU, ViT_opencl.c:732-782).  This module collapses a whole pre-LN
+encoder block (Encoder, ViT_seq.c:271-302) into three Pallas kernels over a
+flat (B*T, D) activation, with no transposes and no intermediate HBM
+tensors beyond the packed QKV:
+
+  A. ``ln1 -> QKV projection``      (row-blocked; W_qkv VMEM-resident)
+  B. ``attention core -> out_proj -> +residual``  (one grid step per image;
+     heads are static slices of the packed (head,{q,k,v},head_dim) columns,
+     so no (B,H,T,Dh) layout shuffle ever exists)
+  C. ``ln2 -> FC1 -> GELU -> FC2 -> +residual``   (row-blocked; both MLP
+     weights VMEM-resident)
+
+HBM traffic per layer ~= 5 passes over the activation + 2x packed QKV —
+within ~2x of the information-theoretic floor — while every GEMM runs from
+VMEM with fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_tpu.ops.pallas.mlp_kernel import _erf
+
+
+def _ln(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    c = xf - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    return c * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) + bias.astype(
+        jnp.float32
+    )
+
+
+def _gelu(h, variant):
+    if variant == "exact":
+        return 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    return 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h)))
+
+
+# -- kernel A: LN1 + QKV projection ----------------------------------------
+
+
+def _ln_qkv_kernel(x_ref, s_ref, b_ref, w_ref, bias_ref, out_ref, *, eps):
+    h = _ln(x_ref[:], s_ref[:], b_ref[:], eps).astype(x_ref.dtype)
+    acc = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = (acc + bias_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def ln_qkv(x2d, ln_scale, ln_bias, wqkv, bqkv, eps, block_rows=256, interpret=False):
+    rows, d = x2d.shape
+    d3 = wqkv.shape[-1]
+    block_rows = min(block_rows, rows)
+    return pl.pallas_call(
+        functools.partial(_ln_qkv_kernel, eps=eps),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, d3), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, d3), x2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * d * d3,
+            bytes_accessed=(rows * d + d * d3 + rows * d3) * x2d.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2d, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv, bqkv.reshape(1, d3))
+
+
+# -- kernel B: attention core + out_proj + residual -------------------------
+
+
+def _attn_out_kernel(
+    qkv_ref, res_ref, wo_ref, bo_ref, out_ref, ctx_ref, *, num_heads, scale
+):
+    dh = qkv_ref.shape[-1] // (3 * num_heads)
+    for h in range(num_heads):  # static unroll; heads are column slices
+        base = h * 3 * dh
+        q = qkv_ref[0, :, base : base + dh]
+        k = qkv_ref[0, :, base + dh : base + 2 * dh]
+        v = qkv_ref[0, :, base + 2 * dh : base + 3 * dh]
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        ctx_ref[:, h * dh : (h + 1) * dh] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        ).astype(ctx_ref.dtype)
+    acc = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
+    acc = acc + bo_ref[:].astype(jnp.float32) + res_ref[0].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def attn_out_residual(
+    qkv, x2d, wo, bo, num_heads, seq_len, interpret=False
+):
+    """qkv (B*T, 3D) packed (head,{q,k,v},dh) columns; x2d (B*T, D) residual.
+    Returns x2d + out_proj(attention(qkv)).
+
+    Internally viewed as (B, T, .) with block (1, T, .): full trailing dims
+    satisfy the TPU block-tiling rule for any T (197, 577, ...).
+    """
+    rows, d3 = qkv.shape
+    d = x2d.shape[-1]
+    dh = d // num_heads
+    b = rows // seq_len
+    scale = 1.0 / (dh**0.5)
+    qkv3 = qkv.reshape(b, seq_len, d3)
+    x3 = x2d.reshape(b, seq_len, d)
+    out = pl.pallas_call(
+        functools.partial(_attn_out_kernel, num_heads=num_heads, scale=scale),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, seq_len, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, seq_len, d), x2d.dtype),
+        scratch_shapes=[pltpu.VMEM((seq_len, d), x2d.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=b * (4 * seq_len * seq_len * d + 2 * seq_len * d * d),
+            bytes_accessed=(rows * d3 + 3 * rows * d) * x2d.dtype.itemsize,
+            transcendentals=b * num_heads * seq_len * seq_len,
+        ),
+        interpret=interpret,
+    )(qkv3, x3, wo, bo.reshape(1, d))
+    return out.reshape(rows, d)
+
+
+# -- kernel C: LN2 + MLP + residual -----------------------------------------
+
+
+def _ln_mlp_kernel(
+    x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, eps, variant
+):
+    h = _ln(x_ref[:], s_ref[:], b_ref[:], eps).astype(x_ref.dtype)
+    h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
+    h = _gelu(h + b1_ref[:].astype(jnp.float32), variant).astype(x_ref.dtype)
+    acc = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    acc = acc + b2_ref[:].astype(jnp.float32) + x_ref[:].astype(jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def ln_mlp_residual(
+    x2d, ln_scale, ln_bias, w1, b1, w2, b2, eps, gelu_variant="exact",
+    block_rows=256, interpret=False,
+):
+    rows, d = x2d.shape
+    f = w1.shape[-1]
+    block_rows = min(block_rows, rows)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_kernel, eps=eps, variant=gelu_variant),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * d * f,
+            bytes_accessed=(2 * rows * d + 2 * d * f) * x2d.dtype.itemsize,
+            transcendentals=rows * f,
+        ),
+        interpret=interpret,
+    )(
+        x2d,
+        ln_scale.reshape(1, d),
+        ln_bias.reshape(1, d),
+        w1,
+        b1.reshape(1, f),
+        w2,
+        b2.reshape(1, d),
+    )
+
+
+# -- full block --------------------------------------------------------------
+
+
+def fused_encoder_block(
+    x2d: jax.Array,
+    blk,
+    num_heads: int,
+    seq_len: int,
+    eps: float,
+    gelu_variant: str = "exact",
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """One pre-LN encoder block on a flat (B*T, D) activation."""
+    if interpret is None:
+        from vit_tpu.ops.pallas import interpret_default
+
+        interpret = interpret_default()
+    qkv = ln_qkv(
+        x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["bqkv"], eps,
+        interpret=interpret,
+    )
+    x2d = attn_out_residual(
+        qkv, x2d, blk["wo"], blk["bo"], num_heads, seq_len, interpret=interpret
+    )
+    return ln_mlp_residual(
+        x2d,
+        blk["ln2_scale"],
+        blk["ln2_bias"],
+        blk["w1"],
+        blk["b1"],
+        blk["w2"],
+        blk["b2"],
+        eps,
+        gelu_variant,
+        interpret=interpret,
+    )
