@@ -82,7 +82,7 @@ def read_fp32(path, round_to_6dp: bool = True) -> np.ndarray:
         1 if round_to_6dp else 0,
     )
     if got != count:
-        raise IOError(f"{path}: short read ({got}/{count} floats)")
+        raise ValueError(f"{path}: short read ({got}/{count} floats)")
     return out
 
 
@@ -93,12 +93,12 @@ def read_image_bin(path) -> np.ndarray:
     cpath = str(path).encode()
     header = (ctypes.c_int * 4)()
     if lib.vitio_read_image_bin_header(cpath, header) != 0:
-        raise IOError(f"{path}: bad header")
+        raise ValueError(f"{path}: truncated header (Network.c:36-44 format)")
     n, c, h, w = header[0], header[1], header[2], header[3]
     out = np.empty(n * c * h * w, dtype=np.float32)
     got = lib.vitio_read_image_bin_data(
         cpath, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.size
     )
     if got != out.size:
-        raise IOError(f"{path}: short read ({got}/{out.size} floats)")
+        raise ValueError(f"{path}: expected {out.size} fp32 values, got {got}")
     return out.reshape(n, c, h, w)

@@ -1,0 +1,74 @@
+"""Async host->HBM input prefetch.
+
+The reference stages every tensor synchronously through
+``CL_MEM_COPY_HOST_PTR`` / blocking reads around each op
+(ViT_opencl.c:133-141,173).  The TPU-native replacement: a small
+double-buffered pipeline that overlaps the host->device transfer of batch
+i+1 with the device compute of batch i (``jax.device_put`` is async; a
+background thread keeps the queue full).
+
+Usage::
+
+    for batch in prefetch_to_device(batch_iter, size=2, sharding=dp_shard):
+        out = step(params, batch)
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from typing import Any, Iterable, Iterator, Optional
+
+import jax
+
+
+def prefetch_to_device(
+    iterator: Iterable[Any],
+    size: int = 2,
+    sharding: Optional[jax.sharding.Sharding] = None,
+) -> Iterator[Any]:
+    """Yield device-resident batches, staying ``size`` transfers ahead.
+
+    Each item may be an array or a pytree of arrays; items are placed with
+    ``jax.device_put`` (async on TPU) from a producer thread so host I/O,
+    PCIe transfer, and device compute overlap.
+    """
+    if size < 1:
+        raise ValueError("prefetch size must be >= 1")
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _SENTINEL = object()
+    err: list = []
+
+    def producer():
+        try:
+            for item in iterator:
+                placed = (
+                    jax.device_put(item, sharding)
+                    if sharding is not None
+                    else jax.device_put(item)
+                )
+                q.put(placed)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def batched(array_like, batch_size: int, drop_remainder: bool = False):
+    """Slice a large array (e.g. the full input-100.bin batch) into
+    fixed-size minibatches for the prefetcher."""
+    n = len(array_like)
+    end = n - (n % batch_size) if drop_remainder else n
+    for i in range(0, end, batch_size):
+        yield array_like[i : i + batch_size]
