@@ -31,22 +31,19 @@ from vit_tpu.ops import reference
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float):
-    q = q_ref[0]  # (T, Dh)
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # fold 1/sqrt(Dh) into Q
     k = k_ref[0]
     v = v_ref[0]
-    s = (
-        jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),  # Q @ K^T
-            preferred_element_type=jnp.float32,
-        )
-        * scale
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),  # Q @ K^T
+        preferred_element_type=jnp.float32,
     )
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / l).astype(v.dtype)
+    inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)  # reciprocal-multiply
+    p = (p * inv).astype(v.dtype)
     out_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
         out_ref.dtype
     )

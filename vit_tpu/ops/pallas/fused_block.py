@@ -94,18 +94,18 @@ def _attn_out_kernel(
     dh = qkv_ref.shape[-1] // (3 * num_heads)
     for h in range(num_heads):  # static unroll; heads are column slices
         base = h * 3 * dh
-        q = qkv_ref[0, :, base : base + dh]
+        # fold 1/sqrt(dh) into Q (a T x dh multiply, not T x T)
+        q = qkv_ref[0, :, base : base + dh] * jnp.asarray(scale, qkv_ref.dtype)
         k = qkv_ref[0, :, base + dh : base + 2 * dh]
         v = qkv_ref[0, :, base + 2 * dh : base + 3 * dh]
-        s = (
-            jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            * scale
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        # normalize via reciprocal-multiply (row-wise divide is VPU-expensive)
+        inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        p = (p * inv).astype(v.dtype)
         ctx_ref[:, h * dh : (h + 1) * dh] = jnp.dot(
             p, v, preferred_element_type=jnp.float32
         ).astype(ctx_ref.dtype)
