@@ -25,6 +25,7 @@ from vit_tpu.ops.pallas.ln_kernel import layer_norm
 from vit_tpu.ops.pallas.attention_kernel import attention, scaled_dot_product_attention
 from vit_tpu.ops.pallas.mlp_kernel import mlp
 from vit_tpu.ops.pallas.fused_block import fused_encoder_block
+from vit_tpu.ops.pallas.flash_attention import flash_attention
 
 
 def interpret_default() -> bool:
@@ -58,5 +59,6 @@ __all__ = [
     "attention",
     "mlp",
     "fused_encoder_block",
+    "flash_attention",
     "interpret_default",
 ]
