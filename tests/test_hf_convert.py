@@ -1,0 +1,66 @@
+"""HF transformers ViT converter tests: build a tiny HF model offline,
+convert, and check logits parity against the HF forward itself."""
+
+import numpy as np
+import pytest
+
+transformers = pytest.importorskip("transformers")
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from vit_tpu.io.hf_convert import config_from_hf, params_from_hf_state_dict
+from vit_tpu.models import vit
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    hf_cfg = transformers.ViTConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=256,
+        image_size=32,
+        patch_size=16,
+        num_channels=3,
+        num_labels=11,
+        hidden_act="gelu",  # exact-erf GELU, matching our 'exact' variant
+    )
+    torch.manual_seed(0)
+    model = transformers.ViTForImageClassification(hf_cfg).eval()
+    return hf_cfg, model
+
+
+def test_config_mapping(hf_model):
+    hf_cfg, _ = hf_model
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.embed_dim == 64 and cfg.depth == 2 and cfg.num_heads == 4
+    assert cfg.seq_len == 5  # (32/16)^2 + 1
+    assert cfg.mlp_dim == 256
+    assert cfg.num_classes == 11
+
+
+def test_logits_match_hf_forward(hf_model):
+    hf_cfg, model = hf_model
+    cfg = config_from_hf(hf_cfg)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    params = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(3, 3, 32, 32)).astype(np.float32)
+
+    with torch.no_grad():
+        want = model(torch.from_numpy(images)).logits.numpy()
+    got = np.asarray(vit.forward(params, jnp.asarray(images), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    assert (got.argmax(-1) == want.argmax(-1)).all()
+
+
+def test_missing_key_raises(hf_model):
+    hf_cfg, model = hf_model
+    cfg = config_from_hf(hf_cfg)
+    sd = dict(model.state_dict())
+    del sd["vit.layernorm.weight"]
+    with pytest.raises(KeyError):
+        params_from_hf_state_dict(sd, cfg)

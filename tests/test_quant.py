@@ -1,0 +1,96 @@
+"""W8A8 quantization tests: reference math, Pallas kernel parity, and
+end-to-end int8 model accuracy vs the fp path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_tpu.ops import quant
+from vit_tpu.ops import reference as R
+
+
+def test_weight_quantization_roundtrip(rng):
+    w = rng.normal(size=(64, 32)).astype(np.float32)
+    wq = quant.quantize_weight(w)
+    deq = np.asarray(wq.w_q, np.float32) * np.asarray(wq.scale)
+    # per-channel int8: relative error bounded by ~1/127 of channel absmax
+    err = np.abs(deq - w).max(0)
+    assert (err <= np.abs(w).max(0) / 127 + 1e-7).all()
+
+
+def test_activation_quantization_dynamic(rng):
+    x = rng.normal(size=(5, 16)).astype(np.float32) * 10
+    xq, s = quant.quantize_activations(x)
+    deq = np.asarray(xq, np.float32) * np.asarray(s)[:, None]
+    assert np.abs(deq - x).max() <= np.abs(x).max() / 127 + 1e-6
+
+
+def test_w8a8_linear_close_to_fp(rng):
+    x = rng.normal(size=(40, 96)).astype(np.float32)
+    w = rng.normal(size=(96, 64)).astype(np.float32) * 0.1
+    b = rng.normal(size=(64,)).astype(np.float32) * 0.1
+    wq = quant.quantize_weight(w)
+    got = np.asarray(quant.linear_w8a8(jnp.asarray(x), wq.w_q, wq.scale, b))
+    want = x @ w + b
+    # int8 noise: ~1% relative of output scale
+    assert np.abs(got - want).max() < 0.05 * np.abs(want).max() + 0.02
+
+
+def test_stacked_weight_quantization(rng):
+    w = rng.normal(size=(3, 32, 16)).astype(np.float32)
+    wq, s = quant.quantize_weight_stacked(w)
+    assert wq.shape == w.shape and wq.dtype == jnp.int8
+    assert s.shape == (3, 16)
+    deq = np.asarray(wq, np.float32) * np.asarray(s)[:, None, :]
+    assert np.abs(deq - w).max() < np.abs(w).max() / 100
+
+
+def test_quantize_params_structure(tiny_params):
+    qp = quant.quantize_params(tiny_params)
+    blocks = qp["blocks"]
+    for name in ("wqkv", "w1", "w2"):
+        assert blocks[name].dtype == jnp.int8
+        assert name + "_scale" in blocks
+    assert blocks["wo"].dtype != jnp.int8  # stays fp (fused with attention)
+
+
+def test_ln_qkv_q8_kernel_parity(tiny_cfg, tiny_params):
+    from vit_tpu.ops.pallas.quant_kernels import ln_qkv_q8
+
+    blk = jax.tree.map(lambda a: a[0], tiny_params["blocks"])
+    d = tiny_cfg.embed_dim
+    x = jax.random.normal(jax.random.key(0), (64, d), jnp.float32)
+    wq, ws = quant.quantize_weight_stacked(blk["wqkv"][None])
+    got = np.asarray(
+        ln_qkv_q8(x, blk["ln1_scale"], blk["ln1_bias"], wq[0], ws[0],
+                  blk["bqkv"], 1e-6, block_rows=32, interpret=True)
+    )
+    ln = R.layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], 1e-6)
+    want = np.asarray(quant.linear_w8a8(ln, wq[0], ws[0], blk["bqkv"]))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_full_model_quant_close_to_fp(tiny_cfg, tiny_params, tiny_images):
+    from vit_tpu.models import vit
+    from vit_tpu.ops.dispatch import get_ops
+
+    x = jnp.asarray(tiny_images)
+    fp = np.asarray(vit.forward(tiny_params, x, tiny_cfg, ops=get_ops("xla")))
+    qparams = quant.quantize_params(tiny_params)
+    q8 = np.asarray(vit.forward(qparams, x, tiny_cfg, ops=get_ops("quant")))
+    # int8 noise accumulates over layers; labels must survive, logits close
+    assert (fp.argmax(-1) == q8.argmax(-1)).all()
+    assert np.abs(fp - q8).max() < 0.15
+
+
+def test_engine_int8_path(tiny_cfg, tiny_params, tiny_images):
+    from vit_tpu.runtime import InferenceEngine
+
+    fp = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", ops="xla",
+                         batch_pad=4)
+    q8 = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", ops="quant",
+                         batch_pad=4)
+    lf, _ = fp.classify(tiny_images)
+    lq, _ = q8.classify(tiny_images)
+    assert (lf == lq).all()

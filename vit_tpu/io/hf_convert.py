@@ -1,0 +1,114 @@
+"""HuggingFace transformers ViT -> vit_tpu params converter.
+
+The reference ecosystem is torchvision-only; production users often hold
+HF ``ViTForImageClassification`` checkpoints instead.  HF's ViT stores
+separate Q/K/V projections (``attention.attention.query/key/value``) and
+different key names; this module merges them into this framework's packed
+(head, {q,k,v}, head_dim)-ordered QKV and maps the rest.
+
+Note: HF ViT interpolates no class-token quirks — its forward matches
+torchvision's for the same weights (pre-LN encoder, CLS head).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from vit_tpu.config import ViTConfig
+
+
+def _np(x) -> np.ndarray:
+    if isinstance(x, np.ndarray):
+        return x.astype(np.float32)
+    return x.detach().cpu().numpy().astype(np.float32)
+
+
+def params_from_hf_state_dict(
+    sd: Mapping[str, Any], cfg: ViTConfig, dtype=np.float32
+) -> Dict[str, Any]:
+    """HF ViTForImageClassification state dict -> vit_tpu params pytree."""
+    d, hd, nh, L = cfg.embed_dim, cfg.head_dim, cfg.num_heads, cfg.depth
+
+    def get(key):
+        if key not in sd:
+            raise KeyError(f"HF state dict missing {key!r}")
+        return _np(sd[key])
+
+    def pack_qkv(l):
+        """3 separate [D, D] (torch [out,in]) -> (D, 3D) packed
+        (head,{q,k,v},hd) columns; same for biases."""
+        prefix = f"vit.encoder.layer.{l}.attention.attention"
+        mats = [get(f"{prefix}.{n}.weight") for n in ("query", "key", "value")]
+        biases = [get(f"{prefix}.{n}.bias") for n in ("query", "key", "value")]
+        # torch [out,in] -> [in,out]; stack as (in, H, 3, hd) -> (in, 3D)
+        w = np.stack([m.T.reshape(d, nh, hd) for m in mats], axis=2)  # (D,H,3,hd)
+        b = np.stack([x.reshape(nh, hd) for x in biases], axis=1)  # (H,3,hd)
+        return w.reshape(d, 3 * d), b.reshape(3 * d)
+
+    wqkv, bqkv, blocks = [], [], {}
+    layer = lambda l, k: f"vit.encoder.layer.{l}.{k}"
+    stack = lambda fn: np.stack([fn(l) for l in range(L)])
+
+    params = {
+        "cls_token": get("vit.embeddings.cls_token").reshape(d),
+        "patch_embed": {
+            "kernel": get("vit.embeddings.patch_embeddings.projection.weight")
+            .reshape(d, cfg.patch_dim)
+            .T.copy(),
+            "bias": get("vit.embeddings.patch_embeddings.projection.bias"),
+        },
+        "pos_embed": get("vit.embeddings.position_embeddings").reshape(
+            cfg.seq_len, d
+        ),
+        "blocks": {
+            "ln1_scale": stack(lambda l: get(layer(l, "layernorm_before.weight"))),
+            "ln1_bias": stack(lambda l: get(layer(l, "layernorm_before.bias"))),
+            "wqkv": stack(lambda l: pack_qkv(l)[0]),
+            "bqkv": stack(lambda l: pack_qkv(l)[1]),
+            "wo": stack(
+                lambda l: get(layer(l, "attention.output.dense.weight")).T.copy()
+            ),
+            "bo": stack(lambda l: get(layer(l, "attention.output.dense.bias"))),
+            "ln2_scale": stack(lambda l: get(layer(l, "layernorm_after.weight"))),
+            "ln2_bias": stack(lambda l: get(layer(l, "layernorm_after.bias"))),
+            "w1": stack(lambda l: get(layer(l, "intermediate.dense.weight")).T.copy()),
+            "b1": stack(lambda l: get(layer(l, "intermediate.dense.bias"))),
+            "w2": stack(lambda l: get(layer(l, "output.dense.weight")).T.copy()),
+            "b2": stack(lambda l: get(layer(l, "output.dense.bias"))),
+        },
+        "ln_final": {
+            "scale": get("vit.layernorm.weight"),
+            "bias": get("vit.layernorm.bias"),
+        },
+        "head": {
+            "kernel": get("classifier.weight").T.copy(),
+            "bias": get("classifier.bias"),
+        },
+    }
+    if dtype is not np.float32:
+        params = _cast(params, dtype)
+    return params
+
+
+def config_from_hf(hf_config) -> ViTConfig:
+    """Map a transformers ViTConfig to a vit_tpu ViTConfig."""
+    return ViTConfig(
+        image_size=hf_config.image_size,
+        patch_size=hf_config.patch_size,
+        in_channels=hf_config.num_channels,
+        num_classes=getattr(hf_config, "num_labels", 1000) or 1000,
+        embed_dim=hf_config.hidden_size,
+        depth=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        mlp_ratio=hf_config.intermediate_size / hf_config.hidden_size,
+        layernorm_eps=hf_config.layer_norm_eps,
+        name=f"hf_vit_{hf_config.hidden_size}_{hf_config.patch_size}",
+    )
+
+
+def _cast(node, dtype):
+    if isinstance(node, dict):
+        return {k: _cast(v, dtype) for k, v in node.items()}
+    return node.astype(dtype)

@@ -58,6 +58,10 @@ def get_ops(impl: str = "xla") -> OpsImpl:
         from vit_tpu.ops import pallas
 
         return pallas.FUSED_OPS
+    if impl == "quant":
+        from vit_tpu.ops import pallas
+
+        return pallas.QUANT_OPS
     raise ValueError(
-        f"unknown ops impl {impl!r}; expected 'xla', 'pallas', or 'fused'"
+        f"unknown ops impl {impl!r}; expected 'xla', 'pallas', 'fused', or 'quant'"
     )

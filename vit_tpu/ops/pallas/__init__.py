@@ -52,13 +52,27 @@ FUSED_OPS = OpsImpl(
     encoder_block=fused_encoder_block,
 )
 
+# W8A8 path: int8 QKV/MLP GEMMs (2x MXU rate on v5e), bf16 attention core.
+from vit_tpu.ops.pallas.quant_kernels import fused_encoder_block_q8
+
+QUANT_OPS = OpsImpl(
+    name="quant",
+    layer_norm=layer_norm,
+    attention=attention,
+    mlp=mlp,
+    patch_embed=reference.patch_embed,
+    encoder_block=fused_encoder_block_q8,
+)
+
 __all__ = [
     "PALLAS_OPS",
     "FUSED_OPS",
+    "QUANT_OPS",
     "layer_norm",
     "attention",
     "mlp",
     "fused_encoder_block",
+    "fused_encoder_block_q8",
     "flash_attention",
     "interpret_default",
 ]

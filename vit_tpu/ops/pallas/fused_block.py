@@ -32,6 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vit_tpu.ops.pallas.mlp_kernel import _erf
 
+# v5e default scoped-VMEM limit is 16 MB; larger configs (L/16: W1+W2 =
+# 16.8 MB bf16 resident) need it raised.  64 MB verified working on-chip.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
 
 def _ln(x, scale, bias, eps):
     xf = x.astype(jnp.float32)
@@ -76,6 +80,7 @@ def ln_qkv(x2d, ln_scale, ln_bias, wqkv, bqkv, eps, block_rows=256, interpret=Fa
             (block_rows, d3), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((rows, d3), x2d.dtype),
+        compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * d * d3,
             bytes_accessed=(rows * d + d * d3 + rows * d3) * x2d.dtype.itemsize,
@@ -144,6 +149,7 @@ def attn_out_residual(
         ),
         out_shape=jax.ShapeDtypeStruct((b, seq_len, d), x2d.dtype),
         scratch_shapes=[pltpu.VMEM((seq_len, d), x2d.dtype)],
+        compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=b * (4 * seq_len * seq_len * d + 2 * seq_len * d * d),
             bytes_accessed=(rows * d3 + 3 * rows * d) * x2d.dtype.itemsize,
@@ -191,6 +197,7 @@ def ln_mlp_residual(
             (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((rows, d), x2d.dtype),
+        compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=4 * rows * d * f,
             bytes_accessed=(2 * rows * d + 2 * d * f) * x2d.dtype.itemsize,

@@ -1,0 +1,178 @@
+"""W8A8 fused Pallas kernels (int8 weights, dynamic int8 activations).
+
+v5e's MXU runs int8 x int8 -> int32 at twice the bf16 rate, so the two
+big GEMM groups (QKV projection, MLP) get int8 twins of the fused-block
+kernels: LN and GELU stay fp32 on the VPU, activations are quantized
+per-row on the fly inside the kernel, and the int32 accumulator is
+dequantized with the rank-1 scale product before the epilogue.  Attention
+(small FLOP share, accuracy-sensitive) stays bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_tpu.ops.pallas.fused_block import _gelu, _ln
+
+
+def _quant_rows(h):
+    """fp32 (M, K) -> int8 values + fp32 (M, 1) scales (symmetric per-row)."""
+    absmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(h / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _ln_qkv_q8_kernel(x_ref, s_ref, b_ref, wq_ref, ws_ref, bias_ref, out_ref, *, eps):
+    h = _ln(x_ref[:], s_ref[:], b_ref[:], eps)  # fp32
+    hq, hs = _quant_rows(h)
+    acc = jax.lax.dot_general(
+        hq, wq_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = acc.astype(jnp.float32) * hs * ws_ref[:].astype(jnp.float32)
+    out_ref[:] = (out + bias_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def ln_qkv_q8(
+    x2d, ln_scale, ln_bias, wq, w_scale, bqkv, eps, block_rows=256, interpret=False
+):
+    rows, d = x2d.shape
+    d3 = wq.shape[-1]
+    block_rows = min(block_rows, rows)
+    return pl.pallas_call(
+        functools.partial(_ln_qkv_q8_kernel, eps=eps),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, d3), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, d3), x2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * d * d3,
+            bytes_accessed=rows * d * 2 + d * d3 + rows * d3 * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        x2d,
+        ln_scale.reshape(1, d),
+        ln_bias.reshape(1, d),
+        wq,
+        w_scale.reshape(1, d3),
+        bqkv.reshape(1, d3),
+    )
+
+
+def _ln_mlp_q8_kernel(
+    x_ref, s_ref, b_ref, w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref,
+    out_ref, *, eps, variant
+):
+    h = _ln(x_ref[:], s_ref[:], b_ref[:], eps)
+    hq, hs = _quant_rows(h)
+    acc1 = jax.lax.dot_general(
+        hq, w1q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    mid = acc1.astype(jnp.float32) * hs * w1s_ref[:].astype(jnp.float32)
+    mid = _gelu(mid + b1_ref[:].astype(jnp.float32), variant)
+    mq, ms = _quant_rows(mid)
+    acc2 = jax.lax.dot_general(
+        mq, w2q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = acc2.astype(jnp.float32) * ms * w2s_ref[:].astype(jnp.float32)
+    out = out + b2_ref[:].astype(jnp.float32) + x_ref[:].astype(jnp.float32)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def ln_mlp_residual_q8(
+    x2d, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2, eps,
+    gelu_variant="exact", block_rows=128, interpret=False,
+):
+    rows, d = x2d.shape
+    f = w1q.shape[-1]
+    block_rows = min(block_rows, rows)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_q8_kernel, eps=eps, variant=gelu_variant),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x2d.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * d * f,
+            bytes_accessed=rows * d * 4 + 2 * d * f,
+            transcendentals=rows * f,
+        ),
+        interpret=interpret,
+    )(
+        x2d,
+        ln_scale.reshape(1, d),
+        ln_bias.reshape(1, d),
+        w1q,
+        w1s.reshape(1, f),
+        b1.reshape(1, f),
+        w2q,
+        w2s.reshape(1, d),
+        b2.reshape(1, d),
+    )
+
+
+def fused_encoder_block_q8(
+    x2d: jax.Array,
+    blk,
+    num_heads: int,
+    seq_len: int,
+    eps: float,
+    gelu_variant: str = "exact",
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Pre-LN encoder block with int8 QKV + MLP GEMMs; bf16 attention core.
+
+    ``blk`` carries int8 ``wqkv``/``w1``/``w2`` with ``*_scale`` fp32
+    companions (vit_tpu.ops.quant.quantize_params); ``wo`` stays fp
+    (out_proj is fused with the attention kernel).
+    """
+    if interpret is None:
+        from vit_tpu.ops.pallas import interpret_default
+
+        interpret = interpret_default()
+    from vit_tpu.ops.pallas.fused_block import attn_out_residual, ln_mlp_residual
+
+    qkv = ln_qkv_q8(
+        x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["wqkv_scale"],
+        blk["bqkv"], eps, interpret=interpret,
+    )
+    x2d = attn_out_residual(
+        qkv, x2d, blk["wo"], blk["bo"], num_heads, seq_len, interpret=interpret
+    )
+    return ln_mlp_residual_q8(
+        x2d, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["w1_scale"],
+        blk["b1"], blk["w2"], blk["w2_scale"], blk["b2"], eps, gelu_variant,
+        interpret=interpret,
+    )

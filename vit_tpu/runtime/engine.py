@@ -60,7 +60,15 @@ class InferenceEngine:
         self._ops = get_ops(ops)
 
         params = jax.tree.map(jnp.asarray, params)
-        params = vit.cast_params(params, self.compute_dtype)
+        if ops == "quant":
+            from vit_tpu.ops import quant
+
+            # quantize the big GEMM weights from full precision, then cast
+            # the remaining fp leaves (int8 weights + fp32 scales untouched)
+            params = quant.quantize_params(params)
+            params = quant.cast_quantized_params(params, self.compute_dtype)
+        else:
+            params = vit.cast_params(params, self.compute_dtype)
         if mesh is not None:
             params = jax.device_put(params, param_shardings(mesh, params))
         else:
