@@ -74,6 +74,29 @@ def main() -> None:
     #               — their first-use compile otherwise lands inside the timing)
     dt = timed_pass(50)
 
+    # Also time the W8A8 int8 path (2x MXU rate; labels preserved, slightly
+    # looser logits) — reported alongside, headline stays the parity-gated
+    # bf16 fused path.
+    int8_img_per_sec = None
+    if ops_impl == "fused":
+        try:
+            q_engine = InferenceEngine(cfg, params, dtype="bfloat16", ops="quant",
+                                       batch_pad=batch)
+            xq, _ = q_engine._stage(images)
+
+            def q_pass(iters):
+                acc = jnp.zeros((), jnp.float32)
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    acc = acc + jnp.sum(q_engine._forward(q_engine.params, xq))
+                float(acc)
+                return (time.perf_counter() - t0) / iters
+
+            q_pass(3)
+            int8_img_per_sec = round(batch / q_pass(50), 2)
+        except Exception:
+            pass
+
     stats = roofline(cfg, batch, dt, chip="v5e", dtype="bf16")
 
     # Correctness: bf16 fast path vs independent NumPy fp64 oracle, 4 images.
@@ -100,6 +123,7 @@ def main() -> None:
         "fp32_max_logit_dev_vs_oracle": fp32_dev,
         "bf16_max_logit_dev_vs_oracle": bf16_logit_dev,
         "bf16_label_match_vs_oracle": label_match,
+        "int8_images_per_sec": int8_img_per_sec,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -48,3 +48,19 @@ def test_engine_gelu_variants_diverge_slightly(tiny_cfg, tiny_params, tiny_image
     la = np.asarray(a.logits(tiny_images))
     lb = np.asarray(b.logits(tiny_images))
     assert 0 < np.abs(la - lb).max() < 0.05
+
+
+def test_phase_report(tiny_cfg, tiny_params, tiny_images):
+    engine = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", batch_pad=4)
+    report = engine.phase_report(tiny_images, iters=1)
+    for phase in ("patch_embed+pos", "attention", "mlp", "final_ln+head"):
+        assert phase in report
+
+
+def test_phase_report_rejects_quant(tiny_cfg, tiny_params, tiny_images):
+    import pytest as _pytest
+
+    engine = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", ops="quant",
+                             batch_pad=4)
+    with _pytest.raises(NotImplementedError):
+        engine.phase_report(tiny_images)

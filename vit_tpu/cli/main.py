@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--labels", help="label names: text file or C source array")
     p.add_argument("--top", type=int, default=1, help="print top-K classes per image")
     p.add_argument("--json", action="store_true", help="machine-readable summary")
+    p.add_argument(
+        "--profile",
+        action="store_true",
+        help="print a per-phase timing breakdown (reference's per-encoder "
+        "printfs, ViT_opencl.c:745-779, done as an aggregate report)",
+    )
     return p
 
 
@@ -134,6 +140,9 @@ def main(argv=None) -> int:
         for m in mismatches:
             print(f"MISMATCH {m}", file=sys.stderr)
         print(f"comparator: {n_errors} error(s) over {len(want) if args.compare_count is None else args.compare_count} line(s)")
+
+    if args.profile:
+        print(engine.phase_report(images))
 
     print(
         f"model: {cfg.name}  images: {len(pred)}  ops: {ops}  dtype: {args.dtype}  "

@@ -122,6 +122,65 @@ class InferenceEngine:
             x = jax.device_put(x, self._input_sharding)
         return x, n
 
+    def phase_report(self, images, iters: int = 3) -> str:
+        """Per-phase timing breakdown (patch embed, each encoder phase,
+        head), the reference's per-encoder printf profiling done right
+        (ViT_opencl.c:745-779 / PhaseTimer).  Runs the unfused op path so
+        phases are separable; use bench.py for end-to-end numbers."""
+        import jax
+
+        from vit_tpu.ops import reference as R
+        from vit_tpu.runtime.profiler import PhaseTimer
+
+        if self._ops.name == "quant":
+            raise NotImplementedError(
+                "phase_report needs separable fp ops; use ops='xla'/'pallas'/'fused'"
+            )
+        timer = PhaseTimer()
+        cfg = self.cfg
+        x, _ = self._stage(images)
+        p = self.params
+
+        def sync(v):
+            jax.block_until_ready(v)
+            return v
+
+        for _ in range(iters):
+            with timer.phase("patch_embed+pos"):
+                h = sync(
+                    R.add_cls_and_pos(
+                        self._ops.patch_embed(
+                            x, p["patch_embed"]["kernel"], p["patch_embed"]["bias"],
+                            cfg.patch_size,
+                        ),
+                        p["cls_token"],
+                        p["pos_embed"],
+                    )
+                )
+            for l in range(cfg.depth):
+                blk = jax.tree.map(lambda a: a[l], p["blocks"])
+                with timer.phase(f"layer_norm x2"):
+                    ln1 = sync(R.layer_norm(h, blk["ln1_scale"], blk["ln1_bias"],
+                                            cfg.layernorm_eps))
+                with timer.phase("attention"):
+                    a = sync(self._ops.attention(
+                        ln1, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"],
+                        cfg.num_heads,
+                    ))
+                h = h + a
+                with timer.phase(f"layer_norm x2"):
+                    ln2 = sync(R.layer_norm(h, blk["ln2_scale"], blk["ln2_bias"],
+                                            cfg.layernorm_eps))
+                with timer.phase("mlp"):
+                    m = sync(self._ops.mlp(ln2, blk["w1"], blk["b1"], blk["w2"],
+                                           blk["b2"]))
+                h = h + m
+            with timer.phase("final_ln+head"):
+                hn = R.layer_norm(h, p["ln_final"]["scale"], p["ln_final"]["bias"],
+                                  cfg.layernorm_eps)
+                sync(R.linear(hn[..., 0, :], p["head"]["kernel"], p["head"]["bias"]))
+        return timer.report()
+
     def compiled_text(self, batch: int) -> str:
         """Lowered-HLO dump for inspection/debugging."""
         shape = (batch, self.cfg.in_channels, self.cfg.image_size, self.cfg.image_size)
