@@ -14,7 +14,6 @@ arbitrary resolution (e.g. the 577-token @384 configs in BASELINE.json).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

@@ -9,35 +9,16 @@ for sharded/async multi-host checkpoints when available.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict
+from typing import Any
 
 import numpy as np
 
-
-def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
-    out: Dict[str, np.ndarray] = {}
-    if isinstance(tree, dict):
-        for k, v in sorted(tree.items()):
-            out.update(_flatten(v, f"{prefix}{k}/"))
-    else:
-        out[prefix[:-1]] = np.asarray(tree)
-    return out
-
-
-def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
-    tree: Dict[str, Any] = {}
-    for path, value in flat.items():
-        node = tree
-        parts = path.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = value
-    return tree
+from vit_tpu.utils import flatten_tree, unflatten_tree
 
 
 def save_npz(tree: Any, path) -> None:
     """Save a (possibly nested-dict) pytree of arrays to one .npz file."""
-    flat = _flatten(tree)
+    flat = {k: np.asarray(v) for k, v in flatten_tree(tree).items()}
     np.savez(path, **flat)
 
 
@@ -45,7 +26,7 @@ def load_npz(path, dtype=None) -> Any:
     """Load a .npz checkpoint back into the nested-dict pytree."""
     with np.load(path) as z:
         flat = {k: (z[k].astype(dtype) if dtype else z[k]) for k in z.files}
-    return _unflatten(flat)
+    return unflatten_tree(flat)
 
 
 def save_orbax(tree: Any, path) -> None:

@@ -88,7 +88,9 @@ def params_from_hf_state_dict(
         },
     }
     if dtype is not np.float32:
-        params = _cast(params, dtype)
+        from vit_tpu.utils import cast_tree
+
+        params = cast_tree(params, dtype)
     return params
 
 
@@ -107,8 +109,3 @@ def config_from_hf(hf_config) -> ViTConfig:
         name=f"hf_vit_{hf_config.hidden_size}_{hf_config.patch_size}",
     )
 
-
-def _cast(node, dtype):
-    if isinstance(node, dict):
-        return {k: _cast(v, dtype) for k, v in node.items()}
-    return node.astype(dtype)

@@ -13,7 +13,6 @@ so a seeded synthetic generator fills in for tests/benchmarks.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Tuple
 
 import numpy as np
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import re
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -251,7 +251,9 @@ def params_from_tensors(
         "head": {"kernel": t(base_final + 2).T.copy(), "bias": t(base_final + 3)},
     }
     if dtype is not np.float32:
-        params = _cast_tree(params, dtype)
+        from vit_tpu.utils import cast_tree
+
+        params = cast_tree(params, dtype)
     return params
 
 
@@ -283,8 +285,3 @@ def save_reference_weights(
         path = weight_dir / f"Weight_{idx}_{names[idx]}.bin"
         np.asarray(arr, dtype="<f4").tofile(path)
 
-
-def _cast_tree(node, dtype):
-    if isinstance(node, dict):
-        return {k: _cast_tree(v, dtype) for k, v in node.items()}
-    return node.astype(dtype)

@@ -22,7 +22,7 @@ needed (the reference's only transport is PCIe staging, ViT_opencl.c:173).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

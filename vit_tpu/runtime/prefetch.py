@@ -15,7 +15,6 @@ Usage::
 
 from __future__ import annotations
 
-import collections
 import queue
 import threading
 from typing import Any, Iterable, Iterator, Optional

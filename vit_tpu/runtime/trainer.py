@@ -9,8 +9,7 @@ shardings (scaling-book recipe — no hand-written communication).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
