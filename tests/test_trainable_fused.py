@@ -1,0 +1,108 @@
+"""Trainable fused path: forward = Pallas kernels, backward = reference
+formulation.  Gradients must match the pure-xla path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vit_tpu.models import vit
+from vit_tpu.ops.dispatch import get_ops
+from vit_tpu.runtime import trainer
+
+
+def test_fused_train_forward_matches_xla(tiny_cfg, tiny_params, tiny_images):
+    x = jnp.asarray(tiny_images)
+    a = np.asarray(vit.forward(tiny_params, x, tiny_cfg, ops=get_ops("xla")))
+    b = np.asarray(vit.forward(tiny_params, x, tiny_cfg, ops=get_ops("fused_train")))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_fused_train_grads_match_xla(tiny_cfg, tiny_params, tiny_images):
+    x = jnp.asarray(tiny_images)
+    labels = jnp.arange(len(tiny_images)) % tiny_cfg.num_classes
+
+    def loss_fn(ops_name):
+        def f(params):
+            logits = vit.forward(params, x, tiny_cfg, ops=get_ops(ops_name))
+            return trainer.cross_entropy_loss(logits, labels)
+
+        return f
+
+    la, ga = jax.value_and_grad(loss_fn("xla"))(tiny_params)
+    lb, gb = jax.value_and_grad(loss_fn("fused_train"))(tiny_params)
+    assert abs(float(la) - float(lb)) < 1e-5
+    for pa, pb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=5e-4)
+
+
+def test_train_step_with_fused_ops(tiny_cfg):
+    optimizer = optax.sgd(0.1)
+    params, opt_state = trainer.init_train_state(jax.random.key(0), tiny_cfg, optimizer)
+    step = jax.jit(
+        trainer.make_train_step(tiny_cfg, optimizer, ops=get_ops("fused_train"),
+                                remat=False)
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(4, 3, tiny_cfg.image_size, tiny_cfg.image_size)), jnp.float32
+    )
+    labels = jnp.asarray(rng.integers(0, tiny_cfg.num_classes, 4), jnp.int32)
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, images, labels)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_dropout_training(tiny_cfg, tiny_params, tiny_images):
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg, dropout=0.2)
+    x = jnp.asarray(tiny_images)
+    rng = jax.random.key(0)
+    # deterministic (no rng): dropout off
+    a = np.asarray(vit.forward(tiny_params, x, cfg))
+    b = np.asarray(vit.forward(tiny_params, x, cfg))
+    np.testing.assert_array_equal(a, b)
+    # training mode: stochastic, different keys differ
+    c = np.asarray(vit.forward(tiny_params, x, cfg, dropout_rng=rng))
+    d = np.asarray(vit.forward(tiny_params, x, cfg, dropout_rng=jax.random.key(1)))
+    assert np.abs(c - d).max() > 0
+    # same key reproduces
+    e = np.asarray(vit.forward(tiny_params, x, cfg, dropout_rng=rng))
+    np.testing.assert_array_equal(c, e)
+
+
+def test_dropout_train_step(tiny_cfg):
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg, dropout=0.1)
+    optimizer = optax.sgd(0.05)
+    params, opt_state = trainer.init_train_state(jax.random.key(0), cfg, optimizer)
+    step = jax.jit(
+        trainer.make_train_step(cfg, optimizer, remat=False, use_dropout=True)
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(4, 3, cfg.image_size, cfg.image_size)), jnp.float32
+    )
+    labels = jnp.asarray(rng.integers(0, cfg.num_classes, 4), jnp.int32)
+    for i in range(3):
+        params, opt_state, loss = step(
+            params, opt_state, images, labels, jax.random.key(i)
+        )
+        assert np.isfinite(float(loss))
+
+
+def test_dropout_rejected_on_fused_path(tiny_cfg, tiny_params, tiny_images):
+    import dataclasses
+    import pytest as _pytest
+
+    cfg = dataclasses.replace(tiny_cfg, dropout=0.1)
+    with _pytest.raises(ValueError, match="dropout"):
+        vit.forward(
+            tiny_params, jnp.asarray(tiny_images), cfg,
+            ops=get_ops("fused"), dropout_rng=jax.random.key(0),
+        )

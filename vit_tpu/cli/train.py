@@ -27,6 +27,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=0.05)
+    p.add_argument(
+        "--schedule",
+        default="constant",
+        choices=["constant", "warmup_cosine"],
+        help="learning-rate schedule (warmup = 10%% of steps)",
+    )
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--dp", type=int, default=None, help="data-parallel size")
     p.add_argument("--input", help="input-100.bin-format images (else synthetic)")
@@ -67,7 +73,13 @@ def main(argv=None) -> int:
     mesh = make_mesh(mesh_axes, jax.devices()[: mesh_axes["dp"] * mesh_axes["tp"]])
     print(f"mesh: {mesh_axes} over {n_dev} device(s), backend={jax.default_backend()}")
 
-    optimizer = optax.adamw(args.lr, weight_decay=args.weight_decay)
+    if args.schedule == "warmup_cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, max(args.steps // 10, 1), args.steps
+        )
+    else:
+        lr = args.lr
+    optimizer = optax.adamw(lr, weight_decay=args.weight_decay)
     if args.init_weights:
         params = wio.load_reference_weights(
             args.init_weights, cfg, allow_synth=args.allow_synth_weights

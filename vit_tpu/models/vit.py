@@ -37,7 +37,7 @@ see vit_tpu.io.weights for the mapping from torchvision's 152-tensor layout):
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,16 +55,33 @@ def encoder_block(
     cfg: ViTConfig,
     ops: OpsImpl = REFERENCE_OPS,
     gelu_variant: str = "exact",
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """One pre-LN encoder block: LN1→MHA→residual; LN2→MLP→residual
-    (Encoder, ViT_seq.c:271-302)."""
+    (Encoder, ViT_seq.c:271-302).
+
+    ``dropout_rng``: when given and cfg.dropout > 0, applies dropout after
+    the attention and MLP sublayers (torchvision's training placement; the
+    reference hard-codes all dropouts to 0, ViT_seq.c:10-21, so inference
+    parity is unaffected).
+    """
     h = ops.layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps)
     h = ops.attention(h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"], cfg.num_heads)
+    if dropout_rng is not None and cfg.dropout > 0:
+        k1, k2 = jax.random.split(dropout_rng)
+        h = _dropout(h, cfg.dropout, k1)
     x = x + h
     h = ops.layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps)
     h = ops.mlp(x=h, w1=blk["w1"], b1=blk["b1"], w2=blk["w2"], b2=blk["b2"],
                 gelu_variant=gelu_variant)
+    if dropout_rng is not None and cfg.dropout > 0:
+        h = _dropout(h, cfg.dropout, k2)
     return x + h
+
+
+def _dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
 
 
 def forward(
@@ -74,6 +91,7 @@ def forward(
     ops: OpsImpl = REFERENCE_OPS,
     gelu_variant: str = "exact",
     unroll_layers: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full forward pass: images (B, C, H, W) -> logits (B, num_classes).
 
@@ -81,7 +99,13 @@ def forward(
     depth x encoder → final LN → CLS row → head linear.  Softmax is left to
     the caller (vit_tpu.ops.reference.softmax) like the reference separates
     `Softmax` (ViT_seq.c:304).
+
+    ``dropout_rng`` enables training-mode dropout (per-layer keys split
+    here); unsupported on the fused megakernel paths — train with 'xla' or
+    'fused_train' ops.
     """
+    if dropout_rng is not None and ops.encoder_block is not None:
+        raise ValueError("dropout requires the unfused block path (ops='xla')")
     compute_dtype = params["pos_embed"].dtype
     x = images.astype(compute_dtype)
     x = ops.patch_embed(
@@ -114,9 +138,23 @@ def forward(
             x2, _ = jax.lax.scan(body, x2, blocks)
         x = x2.reshape(*lead, t, d)
     elif unroll_layers:
+        keys = (
+            jax.random.split(dropout_rng, cfg.depth) if dropout_rng is not None else None
+        )
         for l in range(cfg.depth):
             blk = jax.tree.map(lambda a: a[l], blocks)
-            x = encoder_block(x, blk, cfg, ops, gelu_variant)
+            x = encoder_block(
+                x, blk, cfg, ops, gelu_variant,
+                keys[l] if keys is not None else None,
+            )
+    elif dropout_rng is not None:
+        keys = jax.random.split(dropout_rng, cfg.depth)
+
+        def body(carry, xs):
+            blk, key = xs
+            return encoder_block(carry, blk, cfg, ops, gelu_variant, key), None
+
+        x, _ = jax.lax.scan(body, x, (blocks, keys))
     else:
         def body(carry, blk):
             return encoder_block(carry, blk, cfg, ops, gelu_variant), None

@@ -62,6 +62,11 @@ def get_ops(impl: str = "xla") -> OpsImpl:
         from vit_tpu.ops import pallas
 
         return pallas.QUANT_OPS
+    if impl == "fused_train":
+        from vit_tpu.ops import pallas
+
+        return pallas.TRAINABLE_FUSED_OPS
     raise ValueError(
-        f"unknown ops impl {impl!r}; expected 'xla', 'pallas', 'fused', or 'quant'"
+        f"unknown ops impl {impl!r}; expected 'xla', 'pallas', 'fused', "
+        "'fused_train', or 'quant'"
     )

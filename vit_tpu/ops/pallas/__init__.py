@@ -52,6 +52,21 @@ FUSED_OPS = OpsImpl(
     encoder_block=fused_encoder_block,
 )
 
+# Trainable fused path: Pallas forward, reference-formulation backward
+# (pallas_call has no auto-VJP; recompute doubles as remat).
+from vit_tpu.ops.pallas.trainable import fused_encoder_block_trainable
+
+# Ops outside the encoder blocks (final LN, etc.) must stay differentiable
+# jnp — only the block megakernel carries the custom VJP.
+TRAINABLE_FUSED_OPS = OpsImpl(
+    name="fused_train",
+    layer_norm=reference.layer_norm,
+    attention=reference.attention,
+    mlp=reference.mlp,
+    patch_embed=reference.patch_embed,
+    encoder_block=fused_encoder_block_trainable,
+)
+
 # W8A8 path: int8 QKV/MLP GEMMs (2x MXU rate on v5e), bf16 attention core.
 from vit_tpu.ops.pallas.quant_kernels import fused_encoder_block_q8
 
@@ -68,6 +83,7 @@ __all__ = [
     "PALLAS_OPS",
     "FUSED_OPS",
     "QUANT_OPS",
+    "TRAINABLE_FUSED_OPS",
     "layer_norm",
     "attention",
     "mlp",

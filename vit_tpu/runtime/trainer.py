@@ -32,26 +32,41 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     ops: OpsImpl = REFERENCE_OPS,
     remat: bool = True,
+    use_dropout: bool = False,
 ):
-    """Build ``(params, opt_state, images, labels) -> (params, opt_state, loss)``.
+    """Build ``(params, opt_state, images, labels[, rng]) -> (params,
+    opt_state, loss)``.
 
     ``remat`` wraps the forward in jax.checkpoint so activations are
     rematerialized in the backward pass (HBM for FLOPs — the standard TPU
-    memory trade).
+    memory trade).  ``use_dropout`` adds a per-step rng argument and applies
+    cfg.dropout inside the blocks (requires the unfused op path).
     """
 
-    def loss_fn(params, images, labels):
-        fwd = vit.logits_fn(cfg, ops)
+    def loss_fn(params, images, labels, rng=None):
+        def fwd(p, x):
+            return vit.forward(p, x, cfg, ops, dropout_rng=rng)
+
         if remat:
             fwd = jax.checkpoint(fwd)
         logits = fwd(params, images)
         return cross_entropy_loss(logits, labels)
 
-    def train_step(params, opt_state, images, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    if use_dropout:
+
+        def train_step(params, opt_state, images, labels, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, images, labels, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+    else:
+
+        def train_step(params, opt_state, images, labels):
+            loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
 
     return train_step
 
