@@ -14,24 +14,30 @@ oracle (north-star gate: < 1e-3) on a small sub-batch.
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 
-def main() -> None:
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="vit_b_16", help="config name")
+    ap.add_argument("--batch", type=int, default=100)
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
-    from vit_tpu.config import VIT_B_16
+    from vit_tpu.config import get_config
     from vit_tpu.io import load_reference_weights, synth_images, weights as wio
     from vit_tpu.models import oracle
     from vit_tpu.runtime import InferenceEngine
     from vit_tpu.runtime.profiler import roofline
 
-    cfg = VIT_B_16
-    batch = 100
+    cfg = get_config(args.model)
+    batch = args.batch
     ops_impl = "xla"
     if jax.default_backend() == "tpu":
         try:
@@ -42,11 +48,14 @@ def main() -> None:
         except ImportError:
             pass
 
-    try:
-        params = load_reference_weights(
-            "/root/reference/Network", cfg, allow_synth=True
-        )
-    except (FileNotFoundError, OSError):
+    if cfg.name == "vit_b_16":
+        try:
+            params = load_reference_weights(
+                "/root/reference/Network", cfg, allow_synth=True
+            )
+        except (FileNotFoundError, OSError, ValueError):
+            params = wio.params_from_tensors(wio.synth_reference_tensors(cfg, 0), cfg)
+    else:
         params = wio.params_from_tensors(wio.synth_reference_tensors(cfg, 0), cfg)
 
     images = synth_images(batch, cfg, seed=0)
@@ -112,7 +121,7 @@ def main() -> None:
     fp32_dev = float(np.abs(np.asarray(fp32_engine.logits(sub)) - want).max())
 
     result = {
-        "metric": "images/sec/chip, ViT-B/16 @224 batch=100",
+        "metric": f"images/sec/chip, {cfg.name} @{cfg.image_size} batch={batch}",
         "value": round(stats["images_per_sec_per_chip"], 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(stats["mxu_utilization"] / 0.50, 4),
