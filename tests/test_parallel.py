@@ -143,3 +143,22 @@ def test_mesh_shape_for():
     assert mesh_shape_for(8) == {"dp": 8, "tp": 1}
     with pytest.raises(ValueError):
         mesh_shape_for(8, tp=3)
+
+
+def test_fused_dp_shard_map_matches_single_device(tiny_cfg, tiny_params, tiny_images):
+    # Pallas kernels can't be GSPMD-sharded; the engine runs them per-shard
+    # via shard_map over a dp-only mesh. Results must match single-device.
+    mesh = make_mesh({"dp": 4}, jax.devices()[:4])
+    single = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", ops="fused",
+                             batch_pad=4)
+    sharded = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", ops="fused",
+                              mesh=mesh, batch_pad=4)
+    a = np.asarray(single.logits(tiny_images))
+    b = np.asarray(sharded.logits(tiny_images))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_kernel_paths_reject_tp_mesh(tiny_cfg, tiny_params):
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    with pytest.raises(ValueError, match="tensor-parallel"):
+        InferenceEngine(tiny_cfg, tiny_params, ops="fused", mesh=mesh)

@@ -59,3 +59,25 @@ def test_prefetch_overlaps_compute():
     data = (np.full((8, 8), i, np.float32) for i in range(5))
     total = sum(float(f(x)) for x in prefetch_to_device(data, size=3))
     assert total == sum(i * 64 for i in range(5))
+
+
+def test_prefetch_early_exit_releases_producer():
+    import threading
+    import time as _time
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield np.full((2, 2), i, np.float32)
+
+    before = threading.active_count()
+    it = prefetch_to_device(gen(), size=2)
+    next(it)
+    it.close()  # consumer abandons the generator
+    deadline = _time.time() + 5
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before  # producer thread exited
+    assert len(produced) < 100  # and it did not drain the whole iterator

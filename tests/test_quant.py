@@ -94,3 +94,43 @@ def test_engine_int8_path(tiny_cfg, tiny_params, tiny_images):
     lf, _ = fp.classify(tiny_images)
     lq, _ = q8.classify(tiny_images)
     assert (lf == lq).all()
+
+
+def test_quant_params_shard_on_mesh(tiny_cfg, tiny_params):
+    import jax as _jax
+    import pytest as _pytest
+
+    if _jax.device_count() < 8:
+        _pytest.skip("needs 8 virtual devices")
+    from vit_tpu.parallel import make_mesh, shard_params
+
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    qp = quant.quantize_params(tiny_params)
+    sharded = shard_params(_jax.tree.map(jnp.asarray, qp), mesh)
+    # quant scales shard with their weight's output axis
+    assert sharded["blocks"]["wqkv_scale"].sharding.spec == _jax.sharding.PartitionSpec(None, "tp")
+    assert sharded["blocks"]["w2_scale"].sharding.is_fully_replicated
+    assert sharded["blocks"]["wqkv"].dtype == jnp.int8
+
+
+def test_cast_quantized_params_casts_ln_scales(tiny_params):
+    qp = quant.quantize_params(jax.tree.map(jnp.asarray, tiny_params))
+    cast = quant.cast_quantized_params(qp, jnp.bfloat16)
+    blocks = cast["blocks"]
+    assert blocks["ln1_scale"].dtype == jnp.bfloat16  # LN params ARE cast
+    assert blocks["wqkv_scale"].dtype == jnp.float32  # quant scales are not
+    assert blocks["wqkv"].dtype == jnp.int8
+
+
+def test_engine_rejects_quant_with_mesh(tiny_cfg, tiny_params):
+    import jax as _jax
+    import pytest as _pytest
+
+    if _jax.device_count() < 8:
+        _pytest.skip("needs 8 virtual devices")
+    from vit_tpu.parallel import make_mesh
+    from vit_tpu.runtime import InferenceEngine
+
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    with _pytest.raises(ValueError, match="single-chip"):
+        InferenceEngine(tiny_cfg, tiny_params, ops="quant", mesh=mesh)

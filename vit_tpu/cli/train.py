@@ -112,7 +112,14 @@ def main(argv=None) -> int:
         images = iio.synth_images(args.batch, cfg, seed=args.seed)
         labels = rng.integers(0, cfg.num_classes, args.batch).astype(np.int32)
 
-    n = (len(images) // args.batch) * args.batch or args.batch
+    if len(images) < args.batch:
+        print(
+            f"error: {len(images)} image(s) < --batch {args.batch}; "
+            "reduce --batch or provide more data",
+            file=sys.stderr,
+        )
+        return 2
+    n = (len(images) // args.batch) * args.batch  # drop the ragged remainder
     images, labels = images[:n], labels[:n]
 
     for s in range(args.steps):

@@ -47,9 +47,9 @@ def params_from_hf_state_dict(
         b = np.stack([x.reshape(nh, hd) for x in biases], axis=1)  # (H,3,hd)
         return w.reshape(d, 3 * d), b.reshape(3 * d)
 
-    wqkv, bqkv, blocks = [], [], {}
     layer = lambda l, k: f"vit.encoder.layer.{l}.{k}"
     stack = lambda fn: np.stack([fn(l) for l in range(L)])
+    packed = [pack_qkv(l) for l in range(L)]  # one pass per layer
 
     params = {
         "cls_token": get("vit.embeddings.cls_token").reshape(d),
@@ -65,8 +65,8 @@ def params_from_hf_state_dict(
         "blocks": {
             "ln1_scale": stack(lambda l: get(layer(l, "layernorm_before.weight"))),
             "ln1_bias": stack(lambda l: get(layer(l, "layernorm_before.bias"))),
-            "wqkv": stack(lambda l: pack_qkv(l)[0]),
-            "bqkv": stack(lambda l: pack_qkv(l)[1]),
+            "wqkv": np.stack([w for w, _ in packed]),
+            "bqkv": np.stack([b for _, b in packed]),
             "wo": stack(
                 lambda l: get(layer(l, "attention.output.dense.weight")).T.copy()
             ),

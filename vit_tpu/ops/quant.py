@@ -32,7 +32,7 @@ class QuantizedLinear(NamedTuple):
     scale: Any  # fp32 (N,)
 
 
-def quantize_weight(w, axis: int = 0) -> QuantizedLinear:
+def quantize_weight(w) -> QuantizedLinear:
     """Symmetric per-channel int8 quantization of a [K, N] (or stacked
     [L, K, N]) weight; channels = the last axis."""
     w = jnp.asarray(w, jnp.float32)
@@ -98,14 +98,18 @@ def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+_QUANT_SCALE_KEYS = frozenset({"wqkv_scale", "w1_scale", "w2_scale"})
+
+
 def cast_quantized_params(params: Dict[str, Any], dtype) -> Dict[str, Any]:
     """Cast fp leaves to the compute dtype, leaving int8 weights and their
-    fp32 scales untouched."""
+    fp32 quantization scales untouched.  (LayerNorm's ln*_scale params are
+    NOT quant scales and do get cast.)"""
 
     def rec(node, name=""):
         if isinstance(node, dict):
             return {k: rec(v, k) for k, v in node.items()}
-        if node.dtype == jnp.int8 or name.endswith("_scale"):
+        if node.dtype == jnp.int8 or name in _QUANT_SCALE_KEYS:
             return node
         return node.astype(dtype)
 

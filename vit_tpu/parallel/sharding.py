@@ -36,7 +36,13 @@ def _named(mesh: Mesh, *spec) -> NamedSharding:
 
 
 def param_shardings(mesh: Mesh, params: Any) -> Any:
-    """NamedSharding pytree matching vit_tpu.models.vit's params layout."""
+    """NamedSharding pytree matching vit_tpu.models.vit's params layout.
+
+    Handles both the fp pytree and the quantized one (int8 weights carry
+    ``*_scale`` companions, vit_tpu.ops.quant.quantize_params): per-channel
+    scales shard with the output axis of their weight — wqkv/w1 scales over
+    tp (column-parallel), w2 scale replicated (row-parallel output is full).
+    """
     rep1 = _named(mesh)  # fully replicated
 
     block_rules = {
@@ -52,12 +58,19 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
         "b1": _named(mesh, None, "tp"),
         "w2": _named(mesh, None, "tp", None),     # row-parallel MLP out
         "b2": _named(mesh, None, None),
+        # quantization scales (present only on the quantized pytree)
+        "wqkv_scale": _named(mesh, None, "tp"),
+        "w1_scale": _named(mesh, None, "tp"),
+        "w2_scale": _named(mesh, None, None),
+    }
+    present = {
+        k: v for k, v in block_rules.items() if k in params.get("blocks", {})
     }
     return {
         "cls_token": rep1,
         "patch_embed": {"kernel": rep1, "bias": rep1},
         "pos_embed": rep1,
-        "blocks": block_rules,
+        "blocks": present,
         "ln_final": {"scale": rep1, "bias": rep1},
         "head": {"kernel": rep1, "bias": rep1},
     }

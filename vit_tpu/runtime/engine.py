@@ -51,13 +51,27 @@ class InferenceEngine:
         mesh=None,
         batch_pad: int = 32,
         gelu_variant: str = "exact",
-        donate_inputs: bool = False,
     ):
         self.cfg = cfg
         self.mesh = mesh
         self.batch_pad = batch_pad
         self.compute_dtype = jnp.dtype(dtype)
         self._ops = get_ops(ops)
+        self._gelu_variant = gelu_variant
+        self._dp_shard_map = False
+        if mesh is not None and self._ops.name != "xla":
+            # GSPMD partitions the jnp path automatically, but pallas_call
+            # is a custom call XLA cannot shard.  Data-parallel kernel
+            # execution goes through shard_map (batch split over 'dp',
+            # params replicated, no collectives); tensor-parallel kernel
+            # execution is not supported — use ops='xla' for tp.
+            if mesh.shape.get("tp", 1) != 1:
+                raise ValueError(
+                    "tensor-parallel meshes require ops='xla' (GSPMD); the "
+                    "Pallas kernel paths shard data-parallel only (single-chip "
+                    "kernels under shard_map)"
+                )
+            self._dp_shard_map = True
 
         params = jax.tree.map(jnp.asarray, params)
         if ops == "quant":
@@ -69,7 +83,11 @@ class InferenceEngine:
             params = quant.cast_quantized_params(params, self.compute_dtype)
         else:
             params = vit.cast_params(params, self.compute_dtype)
-        if mesh is not None:
+        if self._dp_shard_map:
+            from vit_tpu.parallel import replicate
+
+            params = jax.device_put(params, replicate(mesh))
+        elif mesh is not None:
             params = jax.device_put(params, param_shardings(mesh, params))
         else:
             params = jax.device_put(params)
@@ -77,7 +95,11 @@ class InferenceEngine:
 
         fwd = vit.logits_fn(cfg, self._ops, gelu_variant=gelu_variant)
         jit_kwargs = {}
-        if mesh is not None:
+        if self._dp_shard_map:
+            from vit_tpu.parallel.shard_forward import shard_forward_dp
+
+            fwd = shard_forward_dp(fwd, mesh)
+        elif mesh is not None:
             jit_kwargs["in_shardings"] = (
                 param_shardings(mesh, params),
                 batch_sharding(mesh, 4),
@@ -182,10 +204,11 @@ class InferenceEngine:
         return timer.report()
 
     def compiled_text(self, batch: int) -> str:
-        """Lowered-HLO dump for inspection/debugging."""
+        """Lowered-HLO dump of the engine's actual forward (same ops table,
+        gelu variant, and shardings it executes with)."""
         shape = (batch, self.cfg.in_channels, self.cfg.image_size, self.cfg.image_size)
         args = (self.params, jax.ShapeDtypeStruct(shape, self.compute_dtype))
-        return jax.jit(vit.logits_fn(self.cfg, self._ops)).lower(*args).as_text()
+        return self._forward.lower(*args).as_text()
 
 
 def _lcm(a: int, b: int) -> int:

@@ -38,6 +38,17 @@ def prefetch_to_device(
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _SENTINEL = object()
     err: list = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that aborts when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
@@ -47,21 +58,32 @@ def prefetch_to_device(
                     if sharding is not None
                     else jax.device_put(item)
                 )
-                q.put(placed)
+                if not _put(placed):
+                    return  # consumer abandoned the generator
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # Early exit (break / GeneratorExit): unblock and stop the producer,
+        # then drop any staged device batches so HBM is released.
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def batched(array_like, batch_size: int, drop_remainder: bool = False):
