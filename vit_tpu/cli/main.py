@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="synthesize any missing weight files (stripped-blob checkpoints)",
     )
+    p.add_argument(
+        "--interpolate-pos-from",
+        metavar="CONFIG",
+        help="weights dir holds a checkpoint of this (lower-resolution) "
+        "config; bicubic-interpolate its position table to --config's grid",
+    )
     p.add_argument("--labels", help="label names: text file or C source array")
     p.add_argument("--top", type=int, default=1, help="print top-K classes per image")
     p.add_argument("--json", action="store_true", help="machine-readable summary")
@@ -93,12 +99,19 @@ def main(argv=None) -> int:
         images = iio.load_image_bin(args.input)
     else:
         images = iio.synth_images(args.synth, cfg, seed=0)
+    load_cfg = cfg
+    if args.interpolate_pos_from:
+        load_cfg = get_config(args.interpolate_pos_from)
     params = wio.load_reference_weights(
         args.weights,
-        cfg,
+        load_cfg,
         round_to_6dp=not args.no_round6,
         allow_synth=args.allow_synth_weights,
     )
+    if args.interpolate_pos_from:
+        from vit_tpu.io.interpolate import adapt_params_resolution
+
+        params = adapt_params_resolution(params, load_cfg, cfg)
     t_load = time.perf_counter() - t_load0
 
     engine = InferenceEngine(
