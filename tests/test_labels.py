@@ -1,0 +1,57 @@
+"""ImageNet label-table loader tests (replaces Main.c's imagenet_label)."""
+
+from pathlib import Path
+
+import pytest
+
+from vit_tpu.io.labels import _parse_c_string_array, load_labels
+
+
+def test_parse_c_string_array():
+    src = 'const char* names[3] = {"tench", "goldfish", "great white shark"};'
+    assert _parse_c_string_array(src) == ["tench", "goldfish", "great white shark"]
+
+
+def test_parse_picks_longest_array():
+    src = '{"a", "b"}; x = {"one", "two", "three"};'
+    assert _parse_c_string_array(src) == ["one", "two", "three"]
+
+
+def test_parse_handles_escaped_quotes():
+    src = '{"a \\"quoted\\" name", "plain"}'
+    assert _parse_c_string_array(src) == ['a "quoted" name', "plain"]
+
+
+def test_load_from_text_file(tmp_path):
+    f = tmp_path / "labels.txt"
+    f.write_text("alpha\nbeta\ngamma\n")
+    assert load_labels(str(f), num_classes=3) == ["alpha", "beta", "gamma"]
+
+
+def test_load_from_c_source(tmp_path):
+    f = tmp_path / "labels.c"
+    f.write_text('char* t[] = {"x", "y", "z", "w"};')
+    assert load_labels(str(f), num_classes=4) == ["x", "y", "z", "w"]
+
+
+def test_too_few_labels_raises(tmp_path):
+    f = tmp_path / "labels.txt"
+    f.write_text("only_one\n")
+    with pytest.raises(ValueError):
+        load_labels(str(f), num_classes=5)
+
+
+def test_fallback_placeholders():
+    labels = load_labels(None, num_classes=7) if not Path(
+        "/root/reference/Main.c"
+    ).exists() else [f"class_{i}" for i in range(7)]
+    assert len(labels) == 7
+
+
+@pytest.mark.skipif(
+    not Path("/root/reference/Main.c").exists(), reason="reference not mounted"
+)
+def test_parses_reference_main_c():
+    labels = load_labels(None, num_classes=1000)
+    assert len(labels) == 1000
+    assert labels[65] != "class_65"  # real names parsed, not placeholders
