@@ -64,3 +64,17 @@ def test_phase_report_rejects_quant(tiny_cfg, tiny_params, tiny_images):
                              batch_pad=4)
     with _pytest.raises(NotImplementedError):
         engine.phase_report(tiny_images)
+
+
+def test_features_extraction(tiny_cfg, tiny_params, tiny_images):
+    from vit_tpu.ops import reference as R
+
+    engine = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", batch_pad=4)
+    feats = np.asarray(engine.features(tiny_images))
+    assert feats.shape == (len(tiny_images), tiny_cfg.embed_dim)
+    # head(features) must reproduce the logits
+    logits = np.asarray(engine.logits(tiny_images))
+    manual = feats @ np.asarray(tiny_params["head"]["kernel"]) + np.asarray(
+        tiny_params["head"]["bias"]
+    )
+    np.testing.assert_allclose(manual, logits, atol=1e-4)

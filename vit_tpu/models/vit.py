@@ -92,8 +92,12 @@ def forward(
     gelu_variant: str = "exact",
     unroll_layers: bool = False,
     dropout_rng: Optional[jax.Array] = None,
+    return_features: bool = False,
 ) -> jax.Array:
-    """Full forward pass: images (B, C, H, W) -> logits (B, num_classes).
+    """Full forward pass: images (B, C, H, W) -> logits (B, num_classes),
+    or the final-LN CLS embedding (B, D) when ``return_features`` (the
+    transfer-learning feature vector; the reference has no analog — it
+    always applies the head, ViT_seq.c:435).
 
     Pipeline mirrors ViT_seq (ViT_seq.c:337-439): patch-embed → CLS → pos →
     depth x encoder → final LN → CLS row → head linear.  Softmax is left to
@@ -165,6 +169,8 @@ def forward(
         x, params["ln_final"]["scale"], params["ln_final"]["bias"], cfg.layernorm_eps
     )
     cls = x[..., 0, :]  # CLS row (ViT_seq.c:433)
+    if return_features:
+        return cls.astype(jnp.float32)
     logits = reference.linear(cls, params["head"]["kernel"], params["head"]["bias"])
     return logits.astype(jnp.float32)
 

@@ -118,6 +118,22 @@ class InferenceEngine:
     def probabilities(self, images) -> jax.Array:
         return reference.softmax(self.logits(images))
 
+    def features(self, images) -> jax.Array:
+        """(B, C, H, W) -> (B, D) final-LN CLS embeddings (transfer
+        learning / retrieval vectors)."""
+        if not hasattr(self, "_features_fn"):
+            fwd = vit.logits_fn(
+                self.cfg, self._ops, gelu_variant=self._gelu_variant,
+                return_features=True,
+            )
+            if self._dp_shard_map:
+                from vit_tpu.parallel.shard_forward import shard_forward_dp
+
+                fwd = shard_forward_dp(fwd, self.mesh)
+            self._features_fn = jax.jit(fwd)
+        x, n = self._stage(images)
+        return self._features_fn(self.params, x)[:n]
+
     def classify(self, images) -> Tuple[np.ndarray, np.ndarray]:
         """-> (labels, top_probs), the reference driver's output quantities
         (argmax over probabilities, Main.c:62-69)."""
