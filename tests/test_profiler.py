@@ -1,0 +1,29 @@
+"""Profiler utilities tests (PhaseTimer + MXU roofline)."""
+
+import time
+
+from vit_tpu.config import VIT_B_16
+from vit_tpu.runtime.profiler import PhaseTimer, roofline
+
+
+def test_phase_timer_accumulates():
+    t = PhaseTimer()
+    for _ in range(3):
+        with t.phase("work"):
+            time.sleep(0.01)
+    assert t.counts["work"] == 3
+    assert t.totals["work"] >= 0.03
+    assert "work" in t.report() and "x3" in t.report()
+
+
+def test_roofline_math():
+    # 100 images in 32.7ms on a 197-TFLOP/s chip
+    stats = roofline(VIT_B_16, batch=100, seconds=0.0327, chip="v5e", dtype="bf16")
+    assert abs(stats["images_per_sec"] - 100 / 0.0327) < 1e-6
+    assert stats["flops"] == VIT_B_16.flops_per_image() * 100
+    assert 0.5 < stats["mxu_utilization"] < 0.6  # the measured round-1 point
+
+
+def test_flops_per_image_magnitude():
+    # ViT-B/16 forward ~35 GFLOP (2x the ~17.5 GMAC literature number)
+    assert 3.0e10 < VIT_B_16.flops_per_image() < 4.0e10
