@@ -90,12 +90,10 @@ def ln_qkv(x2d, ln_scale, ln_bias, wqkv, bqkv, eps, block_rows=256, interpret=Fa
     )(x2d, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv, bqkv.reshape(1, d3))
 
 
-# -- kernel B: attention core + out_proj + residual -------------------------
+# -- kernel B: attention core (one grid step per image) ---------------------
 
 
-def _attn_out_kernel(
-    qkv_ref, res_ref, wo_ref, bo_ref, out_ref, ctx_ref, *, num_heads, scale
-):
+def _attn_core_kernel(qkv_ref, out_ref, *, num_heads, scale):
     dh = qkv_ref.shape[-1] // (3 * num_heads)
     for h in range(num_heads):  # static unroll; heads are column slices
         base = h * 3 * dh
@@ -111,53 +109,87 @@ def _attn_out_kernel(
         # normalize via reciprocal-multiply (row-wise divide is VPU-expensive)
         inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
         p = (p * inv).astype(v.dtype)
-        ctx_ref[:, h * dh : (h + 1) * dh] = jnp.dot(
+        out_ref[0, :, h * dh : (h + 1) * dh] = jnp.dot(
             p, v, preferred_element_type=jnp.float32
-        ).astype(ctx_ref.dtype)
-    acc = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
-    acc = acc + bo_ref[:].astype(jnp.float32) + res_ref[0].astype(jnp.float32)
-    out_ref[0] = acc.astype(out_ref.dtype)
+        ).astype(out_ref.dtype)
 
 
-def attn_out_residual(
-    qkv, x2d, wo, bo, num_heads, seq_len, interpret=False
-):
-    """qkv (B*T, 3D) packed (head,{q,k,v},dh) columns; x2d (B*T, D) residual.
-    Returns x2d + out_proj(attention(qkv)).
+def attn_core(qkv, num_heads, seq_len, d, interpret=False):
+    """qkv (B*T, 3D) packed (head,{q,k,v},dh) columns -> context (B*T, D).
 
     Internally viewed as (B, T, .) with block (1, T, .): full trailing dims
-    satisfy the TPU block-tiling rule for any T (197, 577, ...).
+    satisfy the TPU block-tiling rule for any T (197, 577, ...).  The
+    out_projection lives in its own row-blocked kernel (out_residual) where
+    the GEMM spans all B*T rows — measurably faster than a per-image GEMM
+    here.
     """
     rows, d3 = qkv.shape
-    d = x2d.shape[-1]
     dh = d // num_heads
     b = rows // seq_len
     scale = 1.0 / (dh**0.5)
-    qkv3 = qkv.reshape(b, seq_len, d3)
-    x3 = x2d.reshape(b, seq_len, d)
     out = pl.pallas_call(
-        functools.partial(_attn_out_kernel, num_heads=num_heads, scale=scale),
+        functools.partial(_attn_core_kernel, num_heads=num_heads, scale=scale),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, seq_len, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, seq_len, d), x2d.dtype),
-        scratch_shapes=[pltpu.VMEM((seq_len, d), x2d.dtype)],
+        out_shape=jax.ShapeDtypeStruct((b, seq_len, d), qkv.dtype),
         compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
-            flops=b * (4 * seq_len * seq_len * d + 2 * seq_len * d * d),
-            bytes_accessed=(rows * d3 + 3 * rows * d) * x2d.dtype.itemsize,
+            flops=4 * b * seq_len * seq_len * d,
+            bytes_accessed=(rows * d3 + rows * d) * qkv.dtype.itemsize,
             transcendentals=b * num_heads * seq_len * seq_len,
         ),
         interpret=interpret,
-    )(qkv3, x3, wo, bo.reshape(1, d))
+    )(qkv.reshape(b, seq_len, d3))
     return out.reshape(rows, d)
+
+
+# -- kernel B2: out_proj + residual (row-blocked over all images) ------------
+
+
+def _out_res_kernel(ctx_ref, res_ref, wo_ref, bo_ref, out_ref):
+    acc = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
+    acc = acc + bo_ref[:].astype(jnp.float32) + res_ref[:].astype(jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def out_residual(ctx, res, wo, bo, block_rows=512, interpret=False):
+    """res + ctx @ wo + bo over (B*T, D) rows — one large MXU GEMM."""
+    rows, d = ctx.shape
+    block_rows = min(block_rows, rows)
+    return pl.pallas_call(
+        _out_res_kernel,
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, d), ctx.dtype),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * d * d,
+            bytes_accessed=(3 * rows * d + d * d) * ctx.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ctx, res, wo, bo.reshape(1, d))
+
+
+def attn_out_residual(qkv, x2d, wo, bo, num_heads, seq_len, interpret=False):
+    """x2d + out_proj(attention(qkv)) — composition of attn_core and
+    out_residual (kept as the single entry point used by the block paths)."""
+    d = x2d.shape[-1]
+    ctx = attn_core(qkv, num_heads, seq_len, d, interpret=interpret)
+    return out_residual(ctx, x2d, wo, bo, interpret=interpret)
 
 
 # -- kernel C: LN2 + MLP + residual -----------------------------------------
