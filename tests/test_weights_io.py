@@ -120,3 +120,14 @@ def test_real_reference_checkpoint_loads():
     assert params["blocks"]["wqkv"].shape == (12, 768, 2304)
     # class_token from the real file should be non-trivial
     assert np.abs(params["cls_token"]).sum() > 0
+
+
+def test_params_to_tensors_roundtrip(tiny_cfg):
+    # params -> tensors must invert tensors -> params bit-exactly
+    tensors = wio.synth_reference_tensors(tiny_cfg, seed=9)
+    params = wio.params_from_tensors(tensors, tiny_cfg)
+    back = wio.tensors_from_params(params, tiny_cfg)
+    assert set(back) == set(tensors)
+    for idx in tensors:
+        np.testing.assert_array_equal(back[idx], tensors[idx],
+                                      err_msg=f"tensor {idx}")

@@ -273,6 +273,56 @@ def load_reference_weights(
     return params_from_tensors(tensors, cfg, dtype)
 
 
+def tensors_from_params(params, cfg: ViTConfig = VIT_B_16) -> Dict[int, np.ndarray]:
+    """Inverse of params_from_tensors: TPU params pytree -> indexed
+    torchvision-layout tensors (un-transpose, un-reorder the packed QKV
+    columns back to (3, heads, head_dim) row blocks, unstack layers).
+    Round-trips bit-exactly; lets any params pytree (trained, converted)
+    be exported as reference Weight_*.bin files."""
+    d, hd, nh, L = cfg.embed_dim, cfg.head_dim, cfg.num_heads, cfg.depth
+    blocks = params["blocks"]
+
+    def np32(a):
+        return np.asarray(a, dtype=np.float32)
+
+    def qkv_unorder(w):
+        """rows (head, {q,k,v}, dh)-major -> torchvision (3, H, dh)-major."""
+        return (
+            w.reshape(nh, 3, hd, *w.shape[1:])
+            .transpose(1, 0, *range(2, w.ndim + 2))
+            .reshape(w.shape)
+        )
+
+    out: Dict[int, np.ndarray] = {
+        0: np32(params["cls_token"]),
+        1: np32(params["patch_embed"]["kernel"]).T.reshape(
+            d, cfg.in_channels, cfg.patch_size, cfg.patch_size
+        ),
+        2: np32(params["patch_embed"]["bias"]),
+        3: np32(params["pos_embed"]),
+    }
+    for l in range(L):
+        base = 4 + WEIGHTS_PER_LAYER * l
+        out[base + 0] = np32(blocks["ln1_scale"][l])
+        out[base + 1] = np32(blocks["ln1_bias"][l])
+        out[base + 2] = qkv_unorder(np32(blocks["wqkv"][l]).T.copy())
+        out[base + 3] = qkv_unorder(np32(blocks["bqkv"][l]))
+        out[base + 4] = np32(blocks["wo"][l]).T.copy()
+        out[base + 5] = np32(blocks["bo"][l])
+        out[base + 6] = np32(blocks["ln2_scale"][l])
+        out[base + 7] = np32(blocks["ln2_bias"][l])
+        out[base + 8] = np32(blocks["w1"][l]).T.copy()
+        out[base + 9] = np32(blocks["b1"][l])
+        out[base + 10] = np32(blocks["w2"][l]).T.copy()
+        out[base + 11] = np32(blocks["b2"][l])
+    base = 4 + WEIGHTS_PER_LAYER * L
+    out[base + 0] = np32(params["ln_final"]["scale"])
+    out[base + 1] = np32(params["ln_final"]["bias"])
+    out[base + 2] = np32(params["head"]["kernel"]).T.copy()
+    out[base + 3] = np32(params["head"]["bias"])
+    return out
+
+
 def save_reference_weights(
     tensors: Dict[int, np.ndarray], weight_dir, cfg: ViTConfig = VIT_B_16
 ) -> None:
