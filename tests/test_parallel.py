@@ -162,3 +162,11 @@ def test_kernel_paths_reject_tp_mesh(tiny_cfg, tiny_params):
     mesh = make_mesh({"dp": 4, "tp": 2})
     with pytest.raises(ValueError, match="tensor-parallel"):
         InferenceEngine(tiny_cfg, tiny_params, ops="fused", mesh=mesh)
+
+
+def test_distributed_helpers_single_host():
+    from vit_tpu.runtime import distributed
+
+    assert not distributed.is_multi_host()
+    assert distributed.local_batch_slice(16) == slice(0, 16)
+    assert distributed.local_batch_slice(7) == slice(0, 7)  # 1 host: whole batch

@@ -106,3 +106,26 @@ def test_dropout_rejected_on_fused_path(tiny_cfg, tiny_params, tiny_images):
             tiny_params, jnp.asarray(tiny_images), cfg,
             ops=get_ops("fused"), dropout_rng=jax.random.key(0),
         )
+
+
+def test_mixed_precision_train_step(tiny_cfg):
+    # fp32 master weights, bf16 compute: params stay fp32 across steps and
+    # the loss still decreases.
+    optimizer = optax.sgd(0.1)
+    params, opt_state = trainer.init_train_state(jax.random.key(0), tiny_cfg, optimizer)
+    step = jax.jit(
+        trainer.make_train_step(
+            tiny_cfg, optimizer, remat=False, compute_dtype=jnp.bfloat16
+        )
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(4, 3, tiny_cfg.image_size, tiny_cfg.image_size)), jnp.float32
+    )
+    labels = jnp.asarray(rng.integers(0, tiny_cfg.num_classes, 4), jnp.int32)
+    losses = []
+    for _ in range(4):
+        params, opt_state, loss = step(params, opt_state, images, labels)
+        losses.append(float(loss))
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]

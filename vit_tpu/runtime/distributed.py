@@ -1,0 +1,52 @@
+"""Multi-host (pod) initialization helper.
+
+Single-host multi-chip needs nothing (jax.devices() sees all local chips);
+TPU pods span hosts, and every host must call ``jax.distributed.initialize``
+before first device use.  This wraps it with the standard TPU environment
+conventions so the rest of the framework (mesh construction over
+``jax.devices()``, which then includes remote chips) works unchanged.
+
+The reference has no distributed anything (SURVEY.md §2.3); this is the
+entry point that makes the dp/tp mesh layer span a pod.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+_initialized = False
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX.  On TPU pods all arguments are discovered
+    from the environment; pass them explicitly elsewhere.  Idempotent."""
+    global _initialized
+    if _initialized:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _initialized = True
+
+
+def is_multi_host() -> bool:
+    return jax.process_count() > 1
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The slice of a global batch this process should feed (per-host input
+    sharding for dp over pods)."""
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by {n} hosts")
+    per = global_batch // n
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

@@ -33,6 +33,7 @@ def make_train_step(
     ops: OpsImpl = REFERENCE_OPS,
     remat: bool = True,
     use_dropout: bool = False,
+    compute_dtype=None,
 ):
     """Build ``(params, opt_state, images, labels[, rng]) -> (params,
     opt_state, loss)``.
@@ -41,10 +42,16 @@ def make_train_step(
     rematerialized in the backward pass (HBM for FLOPs — the standard TPU
     memory trade).  ``use_dropout`` adds a per-step rng argument and applies
     cfg.dropout inside the blocks (requires the unfused op path).
+    ``compute_dtype`` (e.g. jnp.bfloat16) enables mixed precision: fp32
+    master weights and optimizer state, casts to the compute dtype inside
+    the loss (gradients land back in fp32 through the cast).
     """
 
     def loss_fn(params, images, labels, rng=None):
         def fwd(p, x):
+            if compute_dtype is not None:
+                p = vit.cast_params(p, compute_dtype)
+                x = x.astype(compute_dtype)
             return vit.forward(p, x, cfg, ops, dropout_rng=rng)
 
         if remat:
