@@ -120,17 +120,18 @@ def attn_core(qkv, num_heads, seq_len, d, interpret=False):
 
     Internally viewed as (B, T, .) with block (group, T, .): full trailing
     dims satisfy the TPU block-tiling rule for any T (197, 577, ...).
-    Several images per grid step (group = largest of 4/2/1 dividing B)
-    gives Mosaic independent compute chains to overlap — measured 21%
-    faster than one image per step at B/16 scale.  The out_projection
-    lives in its own row-blocked kernel (out_residual) where the GEMM
-    spans all B*T rows.
+    One image per grid step: grouping several (group=4) is 21% faster on
+    the isolated kernel but 5% SLOWER in the full model (larger double-
+    buffered blocks hurt pipelining against the neighboring kernels) —
+    measured both ways, interleaved, on-chip.  The out_projection lives in
+    its own row-blocked kernel (out_residual) where the GEMM spans all
+    B*T rows.
     """
     rows, d3 = qkv.shape
     dh = d // num_heads
     b = rows // seq_len
     scale = 1.0 / (dh**0.5)
-    group = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+    group = 1
     out = pl.pallas_call(
         functools.partial(
             _attn_core_kernel, num_heads=num_heads, scale=scale, group=group
