@@ -76,6 +76,74 @@ def ln_qkv_q8(
     )
 
 
+def _ln_qkv_attn_q8_kernel(
+    x_ref, s_ref, b_ref, wq_ref, ws_ref, bias_ref, out_ref, *, eps, num_heads, scale
+):
+    dh = x_ref.shape[-1] // num_heads
+    h = _ln(x_ref[0], s_ref[:], b_ref[:], eps)  # fp32
+    hq, hs = _quant_rows(h)
+    acc = jax.lax.dot_general(
+        hq, wq_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    qkv = acc.astype(jnp.float32) * hs * ws_ref[:].astype(jnp.float32)
+    qkv = (qkv + bias_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    for hh in range(num_heads):
+        base = hh * 3 * dh
+        q = qkv[:, base : base + dh] * jnp.asarray(scale, qkv.dtype)
+        k = qkv[:, base + dh : base + 2 * dh]
+        v = qkv[:, base + 2 * dh : base + 3 * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        p = (p * inv).astype(v.dtype)
+        out_ref[0, :, hh * dh : (hh + 1) * dh] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+
+def ln_qkv_attn_q8(
+    x2d, ln_scale, ln_bias, wq, w_scale, bqkv, num_heads, seq_len, eps,
+    interpret=False,
+):
+    """int8 twin of fused_block.ln_qkv_attn: LN -> dynamic-int8 row quant ->
+    int8 QKV GEMM -> dequant -> attention, all in one kernel per image."""
+    rows, d = x2d.shape
+    d3 = wq.shape[-1]
+    b = rows // seq_len
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    out = pl.pallas_call(
+        functools.partial(
+            _ln_qkv_attn_q8_kernel, eps=eps, num_heads=num_heads, scale=scale
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, seq_len, d), x2d.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x2d.reshape(b, seq_len, d),
+        ln_scale.reshape(1, d),
+        ln_bias.reshape(1, d),
+        wq,
+        w_scale.reshape(1, d3),
+        bqkv.reshape(1, d3),
+    )
+    return out.reshape(rows, d)
+
+
 def _ln_mlp_q8_kernel(
     x_ref, s_ref, b_ref, w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref,
     out_ref, *, eps, variant
@@ -162,15 +230,13 @@ def fused_encoder_block_q8(
         from vit_tpu.ops.pallas import interpret_default
 
         interpret = interpret_default()
-    from vit_tpu.ops.pallas.fused_block import attn_out_residual, ln_mlp_residual
+    from vit_tpu.ops.pallas.fused_block import ln_mlp_residual, out_residual
 
-    qkv = ln_qkv_q8(
+    ctx = ln_qkv_attn_q8(
         x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["wqkv_scale"],
-        blk["bqkv"], eps, interpret=interpret,
+        blk["bqkv"], num_heads, seq_len, eps, interpret=interpret,
     )
-    x2d = attn_out_residual(
-        qkv, x2d, blk["wo"], blk["bo"], num_heads, seq_len, interpret=interpret
-    )
+    x2d = out_residual(ctx, x2d, blk["wo"], blk["bo"], interpret=interpret)
     return ln_mlp_residual_q8(
         x2d, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["w1_scale"],
         blk["b1"], blk["w2"], blk["w2_scale"], blk["b2"], eps, gelu_variant,
