@@ -41,11 +41,13 @@ def test_too_few_labels_raises(tmp_path):
         load_labels(str(f), num_classes=5)
 
 
-def test_fallback_placeholders():
-    labels = load_labels(None, num_classes=7) if not Path(
-        "/root/reference/Main.c"
-    ).exists() else [f"class_{i}" for i in range(7)]
-    assert len(labels) == 7
+def test_fallback_placeholders(monkeypatch):
+    # Force the no-source path regardless of whether the reference is mounted.
+    import vit_tpu.io.labels as labels_mod
+
+    monkeypatch.setattr(labels_mod, "_DEFAULT_C_SOURCES", ())
+    labels = load_labels(None, num_classes=7)
+    assert labels == [f"class_{i}" for i in range(7)]
 
 
 @pytest.mark.skipif(

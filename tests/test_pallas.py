@@ -127,3 +127,40 @@ def test_fused_block_parity(tiny_cfg, tiny_params, variant, key):
         tiny_cfg.layernorm_eps, variant, interpret=True,
     ).reshape(2, t, d)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_ln_qkv_attn_kernel_parity(tiny_cfg, tiny_params, key):
+    # The shipping merged kernel (LN1+QKV+attention) vs the composed
+    # reference ops on (B*T, D) data.
+    import jax as _jax
+
+    from vit_tpu.ops.pallas.fused_block import ln_qkv_attn
+
+    blk = _jax.tree.map(lambda a: a[0], tiny_params["blocks"])
+    t, d, nh = tiny_cfg.seq_len, tiny_cfg.embed_dim, tiny_cfg.num_heads
+    b = 3
+    x = jax.random.normal(key, (b * t, d), jnp.float32)
+    got = ln_qkv_attn(
+        x, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["bqkv"],
+        nh, t, 1e-6, interpret=True,
+    ).reshape(b, t, d)
+    # reference: LN -> attention WITHOUT out_proj (identity wo, zero bo)
+    ln = R.layer_norm(x.reshape(b, t, d), blk["ln1_scale"], blk["ln1_bias"], 1e-6)
+    want = R.attention(
+        ln, blk["wqkv"], blk["bqkv"], jnp.eye(d, dtype=jnp.float32),
+        jnp.zeros(d), nh,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_out_residual_kernel_parity(key):
+    from vit_tpu.ops.pallas.fused_block import out_residual
+
+    rows, d = 133, 64  # ragged final block
+    ctx = jax.random.normal(key, (rows, d), jnp.float32)
+    res = jax.random.normal(jax.random.fold_in(key, 1), (rows, d), jnp.float32)
+    wo = jax.random.normal(jax.random.fold_in(key, 2), (d, d), jnp.float32) * 0.2
+    bo = jax.random.normal(jax.random.fold_in(key, 3), (d,), jnp.float32)
+    got = out_residual(ctx, res, wo, bo, block_rows=64, interpret=True)
+    want = res + R.linear(ctx, wo, bo)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

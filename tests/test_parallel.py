@@ -170,3 +170,35 @@ def test_distributed_helpers_single_host():
     assert not distributed.is_multi_host()
     assert distributed.local_batch_slice(16) == slice(0, 16)
     assert distributed.local_batch_slice(7) == slice(0, 7)  # 1 host: whole batch
+
+
+def test_mesh_train_step_mixed_precision(tiny_cfg):
+    # compute_dtype must be honored on the sharded path: fp32 master
+    # weights, loss computed in bf16.
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    optimizer = optax.sgd(0.05)
+    params, opt_state = trainer.init_train_state(jax.random.key(2), tiny_cfg, optimizer)
+    params = shard_params(params, mesh)
+    opt_state = jax.device_put(
+        opt_state,
+        trainer._opt_state_shardings(
+            opt_state, params, param_shardings(mesh, params), mesh
+        ),
+    )
+    step = trainer.jit_train_step_for_mesh(
+        tiny_cfg, optimizer, mesh, params, opt_state,
+        remat=False, compute_dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(2)
+    images = jax.device_put(
+        jnp.asarray(rng.normal(size=(8, 3, tiny_cfg.image_size, tiny_cfg.image_size)),
+                    jnp.float32),
+        batch_sharding(mesh, 4),
+    )
+    labels = jax.device_put(
+        jnp.asarray(rng.integers(0, tiny_cfg.num_classes, 8), jnp.int32),
+        batch_sharding(mesh, 1),
+    )
+    params, opt_state, loss = step(params, opt_state, images, labels)
+    assert np.isfinite(float(loss))
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))

@@ -55,20 +55,37 @@ def test_quantize_params_structure(tiny_params):
     assert blocks["wo"].dtype != jnp.int8  # stays fp (fused with attention)
 
 
-def test_ln_qkv_q8_kernel_parity(tiny_cfg, tiny_params):
-    from vit_tpu.ops.pallas.quant_kernels import ln_qkv_q8
+def test_ln_qkv_attn_q8_kernel_parity(tiny_cfg, tiny_params):
+    # The shipping int8 kernel: LN -> dynamic-int8 QKV GEMM -> attention,
+    # vs the same math composed from the reference quant/attention ops.
+    import math
+
+    from vit_tpu.ops.pallas.quant_kernels import ln_qkv_attn_q8
 
     blk = jax.tree.map(lambda a: a[0], tiny_params["blocks"])
-    d = tiny_cfg.embed_dim
-    x = jax.random.normal(jax.random.key(0), (64, d), jnp.float32)
+    d, hd, nh, t = (tiny_cfg.embed_dim, tiny_cfg.head_dim,
+                    tiny_cfg.num_heads, tiny_cfg.seq_len)
+    b = 2
+    x = jax.random.normal(jax.random.key(0), (b * t, d), jnp.float32)
     wq, ws = quant.quantize_weight_stacked(blk["wqkv"][None])
     got = np.asarray(
-        ln_qkv_q8(x, blk["ln1_scale"], blk["ln1_bias"], wq[0], ws[0],
-                  blk["bqkv"], 1e-6, block_rows=32, interpret=True)
+        ln_qkv_attn_q8(x, blk["ln1_scale"], blk["ln1_bias"], wq[0], ws[0],
+                       blk["bqkv"], nh, t, 1e-6, interpret=True)
     )
     ln = R.layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], 1e-6)
-    want = np.asarray(quant.linear_w8a8(ln, wq[0], ws[0], blk["bqkv"]))
-    np.testing.assert_allclose(got, want, atol=1e-4)
+    qkv = np.asarray(quant.linear_w8a8(ln, wq[0], ws[0], blk["bqkv"]))
+    qkv = qkv.reshape(b, t, 3 * d)
+    want = np.zeros((b, t, d), np.float32)
+    for i in range(b):
+        for h in range(nh):
+            base = h * 3 * hd
+            q = qkv[i, :, base : base + hd]
+            k = qkv[i, :, base + hd : base + 2 * hd]
+            v = qkv[i, :, base + 2 * hd : base + 3 * hd]
+            s = (q @ k.T) / math.sqrt(hd)
+            e = np.exp(s - s.max(-1, keepdims=True))
+            want[i, :, h * hd : (h + 1) * hd] = (e / e.sum(-1, keepdims=True)) @ v
+    np.testing.assert_allclose(got.reshape(b, t, d), want, atol=2e-4)
 
 
 def test_full_model_quant_close_to_fp(tiny_cfg, tiny_params, tiny_images):

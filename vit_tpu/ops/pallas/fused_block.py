@@ -8,16 +8,17 @@ encoder block (Encoder, ViT_seq.c:271-302) into three Pallas kernels over a
 flat (B*T, D) activation, with no transposes and no intermediate HBM
 tensors beyond the packed QKV:
 
-  A. ``ln1 -> QKV projection``      (row-blocked; W_qkv VMEM-resident)
-  B. ``attention core -> out_proj -> +residual``  (one grid step per image;
-     heads are static slices of the packed (head,{q,k,v},head_dim) columns,
-     so no (B,H,T,Dh) layout shuffle ever exists)
+  A. ``ln1 -> QKV projection -> attention``  (one grid step per image:
+     W_qkv VMEM-resident, the packed QKV never touches HBM; heads are
+     static slices of the (head,{q,k,v},head_dim) columns, so no
+     (B,H,T,Dh) layout shuffle ever exists)
+  B. ``out_proj + residual``   (row-blocked: one GEMM spanning all B*T rows)
   C. ``ln2 -> FC1 -> GELU -> FC2 -> +residual``   (row-blocked; both MLP
      weights VMEM-resident)
 
-HBM traffic per layer ~= 5 passes over the activation + 2x packed QKV —
-within ~2x of the information-theoretic floor — while every GEMM runs from
-VMEM with fp32 accumulation.
+HBM traffic per layer ~= 5 passes over the (B*T, D) activation — near the
+information-theoretic floor — while every GEMM runs from VMEM with fp32
+accumulation.  Fusion history and measured dead ends: docs/performance.md.
 """
 
 from __future__ import annotations
@@ -53,47 +54,30 @@ def _gelu(h, variant):
     return 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h)))
 
 
-# -- kernel A: LN1 + QKV projection ----------------------------------------
-
-
-def _ln_qkv_kernel(x_ref, s_ref, b_ref, w_ref, bias_ref, out_ref, *, eps):
-    h = _ln(x_ref[:], s_ref[:], b_ref[:], eps).astype(x_ref.dtype)
-    acc = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = (acc + bias_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
-
-
-def ln_qkv(x2d, ln_scale, ln_bias, wqkv, bqkv, eps, block_rows=256, interpret=False):
-    rows, d = x2d.shape
-    d3 = wqkv.shape[-1]
-    block_rows = min(block_rows, rows)
-    return pl.pallas_call(
-        functools.partial(_ln_qkv_kernel, eps=eps),
-        grid=(pl.cdiv(rows, block_rows),),
-        in_specs=[
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (block_rows, d3), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((rows, d3), x2d.dtype),
-        compiler_params=_VMEM_LIMIT,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * rows * d * d3,
-            bytes_accessed=(rows * d + d * d3 + rows * d3) * x2d.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(x2d, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv, bqkv.reshape(1, d3))
-
-
-# -- kernel A+B merged: LN1 + QKV projection + attention core ----------------
+# -- kernel A: LN1 + QKV projection + attention core --------------------------
 # One grid step per image: the packed QKV never round-trips to HBM
 # (~180 MB/layer at B/16 batch-100 saved) — measured 15% faster end-to-end
-# than the split A/B form, bit-identical.
+# than a split LN+QKV / attention form, bit-identical.
+
+
+def _head_context(qkv, h, dh, scale):
+    """Per-head softmax(q k^T / sqrt(dh)) v from the packed
+    (head,{q,k,v},dh) columns of a VMEM-resident qkv (T, 3D) tile.
+    Shared by the fp and int8 block kernels."""
+    base = h * 3 * dh
+    # fold 1/sqrt(dh) into Q (a T x dh multiply, not T x T)
+    q = qkv[:, base : base + dh] * jnp.asarray(scale, qkv.dtype)
+    k = qkv[:, base + dh : base + 2 * dh]
+    v = qkv[:, base + 2 * dh : base + 3 * dh]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    # normalize via reciprocal-multiply (row-wise divide is VPU-expensive)
+    inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+    p = (p * inv).astype(v.dtype)
+    return jnp.dot(p, v, preferred_element_type=jnp.float32)
 
 
 def _ln_qkv_attn_kernel(
@@ -104,19 +88,8 @@ def _ln_qkv_attn_kernel(
     qkv = jnp.dot(h_ln, w_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bias_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
     for h in range(num_heads):  # heads are column slices of the VMEM qkv
-        base = h * 3 * dh
-        q = qkv[:, base : base + dh] * jnp.asarray(scale, qkv.dtype)
-        k = qkv[:, base + dh : base + 2 * dh]
-        v = qkv[:, base + 2 * dh : base + 3 * dh]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
-        p = (p * inv).astype(v.dtype)
-        out_ref[0, :, h * dh : (h + 1) * dh] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32
+        out_ref[0, :, h * dh : (h + 1) * dh] = _head_context(
+            qkv, h, dh, scale
         ).astype(out_ref.dtype)
 
 
@@ -162,74 +135,7 @@ def ln_qkv_attn(
     return out.reshape(rows, d)
 
 
-# -- kernel B: attention core (one grid step per image) ---------------------
-
-
-def _attn_core_kernel(qkv_ref, out_ref, *, num_heads, scale, group):
-    dh = qkv_ref.shape[-1] // (3 * num_heads)
-    for g in range(group):  # images per grid step: independent chains let
-        for h in range(num_heads):  # Mosaic overlap VPU softmax w/ MXU dots
-            base = h * 3 * dh
-            # fold 1/sqrt(dh) into Q (a T x dh multiply, not T x T)
-            q = qkv_ref[g, :, base : base + dh] * jnp.asarray(scale, qkv_ref.dtype)
-            k = qkv_ref[g, :, base + dh : base + 2 * dh]
-            v = qkv_ref[g, :, base + 2 * dh : base + 3 * dh]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            # normalize via reciprocal-multiply (divide is VPU-expensive)
-            inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
-            p = (p * inv).astype(v.dtype)
-            out_ref[g, :, h * dh : (h + 1) * dh] = jnp.dot(
-                p, v, preferred_element_type=jnp.float32
-            ).astype(out_ref.dtype)
-
-
-def attn_core(qkv, num_heads, seq_len, d, interpret=False):
-    """qkv (B*T, 3D) packed (head,{q,k,v},dh) columns -> context (B*T, D).
-
-    Internally viewed as (B, T, .) with block (group, T, .): full trailing
-    dims satisfy the TPU block-tiling rule for any T (197, 577, ...).
-    One image per grid step: grouping several (group=4) is 21% faster on
-    the isolated kernel but 5% SLOWER in the full model (larger double-
-    buffered blocks hurt pipelining against the neighboring kernels) —
-    measured both ways, interleaved, on-chip.  The out_projection lives in
-    its own row-blocked kernel (out_residual) where the GEMM spans all
-    B*T rows.
-    """
-    rows, d3 = qkv.shape
-    dh = d // num_heads
-    b = rows // seq_len
-    scale = 1.0 / (dh**0.5)
-    group = 1
-    out = pl.pallas_call(
-        functools.partial(
-            _attn_core_kernel, num_heads=num_heads, scale=scale, group=group
-        ),
-        grid=(b // group,),
-        in_specs=[
-            pl.BlockSpec(
-                (group, seq_len, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (group, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, seq_len, d), qkv.dtype),
-        compiler_params=_VMEM_LIMIT,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * seq_len * seq_len * d,
-            bytes_accessed=(rows * d3 + rows * d) * qkv.dtype.itemsize,
-            transcendentals=b * num_heads * seq_len * seq_len,
-        ),
-        interpret=interpret,
-    )(qkv.reshape(b, seq_len, d3))
-    return out.reshape(rows, d)
-
-
-# -- kernel B2: out_proj + residual (row-blocked over all images) ------------
+# -- kernel B: out_proj + residual (row-blocked over all images) -------------
 
 
 def _out_res_kernel(ctx_ref, res_ref, wo_ref, bo_ref, out_ref):
@@ -263,14 +169,6 @@ def out_residual(ctx, res, wo, bo, block_rows=512, interpret=False):
         ),
         interpret=interpret,
     )(ctx, res, wo, bo.reshape(1, d))
-
-
-def attn_out_residual(qkv, x2d, wo, bo, num_heads, seq_len, interpret=False):
-    """x2d + out_proj(attention(qkv)) — composition of attn_core and
-    out_residual (kept as the single entry point used by the block paths)."""
-    d = x2d.shape[-1]
-    ctx = attn_core(qkv, num_heads, seq_len, d, interpret=interpret)
-    return out_residual(ctx, x2d, wo, bo, interpret=interpret)
 
 
 # -- kernel C: LN2 + MLP + residual -----------------------------------------

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vit_tpu.ops.pallas.fused_block import _gelu, _ln
+from vit_tpu.ops.pallas.fused_block import _VMEM_LIMIT, _gelu, _head_context, _ln
 
 
 def _quant_rows(h):
@@ -27,53 +27,6 @@ def _quant_rows(h):
     scale = jnp.maximum(absmax / 127.0, 1e-12)
     q = jnp.clip(jnp.round(h / scale), -127, 127).astype(jnp.int8)
     return q, scale
-
-
-def _ln_qkv_q8_kernel(x_ref, s_ref, b_ref, wq_ref, ws_ref, bias_ref, out_ref, *, eps):
-    h = _ln(x_ref[:], s_ref[:], b_ref[:], eps)  # fp32
-    hq, hs = _quant_rows(h)
-    acc = jax.lax.dot_general(
-        hq, wq_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    out = acc.astype(jnp.float32) * hs * ws_ref[:].astype(jnp.float32)
-    out_ref[:] = (out + bias_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
-
-
-def ln_qkv_q8(
-    x2d, ln_scale, ln_bias, wq, w_scale, bqkv, eps, block_rows=256, interpret=False
-):
-    rows, d = x2d.shape
-    d3 = wq.shape[-1]
-    block_rows = min(block_rows, rows)
-    return pl.pallas_call(
-        functools.partial(_ln_qkv_q8_kernel, eps=eps),
-        grid=(pl.cdiv(rows, block_rows),),
-        in_specs=[
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (block_rows, d3), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((rows, d3), x2d.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * rows * d * d3,
-            bytes_accessed=rows * d * 2 + d * d3 + rows * d3 * 2,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(
-        x2d,
-        ln_scale.reshape(1, d),
-        ln_bias.reshape(1, d),
-        wq,
-        w_scale.reshape(1, d3),
-        bqkv.reshape(1, d3),
-    )
 
 
 def _ln_qkv_attn_q8_kernel(
@@ -87,20 +40,9 @@ def _ln_qkv_attn_q8_kernel(
     )
     qkv = acc.astype(jnp.float32) * hs * ws_ref[:].astype(jnp.float32)
     qkv = (qkv + bias_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
-    for hh in range(num_heads):
-        base = hh * 3 * dh
-        q = qkv[:, base : base + dh] * jnp.asarray(scale, qkv.dtype)
-        k = qkv[:, base + dh : base + 2 * dh]
-        v = qkv[:, base + 2 * dh : base + 3 * dh]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
-        p = (p * inv).astype(v.dtype)
-        out_ref[0, :, hh * dh : (hh + 1) * dh] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32
+    for hh in range(num_heads):  # shared per-head attention math
+        out_ref[0, :, hh * dh : (hh + 1) * dh] = _head_context(
+            qkv, hh, dh, scale
         ).astype(out_ref.dtype)
 
 
@@ -131,7 +73,7 @@ def ln_qkv_attn_q8(
             (1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, seq_len, d), x2d.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(
         x2d.reshape(b, seq_len, d),
@@ -189,9 +131,7 @@ def ln_mlp_residual_q8(
             (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((rows, d), x2d.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
+        compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=4 * rows * d * f,
             bytes_accessed=rows * d * 4 + 2 * d * f,
@@ -224,13 +164,13 @@ def fused_encoder_block_q8(
 
     ``blk`` carries int8 ``wqkv``/``w1``/``w2`` with ``*_scale`` fp32
     companions (vit_tpu.ops.quant.quantize_params); ``wo`` stays fp
-    (out_proj is fused with the attention kernel).
+    (the out_proj+residual kernel is shared with the bf16 path).
     """
     if interpret is None:
         from vit_tpu.ops.pallas import interpret_default
 
         interpret = interpret_default()
-    from vit_tpu.ops.pallas.fused_block import ln_mlp_residual, out_residual
+    from vit_tpu.ops.pallas.fused_block import out_residual
 
     ctx = ln_qkv_attn_q8(
         x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["wqkv_scale"],

@@ -88,7 +88,7 @@ def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
     """
     blocks = dict(params["blocks"])
     out_blocks = dict(blocks)
-    # wo stays fp: out_proj is fused into the (bf16) attention kernel
+    # wo stays fp: the out_proj+residual kernel runs in bf16
     for name in ("wqkv", "w1", "w2"):
         w_q, s = quantize_weight_stacked(blocks[name])
         out_blocks[name] = w_q

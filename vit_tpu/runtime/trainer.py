@@ -86,17 +86,20 @@ def jit_train_step_for_mesh(
     opt_state_like: Any,
     ops: OpsImpl = REFERENCE_OPS,
     remat: bool = True,
+    compute_dtype=None,
 ):
     """jit the train step with explicit mesh shardings.
 
     Params + optimizer state follow the TP rules (optimizer moments shard
     like their params); images/labels shard over dp; loss is replicated.
+    ``compute_dtype`` enables mixed precision exactly as in make_train_step
+    (fp32 master weights/optimizer state, casts inside the loss).
     """
     p_shard = param_shardings(mesh, params_like)
     # optax states are pytrees whose array leaves mirror param shapes (mu/nu)
     # or are scalars (count); map matching-structure leaves to param rules.
     o_shard = _opt_state_shardings(opt_state_like, params_like, p_shard, mesh)
-    step = make_train_step(cfg, optimizer, ops, remat)
+    step = make_train_step(cfg, optimizer, ops, remat, compute_dtype=compute_dtype)
     return jax.jit(
         step,
         in_shardings=(p_shard, o_shard, batch_sharding(mesh, 4), batch_sharding(mesh, 1)),
