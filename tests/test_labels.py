@@ -41,19 +41,30 @@ def test_too_few_labels_raises(tmp_path):
         load_labels(str(f), num_classes=5)
 
 
-def test_fallback_placeholders(monkeypatch):
-    # Force the no-source path regardless of whether the reference is mounted.
+def test_fallback_placeholders(monkeypatch, tmp_path):
+    # Force the no-source path: packaged asset missing and no env source.
     import vit_tpu.io.labels as labels_mod
 
-    monkeypatch.setattr(labels_mod, "_DEFAULT_C_SOURCES", ())
+    monkeypatch.setattr(labels_mod, "_PACKAGED_LABELS", tmp_path / "nope.txt")
+    monkeypatch.delenv("VIT_TPU_LABELS_SOURCE", raising=False)
     labels = load_labels(None, num_classes=7)
     assert labels == [f"class_{i}" for i in range(7)]
 
 
-@pytest.mark.skipif(
-    not Path("/root/reference/Main.c").exists(), reason="reference not mounted"
-)
-def test_parses_reference_main_c():
+def test_packaged_asset_is_self_contained():
+    """The framework ships the ImageNet-1k names — no reference checkout
+    needed at runtime (Main.c:14-16's table, as standard public data)."""
     labels = load_labels(None, num_classes=1000)
     assert len(labels) == 1000
-    assert labels[65] != "class_65"  # real names parsed, not placeholders
+    assert labels[65] == "sea snake"  # answer_result.txt:1's class
+    assert labels[0] == "tench"
+
+
+def test_env_source_fallback(monkeypatch, tmp_path):
+    import vit_tpu.io.labels as labels_mod
+
+    src = tmp_path / "alt.c"
+    src.write_text('char* t[] = {"aa", "bb", "cc"};')
+    monkeypatch.setattr(labels_mod, "_PACKAGED_LABELS", tmp_path / "nope.txt")
+    monkeypatch.setenv("VIT_TPU_LABELS_SOURCE", str(src))
+    assert load_labels(None, num_classes=3) == ["aa", "bb", "cc"]

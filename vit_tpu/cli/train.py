@@ -107,6 +107,12 @@ def main(argv=None) -> int:
         if args.labels:
             labels = np.fromfile(args.labels, dtype="<i4")
         else:
+            print(
+                "warning: --input given without --labels; pairing real images "
+                "with RANDOM labels (smoke-test only — pass --labels to "
+                "fine-tune on real data)",
+                file=sys.stderr,
+            )
             labels = rng.integers(0, cfg.num_classes, len(images)).astype(np.int32)
     else:
         images = iio.synth_images(args.batch, cfg, seed=args.seed)

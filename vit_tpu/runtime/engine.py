@@ -126,11 +126,18 @@ class InferenceEngine:
                 self.cfg, self._ops, gelu_variant=self._gelu_variant,
                 return_features=True,
             )
+            jit_kwargs = {}
             if self._dp_shard_map:
                 from vit_tpu.parallel.shard_forward import shard_forward_dp
 
                 fwd = shard_forward_dp(fwd, self.mesh)
-            self._features_fn = jax.jit(fwd)
+            elif self.mesh is not None:
+                # same explicit placement as the main forward (__init__)
+                jit_kwargs["in_shardings"] = (
+                    param_shardings(self.mesh, self.params),
+                    batch_sharding(self.mesh, 4),
+                )
+            self._features_fn = jax.jit(fwd, **jit_kwargs)
         x, n = self._stage(images)
         return self._features_fn(self.params, x)[:n]
 
@@ -197,7 +204,7 @@ class InferenceEngine:
                 )
             for l in range(cfg.depth):
                 blk = jax.tree.map(lambda a: a[l], p["blocks"])
-                with timer.phase(f"layer_norm x2"):
+                with timer.phase("layer_norm x2"):
                     ln1 = sync(R.layer_norm(h, blk["ln1_scale"], blk["ln1_bias"],
                                             cfg.layernorm_eps))
                 with timer.phase("attention"):
@@ -206,7 +213,7 @@ class InferenceEngine:
                         cfg.num_heads,
                     ))
                 h = h + a
-                with timer.phase(f"layer_norm x2"):
+                with timer.phase("layer_norm x2"):
                     ln2 = sync(R.layer_norm(h, blk["ln2_scale"], blk["ln2_bias"],
                                             cfg.layernorm_eps))
                 with timer.phase("mlp"):
