@@ -158,10 +158,67 @@ def test_fused_dp_shard_map_matches_single_device(tiny_cfg, tiny_params, tiny_im
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
-def test_kernel_paths_reject_tp_mesh(tiny_cfg, tiny_params):
+@pytest.mark.parametrize("tp", [2, 4])
+def test_fused_tp_matches_single_device(tiny_cfg, tiny_params, tiny_images, tp):
+    # Tensor-parallel megakernels: heads split over 'tp' (column-parallel
+    # packed QKV), psum epilogues complete out_proj and the MLP
+    # (parallel/tp_forward.py; the reference's seam is the per-head loop
+    # ViT_opencl.c:546).  Must match the single-device fused path.
+    mesh = make_mesh({"dp": 8 // tp, "tp": tp})
+    single = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", ops="fused",
+                             batch_pad=4)
+    sharded = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", ops="fused",
+                              mesh=mesh, batch_pad=4)
+    a = np.asarray(single.logits(tiny_images))
+    b = np.asarray(sharded.logits(tiny_images))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_quant_tp_matches_single_device(tiny_cfg, tiny_params, tiny_images, tp):
+    # W8A8 under tp: int8 column shards are exact per-column; the dynamic
+    # mid-activation scale uses a cross-shard pmax and the FC2 accumulator
+    # psums in int32, so the quantization grouping matches the single-device
+    # kernel bit-for-bit (tp_forward._mlp_q8_tp).
+    mesh = make_mesh({"dp": 8 // tp, "tp": tp})
+    single = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", ops="quant",
+                             batch_pad=4)
+    sharded = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", ops="quant",
+                              mesh=mesh, batch_pad=4)
+    a = np.asarray(single.logits(tiny_images))
+    b = np.asarray(sharded.logits(tiny_images))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_fused_tp_features_and_bf16(tiny_cfg, tiny_params, tiny_images):
     mesh = make_mesh({"dp": 4, "tp": 2})
-    with pytest.raises(ValueError, match="tensor-parallel"):
-        InferenceEngine(tiny_cfg, tiny_params, ops="fused", mesh=mesh)
+    single = InferenceEngine(tiny_cfg, tiny_params, dtype="bfloat16", ops="fused",
+                             batch_pad=4)
+    sharded = InferenceEngine(tiny_cfg, tiny_params, dtype="bfloat16", ops="fused",
+                              mesh=mesh, batch_pad=4)
+    a = np.asarray(single.logits(tiny_images))
+    b = np.asarray(sharded.logits(tiny_images))
+    np.testing.assert_allclose(a, b, atol=5e-2)  # bf16 reduction-order noise
+    fa = np.asarray(single.features(tiny_images))
+    fb = np.asarray(sharded.features(tiny_images))
+    assert fa.shape == fb.shape == (4, tiny_cfg.embed_dim)
+    np.testing.assert_allclose(fa, fb, atol=5e-2)
+
+
+def test_unfused_kernel_paths_reject_tp_mesh(tiny_cfg, tiny_params):
+    # Per-op pallas and the custom-VJP trainable path still shard dp-only.
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    with pytest.raises(ValueError, match="data-parallel only"):
+        InferenceEngine(tiny_cfg, tiny_params, ops="pallas", mesh=mesh)
+
+
+def test_tp_must_divide_heads(tiny_cfg, tiny_params):
+    import dataclasses as dc
+
+    cfg3 = dc.replace(tiny_cfg, num_heads=3, name="vit_tiny_3h")
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    with pytest.raises(ValueError, match="must divide"):
+        InferenceEngine(cfg3, tiny_params, ops="fused", mesh=mesh)
 
 
 def test_distributed_helpers_single_host():

@@ -139,7 +139,10 @@ def test_cast_quantized_params_casts_ln_scales(tiny_params):
     assert blocks["wqkv"].dtype == jnp.int8
 
 
-def test_engine_rejects_quant_with_mesh(tiny_cfg, tiny_params):
+def test_engine_accepts_quant_with_tp_mesh(tiny_cfg, tiny_params):
+    # Round 1 rejected tp meshes on the quant path; the shard_map TP
+    # integration (parallel/tp_forward.py) now supports it — parity vs the
+    # single-device path is asserted in test_parallel.py.
     import jax as _jax
     import pytest as _pytest
 
@@ -149,5 +152,6 @@ def test_engine_rejects_quant_with_mesh(tiny_cfg, tiny_params):
     from vit_tpu.runtime import InferenceEngine
 
     mesh = make_mesh({"dp": 4, "tp": 2})
-    with _pytest.raises(ValueError, match="single-chip"):
-        InferenceEngine(tiny_cfg, tiny_params, ops="quant", mesh=mesh)
+    eng = InferenceEngine(tiny_cfg, tiny_params, ops="quant", mesh=mesh)
+    assert eng._tp_shard_map
+    assert eng.params["blocks"]["wqkv"].dtype == jnp.int8

@@ -83,7 +83,10 @@ def _head_context(qkv, h, dh, scale):
 def _ln_qkv_attn_kernel(
     x_ref, s_ref, b_ref, w_ref, bias_ref, out_ref, *, eps, num_heads, scale
 ):
-    dh = x_ref.shape[-1] // num_heads
+    # head_dim comes from the weight, not the input width: under tensor
+    # parallelism the kernel sees only this shard's (head,{q,k,v},dh)
+    # column block (num_heads = local heads), while x keeps the full D.
+    dh = w_ref.shape[-1] // (3 * num_heads)
     h_ln = _ln(x_ref[0], s_ref[:], b_ref[:], eps).astype(x_ref.dtype)
     qkv = jnp.dot(h_ln, w_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bias_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
@@ -96,12 +99,17 @@ def _ln_qkv_attn_kernel(
 def ln_qkv_attn(
     x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps, interpret=False
 ):
-    """(B*T, D) -> attention context (B*T, D): LN1, QKV projection, and the
-    per-head attention all inside one kernel; W_qkv stays VMEM-resident."""
+    """(B*T, D) -> attention context (B*T, Dctx): LN1, QKV projection, and
+    the per-head attention all inside one kernel; W_qkv stays VMEM-resident.
+
+    ``num_heads`` is the number of heads present in ``wqkv``'s packed
+    columns; Dctx = wqkv.shape[-1] // 3 (== D single-device, D/tp under TP).
+    """
     rows, d = x2d.shape
     d3 = wqkv.shape[-1]
+    d_ctx = d3 // 3
     b = rows // seq_len
-    scale = 1.0 / ((d // num_heads) ** 0.5)
+    scale = 1.0 / ((d_ctx // num_heads) ** 0.5)
     out = pl.pallas_call(
         functools.partial(
             _ln_qkv_attn_kernel, eps=eps, num_heads=num_heads, scale=scale
@@ -115,12 +123,12 @@ def ln_qkv_attn(
             pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, seq_len, d), x2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, seq_len, d_ctx), x2d.dtype),
         compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
-            flops=2 * rows * d * d3 + 4 * b * seq_len * seq_len * d,
+            flops=2 * rows * d * d3 + 4 * b * seq_len * seq_len * d_ctx,
             bytes_accessed=(2 * rows * d + d * d3) * x2d.dtype.itemsize,
             transcendentals=b * num_heads * seq_len * seq_len,
         ),
@@ -132,7 +140,7 @@ def ln_qkv_attn(
         wqkv,
         bqkv.reshape(1, d3),
     )
-    return out.reshape(rows, d)
+    return out.reshape(rows, d_ctx)
 
 
 # -- kernel B: out_proj + residual (row-blocked over all images) -------------
@@ -175,25 +183,38 @@ def out_residual(ctx, res, wo, bo, block_rows=512, interpret=False):
 
 
 def _ln_mlp_kernel(
-    x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, eps, variant
+    x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, eps,
+    variant, partial=False,
 ):
     h = _ln(x_ref[:], s_ref[:], b_ref[:], eps).astype(x_ref.dtype)
     h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
     h = _gelu(h + b1_ref[:].astype(jnp.float32), variant).astype(x_ref.dtype)
     acc = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-    acc = acc + b2_ref[:].astype(jnp.float32) + x_ref[:].astype(jnp.float32)
+    if not partial:  # TP row-parallel w2: bias+residual ride the psum epilogue
+        acc = acc + b2_ref[:].astype(jnp.float32) + x_ref[:].astype(jnp.float32)
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def ln_mlp_residual(
     x2d, ln_scale, ln_bias, w1, b1, w2, b2, eps, gelu_variant="exact",
-    block_rows=256, interpret=False,
+    block_rows=256, interpret=False, partial=False,
 ):
+    """LN2 -> FC1 -> GELU -> FC2 (-> +b2 +residual) over (B*T, D) rows.
+
+    ``partial=True`` is the tensor-parallel form: w1/b1 hold this shard's
+    MLP-hidden columns and w2 the matching rows; the kernel returns the fp32
+    partial product (no bias, no residual) for a psum epilogue outside
+    (Megatron row-parallel second GEMM; the reference's analog seam is the
+    per-head loop ViT_opencl.c:546, SURVEY.md §2.3).
+    """
     rows, d = x2d.shape
     f = w1.shape[-1]
     block_rows = min(block_rows, rows)
+    out_dtype = jnp.float32 if partial else x2d.dtype
     return pl.pallas_call(
-        functools.partial(_ln_mlp_kernel, eps=eps, variant=gelu_variant),
+        functools.partial(
+            _ln_mlp_kernel, eps=eps, variant=gelu_variant, partial=partial
+        ),
         grid=(pl.cdiv(rows, block_rows),),
         in_specs=[
             pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -207,7 +228,7 @@ def ln_mlp_residual(
         out_specs=pl.BlockSpec(
             (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((rows, d), x2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, d), out_dtype),
         compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=4 * rows * d * f,

@@ -32,7 +32,9 @@ def _quant_rows(h):
 def _ln_qkv_attn_q8_kernel(
     x_ref, s_ref, b_ref, wq_ref, ws_ref, bias_ref, out_ref, *, eps, num_heads, scale
 ):
-    dh = x_ref.shape[-1] // num_heads
+    # head_dim from the weight (tensor parallelism: the kernel may hold only
+    # this shard's head columns; see fused_block._ln_qkv_attn_kernel)
+    dh = wq_ref.shape[-1] // (3 * num_heads)
     h = _ln(x_ref[0], s_ref[:], b_ref[:], eps)  # fp32
     hq, hs = _quant_rows(h)
     acc = jax.lax.dot_general(
@@ -54,8 +56,9 @@ def ln_qkv_attn_q8(
     int8 QKV GEMM -> dequant -> attention, all in one kernel per image."""
     rows, d = x2d.shape
     d3 = wq.shape[-1]
+    d_ctx = d3 // 3
     b = rows // seq_len
-    scale = 1.0 / ((d // num_heads) ** 0.5)
+    scale = 1.0 / ((d_ctx // num_heads) ** 0.5)
     out = pl.pallas_call(
         functools.partial(
             _ln_qkv_attn_q8_kernel, eps=eps, num_heads=num_heads, scale=scale
@@ -70,9 +73,9 @@ def ln_qkv_attn_q8(
             pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, seq_len, d), x2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, seq_len, d_ctx), x2d.dtype),
         compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(
@@ -83,7 +86,7 @@ def ln_qkv_attn_q8(
         w_scale.reshape(1, d3),
         bqkv.reshape(1, d3),
     )
-    return out.reshape(rows, d)
+    return out.reshape(rows, d_ctx)
 
 
 def _ln_mlp_q8_kernel(
@@ -110,9 +113,13 @@ def ln_mlp_residual_q8(
     x2d, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2, eps,
     gelu_variant="exact", block_rows=128, interpret=False,
 ):
+    """int8 twin of fused_block.ln_mlp_residual.  (The tensor-parallel form
+    lives in parallel/tp_forward.py — the dynamic mid-activation row scale
+    needs a cross-shard pmax, so it can't stay inside one kernel.)"""
     rows, d = x2d.shape
     f = w1q.shape[-1]
     block_rows = min(block_rows, rows)
+    out_dtype = x2d.dtype
     return pl.pallas_call(
         functools.partial(_ln_mlp_q8_kernel, eps=eps, variant=gelu_variant),
         grid=(pl.cdiv(rows, block_rows),),
@@ -130,7 +137,7 @@ def ln_mlp_residual_q8(
         out_specs=pl.BlockSpec(
             (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((rows, d), x2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, d), out_dtype),
         compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=4 * rows * d * f,

@@ -11,6 +11,7 @@ no hand-written communication (the scaling-book recipe).
 from vit_tpu.parallel.mesh import make_mesh, mesh_shape_for
 from vit_tpu.parallel.sharding import (
     batch_sharding,
+    param_pspecs,
     param_shardings,
     replicate,
     shard_params,
@@ -19,6 +20,7 @@ from vit_tpu.parallel.sharding import (
 __all__ = [
     "make_mesh",
     "mesh_shape_for",
+    "param_pspecs",
     "param_shardings",
     "batch_sharding",
     "replicate",

@@ -7,9 +7,9 @@ device runs the full single-chip kernel program on its shard — data-parallel
 inference needs no collectives at all (the reference's only scale-out axis,
 SURVEY.md §2.3).
 
-Tensor-parallel kernel execution (splitting heads/MLP inside the kernels)
-would need psum epilogues in kernel B/C and is left to the xla path, which
-XLA already partitions with the TP rules in vit_tpu.parallel.sharding.
+Tensor-parallel kernel execution (splitting heads/MLP inside the kernels,
+with psum epilogues) lives in vit_tpu.parallel.tp_forward; this module is
+the collective-free dp-only fast path.
 """
 
 from __future__ import annotations

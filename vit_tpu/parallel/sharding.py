@@ -28,40 +28,41 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _named(mesh: Mesh, *spec) -> NamedSharding:
+def _pspec(axis_names, *spec) -> P:
     # Drop axis names the mesh doesn't have (lets the same rules serve
     # dp-only or tp-only meshes).
-    clean = tuple(s if s in mesh.axis_names else None for s in spec)
-    return NamedSharding(mesh, P(*clean))
+    return P(*(s if s in axis_names else None for s in spec))
 
 
-def param_shardings(mesh: Mesh, params: Any) -> Any:
-    """NamedSharding pytree matching vit_tpu.models.vit's params layout.
+def param_pspecs(axis_names, params: Any) -> Any:
+    """PartitionSpec pytree matching vit_tpu.models.vit's params layout
+    (consumed raw by shard_map in_specs, or wrapped into NamedShardings by
+    :func:`param_shardings`).
 
     Handles both the fp pytree and the quantized one (int8 weights carry
     ``*_scale`` companions, vit_tpu.ops.quant.quantize_params): per-channel
     scales shard with the output axis of their weight — wqkv/w1 scales over
     tp (column-parallel), w2 scale replicated (row-parallel output is full).
     """
-    rep1 = _named(mesh)  # fully replicated
+    rep1 = _pspec(axis_names)  # fully replicated
 
     block_rules = {
-        "ln1_scale": _named(mesh, None, None),
-        "ln1_bias": _named(mesh, None, None),
-        "wqkv": _named(mesh, None, None, "tp"),   # column-parallel QKV
-        "bqkv": _named(mesh, None, "tp"),
-        "wo": _named(mesh, None, "tp", None),     # row-parallel out_proj
-        "bo": _named(mesh, None, None),
-        "ln2_scale": _named(mesh, None, None),
-        "ln2_bias": _named(mesh, None, None),
-        "w1": _named(mesh, None, None, "tp"),     # column-parallel MLP in
-        "b1": _named(mesh, None, "tp"),
-        "w2": _named(mesh, None, "tp", None),     # row-parallel MLP out
-        "b2": _named(mesh, None, None),
+        "ln1_scale": _pspec(axis_names, None, None),
+        "ln1_bias": _pspec(axis_names, None, None),
+        "wqkv": _pspec(axis_names, None, None, "tp"),   # column-parallel QKV
+        "bqkv": _pspec(axis_names, None, "tp"),
+        "wo": _pspec(axis_names, None, "tp", None),     # row-parallel out_proj
+        "bo": _pspec(axis_names, None, None),
+        "ln2_scale": _pspec(axis_names, None, None),
+        "ln2_bias": _pspec(axis_names, None, None),
+        "w1": _pspec(axis_names, None, None, "tp"),     # column-parallel MLP in
+        "b1": _pspec(axis_names, None, "tp"),
+        "w2": _pspec(axis_names, None, "tp", None),     # row-parallel MLP out
+        "b2": _pspec(axis_names, None, None),
         # quantization scales (present only on the quantized pytree)
-        "wqkv_scale": _named(mesh, None, "tp"),
-        "w1_scale": _named(mesh, None, "tp"),
-        "w2_scale": _named(mesh, None, None),
+        "wqkv_scale": _pspec(axis_names, None, "tp"),
+        "w1_scale": _pspec(axis_names, None, "tp"),
+        "w2_scale": _pspec(axis_names, None, None),
     }
     present = {
         k: v for k, v in block_rules.items() if k in params.get("blocks", {})
@@ -76,13 +77,22 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
     }
 
 
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding pytree for the params (see :func:`param_pspecs`)."""
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        param_pspecs(mesh.axis_names, params),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard the leading (batch) axis over dp; rest replicated."""
-    return _named(mesh, *(["dp"] + [None] * (ndim - 1)))
+    return NamedSharding(mesh, _pspec(mesh.axis_names, *(["dp"] + [None] * (ndim - 1))))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:
-    return _named(mesh)
+    return NamedSharding(mesh, P())
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:

@@ -1,0 +1,214 @@
+"""Tensor-parallel execution of the fused Pallas kernel paths.
+
+GSPMD cannot partition a ``pallas_call``, so tensor parallelism for the
+megakernel ('fused') and W8A8 ('quant') paths is explicit shard_map SPMD:
+
+  - Kernel A (LN1+QKV+attention) is column-parallel: each tp shard holds the
+    packed (head, {q,k,v}, head_dim) columns of its own heads — the loader's
+    column order exists precisely for this seam (io/weights.py; the
+    reference's analog is the per-head loop ViT_opencl.c:546, the "natural
+    TP seam" per SURVEY.md §2.3) — and runs the attention core for those
+    heads only.  No communication: LN input is replicated over tp.
+  - out_proj is row-parallel: local context columns x the matching wo rows
+    give an fp32 partial product; ``psum`` over tp completes it, and
+    bias+residual ride the psum epilogue (XLA fuses the adds).
+  - Kernel C (LN2+MLP) is Megatron column->row parallel: w1/b1 split the MLP
+    hidden, w2 rows match, the kernel emits an fp32 partial (``partial=True``)
+    and the second psum completes the block.
+
+Two ICI all-reduces per layer over the (B_local*T, D) fp32 activation —
+the canonical Megatron count.  dp composes freely: the batch splits over
+'dp' while params replicate over it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vit_tpu.config import ViTConfig
+from vit_tpu.ops import reference
+from vit_tpu.parallel.sharding import param_pspecs
+
+
+def _precision_for(dtype):
+    # This JAX build computes fp32 dots in bf16 at DEFAULT precision; pin
+    # HIGHEST for fp32 operands (matches ops/reference.py's policy).
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+def fused_block_tp(
+    x2d: jax.Array,
+    blk,
+    heads_local: int,
+    seq_len: int,
+    eps: float,
+    gelu_variant: str,
+    axis: str,
+    quant: bool,
+    interpret: bool,
+) -> jax.Array:
+    """One pre-LN encoder block, this shard's slice: local-head attention,
+    psum-completed out_proj and MLP (see module docstring)."""
+    from vit_tpu.ops.pallas.fused_block import ln_mlp_residual, ln_qkv_attn
+
+    dtype = x2d.dtype
+    if quant:
+        from vit_tpu.ops.pallas.quant_kernels import ln_qkv_attn_q8
+
+        ctx = ln_qkv_attn_q8(
+            x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
+            blk["wqkv_scale"], blk["bqkv"], heads_local, seq_len, eps,
+            interpret=interpret,
+        )
+    else:
+        ctx = ln_qkv_attn(
+            x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["bqkv"],
+            heads_local, seq_len, eps, interpret=interpret,
+        )
+    # row-parallel out_proj: fp32 partial -> psum -> bias+residual epilogue
+    part = jnp.dot(
+        ctx, blk["wo"], preferred_element_type=jnp.float32,
+        precision=_precision_for(dtype),
+    )
+    part = jax.lax.psum(part, axis)
+    x2d = (
+        part + blk["bo"].astype(jnp.float32) + x2d.astype(jnp.float32)
+    ).astype(dtype)
+
+    if quant:
+        return _mlp_q8_tp(x2d, blk, eps, gelu_variant, axis)
+    part2 = ln_mlp_residual(
+        x2d, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
+        blk["w2"], blk["b2"], eps, gelu_variant, interpret=interpret,
+        partial=True,
+    )
+    part2 = jax.lax.psum(part2, axis)
+    return (
+        part2 + blk["b2"].astype(jnp.float32) + x2d.astype(jnp.float32)
+    ).astype(dtype)
+
+
+def _mlp_q8_tp(x2d, blk, eps, variant, axis):
+    """W8A8 MLP, tensor-parallel, matching the single-device kernel's
+    quantization grouping exactly (quant_kernels._ln_mlp_q8_kernel).
+
+    The mid activation's dynamic per-row int8 scale is an absmax over the
+    FULL MLP-hidden row, but each shard holds only F/tp columns — so the
+    scale needs a cross-shard ``pmax`` and the FC2 accumulator a psum *in
+    int32* (dequant after the sum keeps the arithmetic identical to the
+    unsharded kernel; the int8 GEMMs lower to the MXU through XLA here).
+    """
+    from vit_tpu.ops.pallas.fused_block import _gelu, _ln
+
+    f32 = jnp.float32
+    h = _ln(x2d, blk["ln2_scale"], blk["ln2_bias"], eps)  # fp32, full D
+    absmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    hs = jnp.maximum(absmax / 127.0, 1e-12)
+    hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+    acc1 = jax.lax.dot_general(
+        hq, blk["w1"], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    mid = acc1.astype(f32) * hs * blk["w1_scale"].astype(f32)
+    mid = _gelu(mid + blk["b1"].astype(f32), variant)
+    # global (full-row) scale: pmax over the tp shards of the hidden axis
+    mmax = jax.lax.pmax(jnp.max(jnp.abs(mid), axis=-1, keepdims=True), axis)
+    ms = jnp.maximum(mmax / 127.0, 1e-12)
+    mq = jnp.clip(jnp.round(mid / ms), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(
+        mq, blk["w2"], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    acc2 = jax.lax.psum(acc2, axis)  # exact: int32 before dequant
+    out = acc2.astype(f32) * ms * blk["w2_scale"].astype(f32)
+    out = out + blk["b2"].astype(f32) + x2d.astype(f32)
+    return out.astype(x2d.dtype)
+
+
+def _local_forward(
+    params,
+    images,
+    cfg: ViTConfig,
+    heads_local: int,
+    gelu_variant: str,
+    quant: bool,
+    interpret: bool,
+    axis: str = "tp",
+    return_features: bool = False,
+):
+    """Per-shard forward (runs inside shard_map): replicated embeddings/head,
+    TP encoder blocks.  Mirrors models/vit.forward's fused branch."""
+    compute_dtype = params["pos_embed"].dtype
+    x = images.astype(compute_dtype)
+    x = reference.patch_embed(
+        x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
+        cfg.patch_size,
+    )
+    x = reference.add_cls_and_pos(x, params["cls_token"], params["pos_embed"])
+    b, t, d = x.shape
+    x2 = x.reshape(b * t, d)
+
+    def body(carry, blk):
+        out = fused_block_tp(
+            carry, blk, heads_local, t, cfg.layernorm_eps, gelu_variant,
+            axis, quant, interpret,
+        )
+        return out, None
+
+    x2, _ = jax.lax.scan(body, x2, params["blocks"])
+    x = x2.reshape(b, t, d)
+    x = reference.layer_norm(
+        x, params["ln_final"]["scale"], params["ln_final"]["bias"],
+        cfg.layernorm_eps,
+    )
+    cls = x[..., 0, :]
+    if return_features:
+        return cls.astype(jnp.float32)
+    logits = reference.linear(cls, params["head"]["kernel"], params["head"]["bias"])
+    return logits.astype(jnp.float32)
+
+
+def shard_forward_tp(
+    cfg: ViTConfig,
+    mesh: Mesh,
+    ops_name: str,
+    params,
+    gelu_variant: str = "exact",
+    return_features: bool = False,
+):
+    """Build ``forward(params, images) -> logits`` running the fused or
+    quant kernel path over a (dp x) tp mesh.
+
+    Params must be placed with vit_tpu.parallel.param_shardings (same rules);
+    the batch splits over 'dp' (replicated if the mesh has no dp axis).
+    """
+    if "tp" not in mesh.axis_names:
+        raise ValueError(f"mesh {mesh.axis_names} has no 'tp' axis")
+    tp = mesh.shape["tp"]
+    if cfg.num_heads % tp:
+        raise ValueError(f"tp={tp} must divide num_heads={cfg.num_heads}")
+    if cfg.mlp_dim % tp:
+        raise ValueError(f"tp={tp} must divide mlp_dim={cfg.mlp_dim}")
+    quant = ops_name == "quant"
+    if ops_name not in ("fused", "quant"):
+        raise ValueError(f"shard_forward_tp supports ops 'fused'/'quant', got {ops_name!r}")
+
+    from vit_tpu.ops.pallas import interpret_default
+
+    heads_local = cfg.num_heads // tp
+    interpret = interpret_default()
+    batch_spec = P("dp") if "dp" in mesh.axis_names else P()
+
+    def local_fn(p, x):
+        return _local_forward(
+            p, x, cfg, heads_local, gelu_variant, quant, interpret,
+            return_features=return_features,
+        )
+
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(param_pspecs(mesh.axis_names, params), batch_spec),
+        out_specs=batch_spec,
+        check_vma=False,
+    )

@@ -59,19 +59,30 @@ class InferenceEngine:
         self._ops = get_ops(ops)
         self._gelu_variant = gelu_variant
         self._dp_shard_map = False
+        self._tp_shard_map = False
         if mesh is not None and self._ops.name != "xla":
             # GSPMD partitions the jnp path automatically, but pallas_call
-            # is a custom call XLA cannot shard.  Data-parallel kernel
-            # execution goes through shard_map (batch split over 'dp',
-            # params replicated, no collectives); tensor-parallel kernel
-            # execution is not supported — use ops='xla' for tp.
-            if mesh.shape.get("tp", 1) != 1:
+            # is a custom call XLA cannot shard.  Kernel paths go through
+            # shard_map: dp-only meshes split the batch with params
+            # replicated (no collectives); meshes with tp>1 additionally
+            # split heads/MLP-hidden across 'tp' with psum epilogues
+            # (parallel/tp_forward.py) — supported for the 'fused' and
+            # 'quant' paths.
+            if mesh.shape.get("tp", 1) == 1:
+                self._dp_shard_map = True
+            elif self._ops.name in ("fused", "quant"):
+                if cfg.num_heads % mesh.shape["tp"] or cfg.mlp_dim % mesh.shape["tp"]:
+                    raise ValueError(
+                        f"tp={mesh.shape['tp']} must divide num_heads="
+                        f"{cfg.num_heads} and mlp_dim={cfg.mlp_dim}"
+                    )
+                self._tp_shard_map = True
+            else:
                 raise ValueError(
-                    "tensor-parallel meshes require ops='xla' (GSPMD); the "
-                    "Pallas kernel paths shard data-parallel only (single-chip "
-                    "kernels under shard_map)"
+                    f"ops={self._ops.name!r} shards data-parallel only; "
+                    "tensor-parallel meshes need ops='xla' (GSPMD), 'fused', "
+                    "or 'quant' (shard_map kernel TP)"
                 )
-            self._dp_shard_map = True
 
         params = jax.tree.map(jnp.asarray, params)
         if ops == "quant":
@@ -93,17 +104,26 @@ class InferenceEngine:
             params = jax.device_put(params)
         self.params = params
 
-        fwd = vit.logits_fn(cfg, self._ops, gelu_variant=gelu_variant)
         jit_kwargs = {}
         if self._dp_shard_map:
             from vit_tpu.parallel.shard_forward import shard_forward_dp
 
-            fwd = shard_forward_dp(fwd, mesh)
-        elif mesh is not None:
-            jit_kwargs["in_shardings"] = (
-                param_shardings(mesh, params),
-                batch_sharding(mesh, 4),
+            fwd = shard_forward_dp(
+                vit.logits_fn(cfg, self._ops, gelu_variant=gelu_variant), mesh
             )
+        elif self._tp_shard_map:
+            from vit_tpu.parallel.tp_forward import shard_forward_tp
+
+            fwd = shard_forward_tp(
+                cfg, mesh, self._ops.name, params, gelu_variant=gelu_variant
+            )
+        else:
+            fwd = vit.logits_fn(cfg, self._ops, gelu_variant=gelu_variant)
+            if mesh is not None:
+                jit_kwargs["in_shardings"] = (
+                    param_shardings(mesh, params),
+                    batch_sharding(mesh, 4),
+                )
         self._forward = jax.jit(fwd, **jit_kwargs)
         self._input_sharding = batch_sharding(mesh, 4) if mesh is not None else None
 
@@ -122,21 +142,35 @@ class InferenceEngine:
         """(B, C, H, W) -> (B, D) final-LN CLS embeddings (transfer
         learning / retrieval vectors)."""
         if not hasattr(self, "_features_fn"):
-            fwd = vit.logits_fn(
-                self.cfg, self._ops, gelu_variant=self._gelu_variant,
-                return_features=True,
-            )
             jit_kwargs = {}
             if self._dp_shard_map:
                 from vit_tpu.parallel.shard_forward import shard_forward_dp
 
-                fwd = shard_forward_dp(fwd, self.mesh)
-            elif self.mesh is not None:
-                # same explicit placement as the main forward (__init__)
-                jit_kwargs["in_shardings"] = (
-                    param_shardings(self.mesh, self.params),
-                    batch_sharding(self.mesh, 4),
+                fwd = shard_forward_dp(
+                    vit.logits_fn(
+                        self.cfg, self._ops, gelu_variant=self._gelu_variant,
+                        return_features=True,
+                    ),
+                    self.mesh,
                 )
+            elif self._tp_shard_map:
+                from vit_tpu.parallel.tp_forward import shard_forward_tp
+
+                fwd = shard_forward_tp(
+                    self.cfg, self.mesh, self._ops.name, self.params,
+                    gelu_variant=self._gelu_variant, return_features=True,
+                )
+            else:
+                fwd = vit.logits_fn(
+                    self.cfg, self._ops, gelu_variant=self._gelu_variant,
+                    return_features=True,
+                )
+                if self.mesh is not None:
+                    # same explicit placement as the main forward (__init__)
+                    jit_kwargs["in_shardings"] = (
+                        param_shardings(self.mesh, self.params),
+                        batch_sharding(self.mesh, 4),
+                    )
             self._features_fn = jax.jit(fwd, **jit_kwargs)
         x, n = self._stage(images)
         return self._features_fn(self.params, x)[:n]
