@@ -27,6 +27,10 @@ def main(argv=None) -> None:
     ap.add_argument("--batch", type=int, default=100)
     args = ap.parse_args(argv)
 
+    from vit_tpu.runtime.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # amortize the 60-300s tunnel compiles
+
     import jax
     import jax.numpy as jnp
 

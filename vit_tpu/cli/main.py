@@ -44,7 +44,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument(
-        "--ops", default="auto", choices=["auto", "xla", "pallas", "fused"]
+        "--ops",
+        default="auto",
+        choices=["auto", "xla", "pallas", "fused", "quant"],
+        help="compute path: xla (jnp oracle), pallas (per-op kernels), "
+        "fused (megakernels), quant (W8A8 int8 GEMMs)",
+    )
+    p.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel size (heads/MLP split over a device mesh)",
+    )
+    p.add_argument(
+        "--dp", type=int, default=None,
+        help="data-parallel size (default: devices/tp when tp>1)",
+    )
+    p.add_argument(
+        "--no-compile-cache", action="store_true",
+        help="disable the persistent XLA compilation cache "
+        "(default dir: ~/.cache/vit_tpu/xla or $VIT_TPU_COMPILE_CACHE)",
     )
     p.add_argument("--gelu", default="exact", choices=["exact", "tanh"])
     p.add_argument("--batch-pad", type=int, default=32)
@@ -88,11 +105,27 @@ def main(argv=None) -> int:
     from vit_tpu.io.labels import load_labels
     from vit_tpu.runtime import InferenceEngine
 
+    if not args.no_compile_cache:
+        from vit_tpu.runtime.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
     cfg = get_config(args.config)
 
     ops = args.ops
     if ops == "auto":
         ops = "fused" if jax.default_backend() == "tpu" else "xla"
+
+    mesh = None
+    if args.tp > 1 or args.dp:
+        from vit_tpu.parallel import make_mesh, mesh_shape_for
+
+        shape = mesh_shape_for(
+            (args.dp or jax.device_count() // args.tp) * args.tp,
+            tp=args.tp, dp=args.dp,
+        )
+        mesh = make_mesh(shape, jax.devices()[: shape["dp"] * shape["tp"]])
+        print(f"mesh: {shape} over {jax.device_count()} device(s)")
 
     t_load0 = time.perf_counter()
     if args.input:
@@ -115,7 +148,7 @@ def main(argv=None) -> int:
     t_load = time.perf_counter() - t_load0
 
     engine = InferenceEngine(
-        cfg, params, dtype=args.dtype, ops=ops,
+        cfg, params, dtype=args.dtype, ops=ops, mesh=mesh,
         batch_pad=args.batch_pad, gelu_variant=args.gelu,
     )
 

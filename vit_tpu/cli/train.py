@@ -42,6 +42,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save", help="save final params to this .npz")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument(
+        "--ops",
+        default="auto",
+        choices=["auto", "xla", "fused_train"],
+        help="forward path: xla (jnp, GSPMD-shardable) or fused_train "
+        "(Pallas megakernel forward with custom-VJP backward; dp-only "
+        "meshes). auto = fused_train on a TPU backend when tp==1",
+    )
+    p.add_argument(
+        "--mixed-precision", action="store_true",
+        help="bf16 compute with fp32 master weights and optimizer state",
+    )
+    p.add_argument(
+        "--no-compile-cache", action="store_true",
+        help="disable the persistent XLA compilation cache",
+    )
     return p
 
 
@@ -65,6 +81,11 @@ def main(argv=None) -> int:
     )
     from vit_tpu.runtime import trainer
 
+    if not args.no_compile_cache:
+        from vit_tpu.runtime.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
     cfg = get_config(args.config)
     n_dev = jax.device_count()
     mesh_axes = mesh_shape_for(
@@ -72,6 +93,29 @@ def main(argv=None) -> int:
     )
     mesh = make_mesh(mesh_axes, jax.devices()[: mesh_axes["dp"] * mesh_axes["tp"]])
     print(f"mesh: {mesh_axes} over {n_dev} device(s), backend={jax.default_backend()}")
+
+    ops_name = args.ops
+    if ops_name == "auto":
+        ops_name = (
+            "fused_train"
+            if jax.default_backend() == "tpu" and mesh_axes["tp"] == 1
+            else "xla"
+        )
+    if ops_name == "fused_train" and mesh_axes["tp"] != 1:
+        print(
+            "error: --ops fused_train shards data-parallel only; "
+            "use --ops xla with --tp",
+            file=sys.stderr,
+        )
+        return 2
+    from vit_tpu.ops.dispatch import get_ops
+
+    ops = get_ops(ops_name)
+    compute_dtype = jnp.bfloat16 if args.mixed_precision else None
+    print(
+        f"ops: {ops_name}  mixed_precision: {bool(args.mixed_precision)}  "
+        f"remat: {not args.no_remat}"
+    )
 
     if args.schedule == "warmup_cosine":
         lr = optax.warmup_cosine_decay_schedule(
@@ -90,16 +134,29 @@ def main(argv=None) -> int:
         params, opt_state = trainer.init_train_state(
             jax.random.key(args.seed), cfg, optimizer
         )
-    params = shard_params(params, mesh)
-    opt_state = jax.device_put(
-        opt_state,
-        trainer._opt_state_shardings(
-            opt_state, params, param_shardings(mesh, params), mesh
-        ),
-    )
-    step = trainer.jit_train_step_for_mesh(
-        cfg, optimizer, mesh, params, opt_state, remat=not args.no_remat
-    )
+    if ops_name == "fused_train":
+        # Pallas custom-VJP path: params/optimizer replicated, batch over
+        # dp, per-shard grads pmean'd under shard_map.
+        from vit_tpu.parallel import replicate
+
+        params = jax.device_put(params, replicate(mesh))
+        opt_state = jax.device_put(opt_state, replicate(mesh))
+        step = trainer.jit_train_step_dp_shard_map(
+            cfg, optimizer, mesh, ops,
+            remat=not args.no_remat, compute_dtype=compute_dtype,
+        )
+    else:
+        params = shard_params(params, mesh)
+        opt_state = jax.device_put(
+            opt_state,
+            trainer._opt_state_shardings(
+                opt_state, params, param_shardings(mesh, params), mesh
+            ),
+        )
+        step = trainer.jit_train_step_for_mesh(
+            cfg, optimizer, mesh, params, opt_state, ops=ops,
+            remat=not args.no_remat, compute_dtype=compute_dtype,
+        )
 
     rng = np.random.default_rng(args.seed)
     if args.input:

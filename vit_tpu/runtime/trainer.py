@@ -27,6 +27,22 @@ def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return nll.mean()
 
 
+def _make_loss_fn(cfg, ops, remat, compute_dtype):
+    def loss_fn(params, images, labels, rng=None):
+        def fwd(p, x):
+            if compute_dtype is not None:
+                p = vit.cast_params(p, compute_dtype)
+                x = x.astype(compute_dtype)
+            return vit.forward(p, x, cfg, ops, dropout_rng=rng)
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+        logits = fwd(params, images)
+        return cross_entropy_loss(logits, labels)
+
+    return loss_fn
+
+
 def make_train_step(
     cfg: ViTConfig,
     optimizer: optax.GradientTransformation,
@@ -47,17 +63,7 @@ def make_train_step(
     the loss (gradients land back in fp32 through the cast).
     """
 
-    def loss_fn(params, images, labels, rng=None):
-        def fwd(p, x):
-            if compute_dtype is not None:
-                p = vit.cast_params(p, compute_dtype)
-                x = x.astype(compute_dtype)
-            return vit.forward(p, x, cfg, ops, dropout_rng=rng)
-
-        if remat:
-            fwd = jax.checkpoint(fwd)
-        logits = fwd(params, images)
-        return cross_entropy_loss(logits, labels)
+    loss_fn = _make_loss_fn(cfg, ops, remat, compute_dtype)
 
     if use_dropout:
 
@@ -106,6 +112,47 @@ def jit_train_step_for_mesh(
         out_shardings=(p_shard, o_shard, replicate(mesh)),
         donate_argnums=(0, 1),
     )
+
+
+def jit_train_step_dp_shard_map(
+    cfg: ViTConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    ops: OpsImpl,
+    remat: bool = True,
+    compute_dtype=None,
+):
+    """Data-parallel train step for Pallas-kernel op paths (e.g.
+    'fused_train'), which GSPMD cannot partition: per-shard value_and_grad
+    under shard_map with pmean'd loss/grads (the one collective), optimizer
+    update on replicated params outside.  Params and optimizer state stay
+    replicated; the batch splits over 'dp'.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    loss_fn = _make_loss_fn(cfg, ops, remat, compute_dtype)
+
+    def local(params, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        loss = jax.lax.pmean(loss, "dp")
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), grads)
+        return loss, grads
+
+    grad_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def step(params, opt_state, images, labels):
+        loss, grads = grad_fn(params, images, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def _opt_state_shardings(opt_state, params, p_shard, mesh):
