@@ -1,0 +1,434 @@
+"""Hand-written backward Pallas kernels for the fused encoder block.
+
+Round 1 trained the fused path by recomputing the whole block through jnp
+reference ops under ``jax.vjp`` (correct, but the backward ran at the slow
+per-op XLA rate).  These kernels mirror the three forward megakernels
+(fused_block.py) with the standard analytic VJPs:
+
+  A'. d[LN1+QKV+attention]: recompute LN1/QKV/softmax probs in VMEM (one
+      grid step per image, like the forward), then per-head dV/dP/dS/dQ/dK,
+      assemble dQKV, dW_qkv/db accumulation, LN backward -> dx.
+  B'. d[out_proj+residual]:  dctx = dx1 Wo^T, dWo = ctx^T dx1, dbo = sum.
+  C'. d[LN2+MLP+residual]:   recompute LN2/FC1/GELU, du = (dy W2^T) * gelu',
+      dW2/dW1/db accumulation, LN backward -> dx1.
+
+Design notes (pallas_guide.md):
+  - Weight-gradient outputs use constant index maps, so one fp32 VMEM
+    accumulator is revisited across sequential grid steps (zeroed on step 0
+    via ``pl.when``), exactly the reduction the reference could never
+    express in per-op OpenCL launches.
+  - The last row block of a ragged (B*T, D) activation is PADDED WITH
+    GARBAGE on TPU; every kernel masks invalid rows to zero before they can
+    reach an accumulator.
+  - All MXU dots take bf16/fp32 operands with fp32 accumulation
+    (preferred_element_type), matching the forward's precision policy.
+
+Forward counterparts & parity tests: fused_block.py, tests/test_backward.py.
+Training-completeness context: the reference is inference-only (SURVEY.md
+§5 "checkpoint/resume"); training is this framework's extension axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_tpu.ops.pallas.fused_block import _VMEM_LIMIT, _gelu, _ln
+from vit_tpu.ops.pallas.mlp_kernel import _erf
+
+_INV_SQRT2PI = 0.3989422804014327  # 1/sqrt(2*pi)
+
+
+def _gelu_grad(u, variant):
+    """d gelu(u) / du for both reference variants (fp32).
+
+    exact:  Phi(u) + u * phi(u)                      (ViT_seq.c:232 erf form)
+    tanh:   0.5(1+t) + 0.5 u (1-t^2) c (1+3*0.044715 u^2)   (kernel.cl:442)
+    """
+    if variant == "exact":
+        phi_cdf = 0.5 * (1.0 + _erf(u * 0.7071067811865476))
+        pdf = _INV_SQRT2PI * jnp.exp(-0.5 * u * u)
+        return phi_cdf + u * pdf
+    c = 0.7978845608028654
+    inner = c * (u + 0.044715 * u * u * u)
+    t = jnp.tanh(inner)
+    return 0.5 * (1.0 + t) + 0.5 * u * (1.0 - t * t) * c * (1.0 + 3 * 0.044715 * u * u)
+
+
+def _ln_stats(x_f32, eps):
+    mean = jnp.mean(x_f32, axis=-1, keepdims=True)
+    c = x_f32 - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    return c * inv, inv  # (xhat, 1/sigma)
+
+
+def _ln_bwd_dx(dh, xhat, inv, gamma):
+    """Input gradient of y = xhat*gamma + beta (per-row statistics)."""
+    dxhat = dh * gamma
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return inv * (dxhat - m1 - xhat * m2)
+
+
+def _row_mask(rows_total, block_rows):
+    i = pl.program_id(0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, 1), 0)
+    return (i * block_rows + row_ids) < rows_total
+
+
+# -- kernel C backward: d[LN2 + FC1 + GELU + FC2 + residual] ------------------
+
+
+def _ln_mlp_bwd_kernel(
+    dy_ref, x1_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbeta_ref,
+    *, eps, variant, rows_total,
+):
+    mask = _row_mask(rows_total, dy_ref.shape[0])
+    dy = jnp.where(mask, dy_ref[:].astype(jnp.float32), 0.0)
+    x1 = jnp.where(mask, x1_ref[:].astype(jnp.float32), 0.0)
+    gamma = s_ref[:].astype(jnp.float32)
+
+    # recompute forward intermediates (remat in VMEM — nothing stashed)
+    xhat, inv = _ln_stats(x1, eps)
+    h2 = (xhat * gamma + b_ref[:].astype(jnp.float32)).astype(dy_ref.dtype)
+    u = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
+    u = u + b1_ref[:].astype(jnp.float32)
+    g = _gelu(u, variant)
+
+    # dm = dy (residual add passes gradient through)
+    dg = jnp.dot(
+        dy.astype(dy_ref.dtype), w2_ref[:].T, preferred_element_type=jnp.float32
+    )
+    du = dg * _gelu_grad(u, variant)
+    du_c = du.astype(dy_ref.dtype)
+    dh2 = jnp.dot(du_c, w1_ref[:].T, preferred_element_type=jnp.float32)
+    dx_ln = _ln_bwd_dx(dh2, xhat, inv, gamma)
+    dx_ref[:] = (dy + dx_ln).astype(dx_ref.dtype)
+
+    # fp32 accumulators, revisited across all row blocks
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
+
+    g_c = g.astype(dy_ref.dtype)
+    dy_c = dy.astype(dy_ref.dtype)
+    dw1_ref[:] += jax.lax.dot_general(
+        h2, du_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1_ref[:] += jnp.sum(du, axis=0, keepdims=True)
+    dw2_ref[:] += jax.lax.dot_general(
+        g_c, dy_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db2_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+    dg_ref[:] += jnp.sum(dh2 * xhat, axis=0, keepdims=True)
+    dbeta_ref[:] += jnp.sum(dh2, axis=0, keepdims=True)
+
+
+def ln_mlp_residual_bwd(
+    dy, x1, ln_scale, ln_bias, w1, b1, w2, eps, gelu_variant="exact",
+    block_rows=256, interpret=False,
+):
+    """VJP of fused_block.ln_mlp_residual (non-partial form).
+
+    Returns (dx1, d_ln_scale, d_ln_bias, dw1, db1, dw2, db2); weight grads
+    in fp32 (caller casts to the param dtype)."""
+    rows, d = dy.shape
+    f = w1.shape[-1]
+    block_rows = min(block_rows, rows)
+    grid = (pl.cdiv(rows, block_rows),)
+    acc = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)  # noqa: E731
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    outs = pl.pallas_call(
+        functools.partial(
+            _ln_mlp_bwd_kernel, eps=eps, variant=gelu_variant, rows_total=rows
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const((1, d)),
+            const((1, d)),
+            const((d, f)),
+            const((1, f)),
+            const((f, d)),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const((d, f)),
+            const((1, f)),
+            const((f, d)),
+            const((1, d)),
+            const((1, d)),
+            const((1, d)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, d), dy.dtype),
+            acc((d, f)), acc((1, f)), acc((f, d)), acc((1, d)),
+            acc((1, d)), acc((1, d)),
+        ),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * rows * d * f,
+            bytes_accessed=(3 * rows * d + 2 * d * f) * dy.dtype.itemsize,
+            transcendentals=2 * rows * f,
+        ),
+        interpret=interpret,
+    )(
+        dy, x1,
+        ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+        w1, b1.reshape(1, f), w2,
+    )
+    dx1, dw1, db1, dw2, db2, dgam, dbeta = outs
+    return (
+        dx1, dgam.reshape(d), dbeta.reshape(d),
+        dw1, db1.reshape(f), dw2, db2.reshape(d),
+    )
+
+
+# -- kernel B backward: d[out_proj + residual] --------------------------------
+
+
+def _out_res_bwd_kernel(
+    dx1_ref, ctx_ref, wo_ref, dctx_ref, dwo_ref, dbo_ref, *, rows_total
+):
+    mask = _row_mask(rows_total, dx1_ref.shape[0])
+    dx1 = jnp.where(mask, dx1_ref[:].astype(jnp.float32), 0.0)
+    ctx = jnp.where(mask, ctx_ref[:].astype(jnp.float32), 0.0)
+    dx1_c = dx1.astype(dx1_ref.dtype)
+    dctx_ref[:] = jnp.dot(
+        dx1_c, wo_ref[:].T, preferred_element_type=jnp.float32
+    ).astype(dctx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+
+    dwo_ref[:] += jax.lax.dot_general(
+        ctx.astype(ctx_ref.dtype), dx1_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbo_ref[:] += jnp.sum(dx1, axis=0, keepdims=True)
+
+
+def out_residual_bwd(dx1, ctx, wo, block_rows=512, interpret=False):
+    """VJP of fused_block.out_residual -> (dctx, dwo, dbo).
+    (The residual input's gradient is dx1 itself — handled by the caller.)"""
+    rows, d_in = ctx.shape
+    d = dx1.shape[-1]
+    block_rows = min(block_rows, rows)
+    outs = pl.pallas_call(
+        functools.partial(_out_res_bwd_kernel, rows_total=rows),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, d_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, d_in), dx1.dtype),
+            jax.ShapeDtypeStruct((d_in, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * d * d_in,
+            bytes_accessed=(3 * rows * d + d * d_in) * dx1.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(dx1, ctx, wo)
+    dctx, dwo, dbo = outs
+    return dctx, dwo, dbo.reshape(d)
+
+
+# -- kernel A backward: d[LN1 + QKV + attention] ------------------------------
+
+
+def _ln_qkv_attn_bwd_kernel(
+    dctx_ref, dres_ref, x_ref, s_ref, b_ref, w_ref, bias_ref,
+    dx_ref, dw_ref, dbq_ref, dg_ref, dbeta_ref,
+    *, eps, num_heads, scale,
+):
+    d3 = w_ref.shape[-1]
+    dh = d3 // (3 * num_heads)
+    cdtype = x_ref.dtype
+    gamma = s_ref[:].astype(jnp.float32)
+
+    # recompute LN1 + QKV (same math as the forward kernel)
+    xf = x_ref[0].astype(jnp.float32)
+    xhat, inv = _ln_stats(xf, eps)
+    h1 = (xhat * gamma + b_ref[:].astype(jnp.float32)).astype(cdtype)
+    qkv = jnp.dot(h1, w_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bias_ref[:].astype(jnp.float32)).astype(cdtype)
+
+    parts = []  # packed (head, {q,k,v}, dh) column order, same as the weights
+    for h in range(num_heads):
+        base = h * 3 * dh
+        q_s = qkv[:, base : base + dh] * jnp.asarray(scale, cdtype)  # q*scale
+        k = qkv[:, base + dh : base + 2 * dh]
+        v = qkv[:, base + 2 * dh : base + 3 * dh]
+        s_scores = jax.lax.dot_general(
+            q_s, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(s_scores, axis=-1, keepdims=True)
+        e = jnp.exp(s_scores - m)
+        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))  # fp32 probs
+        p_c = p.astype(cdtype)
+
+        dctx_h = dctx_ref[0, :, h * dh : (h + 1) * dh].astype(cdtype)
+        dv = jax.lax.dot_general(
+            p_c, dctx_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            dctx_h, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds_c = ds.astype(cdtype)
+        dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds_c, q_s, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        parts += [dq, dk, dv]
+
+    dqkv = jnp.concatenate(parts, axis=1)
+    dqkv_c = dqkv.astype(cdtype)
+    dh1 = jnp.dot(dqkv_c, w_ref[:].T, preferred_element_type=jnp.float32)
+    dx_ln = _ln_bwd_dx(dh1, xhat, inv, gamma)
+    dx_ref[0] = (dres_ref[0].astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dbq_ref[:] = jnp.zeros_like(dbq_ref)
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
+
+    dw_ref[:] += jax.lax.dot_general(
+        h1, dqkv_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dbq_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dg_ref[:] += jnp.sum(dh1 * xhat, axis=0, keepdims=True)
+    dbeta_ref[:] += jnp.sum(dh1, axis=0, keepdims=True)
+
+
+def ln_qkv_attn_bwd(
+    dctx, dres, x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps,
+    interpret=False,
+):
+    """VJP of fused_block.ln_qkv_attn, fused with the first residual's
+    gradient join: dx = dres + d(LN1+QKV+attention)/dx.
+
+    One grid step per image, mirroring the forward: probs are recomputed in
+    VMEM (nothing T^2 was ever stashed to HBM).  Returns
+    (dx, d_ln_scale, d_ln_bias, dwqkv, dbqkv) with weight grads fp32."""
+    rows, d = x2d.shape
+    d3 = wqkv.shape[-1]
+    d_ctx = d3 // 3
+    b = rows // seq_len
+    scale = 1.0 / ((d_ctx // num_heads) ** 0.5)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    outs = pl.pallas_call(
+        functools.partial(
+            _ln_qkv_attn_bwd_kernel, eps=eps, num_heads=num_heads, scale=scale
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const((1, d)),
+            const((1, d)),
+            const((d, d3)),
+            const((1, d3)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const((d, d3)),
+            const((1, d3)),
+            const((1, d)),
+            const((1, d)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, seq_len, d), x2d.dtype),
+            jax.ShapeDtypeStruct((d, d3), jnp.float32),
+            jax.ShapeDtypeStruct((1, d3), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * rows * d * d3 + 10 * b * seq_len * seq_len * d_ctx,
+            bytes_accessed=(4 * rows * d + 2 * d * d3) * x2d.dtype.itemsize,
+            transcendentals=b * num_heads * seq_len * seq_len,
+        ),
+        interpret=interpret,
+    )(
+        dctx.reshape(b, seq_len, d_ctx),
+        dres.reshape(b, seq_len, d),
+        x2d.reshape(b, seq_len, d),
+        ln_scale.reshape(1, d),
+        ln_bias.reshape(1, d),
+        wqkv,
+        bqkv.reshape(1, d3),
+    )
+    dx, dw, dbq, dgam, dbeta = outs
+    return (
+        dx.reshape(rows, d), dgam.reshape(d), dbeta.reshape(d),
+        dw, dbq.reshape(d3),
+    )
+
+
+def fused_encoder_block_bwd(
+    x2d, blk, ctx, x1, g, num_heads, seq_len, eps, gelu_variant, interpret,
+):
+    """Full-block backward from saved (x, ctx, x1) residuals.
+
+    Chains C' -> B' -> A' and returns (dx, dblk) with dblk matching the
+    params pytree keys/dtypes."""
+    dx1_mlp, dg2, dbt2, dw1, db1, dw2, db2 = ln_mlp_residual_bwd(
+        g, x1, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
+        blk["w2"], eps, gelu_variant, interpret=interpret,
+    )
+    dctx, dwo, dbo = out_residual_bwd(
+        dx1_mlp, ctx, blk["wo"], interpret=interpret
+    )
+    dx, dg1, dbt1, dwqkv, dbqkv = ln_qkv_attn_bwd(
+        dctx, dx1_mlp, x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
+        blk["bqkv"], num_heads, seq_len, eps, interpret=interpret,
+    )
+
+    def like(val, ref):
+        return val.astype(ref.dtype)
+
+    dblk = {
+        "ln1_scale": like(dg1, blk["ln1_scale"]),
+        "ln1_bias": like(dbt1, blk["ln1_bias"]),
+        "wqkv": like(dwqkv, blk["wqkv"]),
+        "bqkv": like(dbqkv, blk["bqkv"]),
+        "wo": like(dwo, blk["wo"]),
+        "bo": like(dbo, blk["bo"]),
+        "ln2_scale": like(dg2, blk["ln2_scale"]),
+        "ln2_bias": like(dbt2, blk["ln2_bias"]),
+        "w1": like(dw1, blk["w1"]),
+        "b1": like(db1, blk["b1"]),
+        "w2": like(dw2, blk["w2"]),
+        "b2": like(db2, blk["b2"]),
+    }
+    return dx, dblk

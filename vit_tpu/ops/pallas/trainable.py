@@ -1,24 +1,26 @@
 """Differentiable wrapper for the fused encoder block.
 
-``pallas_call`` has no automatic VJP, so the megakernel path can't be used
-under ``jax.grad`` directly.  This wrapper gives the fused block a custom
-VJP: the *forward* runs the three fused Pallas kernels (fast), the
-*backward* recomputes the block with the jnp reference ops and
-differentiates that (correct by construction, and the recompute doubles as
-rematerialization — no activation stash).
-
-Dedicated backward Pallas kernels are the designed next step; this makes
-``ops='fused'`` trainable today with the same numerics as the xla path.
+``pallas_call`` has no automatic VJP, so the megakernel path carries a
+custom one.  The *forward* runs the three fused Pallas kernels and stashes
+only (x, ctx, x1) per layer; the *backward* runs hand-written backward
+Pallas kernels (vit_tpu.ops.pallas.backward) that recompute LN/QKV/softmax
+in VMEM and accumulate weight grads in fp32 — the round-1 jnp-recompute
+backward is kept as ``fused_encoder_block_trainable_ref`` (it remains the
+numerical cross-check in tests/test_backward.py).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
 
 import jax
 
-from vit_tpu.ops.pallas.fused_block import fused_encoder_block
+from vit_tpu.ops.pallas.fused_block import (
+    fused_encoder_block,
+    ln_mlp_residual,
+    ln_qkv_attn,
+    out_residual,
+)
 
 
 def _reference_block_2d(x2d, blk, num_heads, seq_len, eps, gelu_variant):
@@ -35,6 +37,9 @@ def _reference_block_2d(x2d, blk, num_heads, seq_len, eps, gelu_variant):
     return x.reshape(rows, d)
 
 
+# -- flagship: Pallas forward + Pallas backward -------------------------------
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def fused_encoder_block_trainable(
     x2d, blk, num_heads: int, seq_len: int, eps: float, gelu_variant: str = "exact"
@@ -43,11 +48,52 @@ def fused_encoder_block_trainable(
 
 
 def _fwd(x2d, blk, num_heads, seq_len, eps, gelu_variant):
+    from vit_tpu.ops.pallas import interpret_default
+
+    interpret = interpret_default()
+    ctx = ln_qkv_attn(
+        x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["bqkv"],
+        num_heads, seq_len, eps, interpret=interpret,
+    )
+    x1 = out_residual(ctx, x2d, blk["wo"], blk["bo"], interpret=interpret)
+    out = ln_mlp_residual(
+        x1, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
+        blk["w2"], blk["b2"], eps, gelu_variant, interpret=interpret,
+    )
+    return out, (x2d, blk, ctx, x1)
+
+
+def _bwd(num_heads, seq_len, eps, gelu_variant, residuals, g):
+    from vit_tpu.ops.pallas import interpret_default
+    from vit_tpu.ops.pallas.backward import fused_encoder_block_bwd
+
+    x2d, blk, ctx, x1 = residuals
+    dx, dblk = fused_encoder_block_bwd(
+        x2d, blk, ctx, x1, g, num_heads, seq_len, eps, gelu_variant,
+        interpret=interpret_default(),
+    )
+    return dx, dblk
+
+
+fused_encoder_block_trainable.defvjp(_fwd, _bwd)
+
+
+# -- round-1 fallback: Pallas forward + jnp-recompute backward ----------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_encoder_block_trainable_ref(
+    x2d, blk, num_heads: int, seq_len: int, eps: float, gelu_variant: str = "exact"
+):
+    return fused_encoder_block(x2d, blk, num_heads, seq_len, eps, gelu_variant)
+
+
+def _fwd_ref(x2d, blk, num_heads, seq_len, eps, gelu_variant):
     out = fused_encoder_block(x2d, blk, num_heads, seq_len, eps, gelu_variant)
     return out, (x2d, blk)
 
 
-def _bwd(num_heads, seq_len, eps, gelu_variant, residuals, g):
+def _bwd_ref(num_heads, seq_len, eps, gelu_variant, residuals, g):
     x2d, blk = residuals
     _, vjp = jax.vjp(
         lambda x, b: _reference_block_2d(x, b, num_heads, seq_len, eps, gelu_variant),
@@ -57,4 +103,4 @@ def _bwd(num_heads, seq_len, eps, gelu_variant, residuals, g):
     return vjp(g)
 
 
-fused_encoder_block_trainable.defvjp(_fwd, _bwd)
+fused_encoder_block_trainable_ref.defvjp(_fwd_ref, _bwd_ref)
