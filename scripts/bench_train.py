@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""On-chip train-step benchmark + backward-kernel parity (VERDICT r1 #2).
+
+Compares the kernel-VJP fused_train step against the round-1 recompute-VJP
+and the xla path at ViT-B/16 batch-64 bf16 adamw; verifies compiled-mode
+grads against the jnp autodiff on a small fp32 batch first.
+
+Run alone (the chip is shared; see docs/performance.md pitfalls).
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from vit_tpu.runtime.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vit_tpu.config import VIT_B_16
+from vit_tpu.models import vit
+from vit_tpu.ops.dispatch import get_ops
+from vit_tpu.runtime import trainer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--paths", default="fused_train,xla")
+    args = ap.parse_args()
+
+    cfg = VIT_B_16
+    print("backend:", jax.default_backend())
+
+    rng = np.random.default_rng(0)
+    if not args.skip_parity:
+        # compiled-mode grad parity, fp32, small batch
+        params = vit.init_params(jax.random.key(0), cfg, jnp.float32)
+        imgs = jnp.asarray(rng.normal(size=(4, 3, 224, 224)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 1000, 4), jnp.int32)
+
+        def loss(ops_name):
+            ops = get_ops(ops_name)
+            def f(p):
+                logits = vit.forward(p, imgs, cfg, ops)
+                return trainer.cross_entropy_loss(logits, labels)
+            return f
+
+        opts = trainer.kernel_backward_compiler_options()
+        g_new = jax.jit(jax.grad(loss("fused_train")), compiler_options=opts)(params)
+        g_ref = jax.jit(jax.grad(loss("xla")))(params)
+        devs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), g_new, g_ref
+        )
+        worst = max(jax.tree.leaves(devs))
+        print(f"compiled grad parity (fp32, batch 4): max dev = {worst:.3e}")
+        assert worst < 1e-4, devs
+
+    # timing: bf16 mixed precision, adamw
+    optimizer = optax.adamw(1e-3)
+    imgs = jnp.asarray(rng.normal(size=(args.batch, 3, 224, 224)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 1000, args.batch), jnp.int32)
+
+    for ops_name in args.paths.split(","):
+        params, opt_state = trainer.init_train_state(
+            jax.random.key(1), cfg, optimizer
+        )
+        remat = ops_name == "xla"  # custom-VJP paths already recompute
+        step = jax.jit(
+            trainer.make_train_step(
+                cfg, optimizer, get_ops(ops_name), remat=remat,
+                compute_dtype=jnp.bfloat16,
+            ),
+            donate_argnums=(0, 1),
+            compiler_options=(
+                trainer.kernel_backward_compiler_options()
+                if ops_name != "xla" else None
+            ),
+        )
+
+        def run(n, params, opt_state):
+            t0 = time.perf_counter()
+            loss = None
+            for _ in range(n):
+                params, opt_state, loss = step(params, opt_state, imgs, labels)
+            lv = float(loss)  # host sync
+            return (time.perf_counter() - t0) / n, lv, params, opt_state
+
+        _, _, params, opt_state = run(3, params, opt_state)  # warm/compile
+        dt, lv, params, opt_state = run(args.iters, params, opt_state)
+        print(
+            f"{ops_name}: {dt*1e3:.1f} ms/step  "
+            f"({args.batch/dt:.0f} img/s)  loss={lv:.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

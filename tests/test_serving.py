@@ -1,0 +1,168 @@
+"""Dynamic-batching inference server tests (runtime/serving.py + serve CLI).
+
+The reference has no serving story (one-shot Main.c loop); correctness bar
+here: coalesced variable-size concurrent requests return exactly what the
+engine returns for each request alone.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from vit_tpu.io import images as iio
+from vit_tpu.runtime import InferenceEngine
+from vit_tpu.runtime.serving import InferenceServer, measure_throughput
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_cfg, tiny_params):
+    return InferenceEngine(tiny_cfg, tiny_params, dtype="float32", batch_pad=8)
+
+
+def test_variable_size_requests_match_direct_engine(engine, tiny_cfg):
+    reqs = [iio.synth_images(n, tiny_cfg, seed=10 + n) for n in (1, 3, 2, 5, 4)]
+    with InferenceServer(engine, max_batch=8, max_delay_ms=20.0) as srv:
+        futures = [srv.submit(r) for r in reqs]
+        results = [f.result(timeout=60) for f in futures]
+    for r, (labels, top, probs) in zip(reqs, results):
+        want_labels, want_top = engine.classify(r)
+        np.testing.assert_array_equal(labels, want_labels)
+        np.testing.assert_allclose(top, want_top, atol=1e-6)
+        assert probs.shape == (len(r), tiny_cfg.num_classes)
+
+
+def test_requests_coalesce_into_batches(engine, tiny_cfg):
+    # 6 single-image requests submitted together with a generous delay
+    # window must run in fewer batches than requests.
+    reqs = [iio.synth_images(1, tiny_cfg, seed=i) for i in range(6)]
+    with InferenceServer(engine, max_batch=8, max_delay_ms=200.0) as srv:
+        srv.classify(reqs[0])  # warm-up batch
+        futures = [srv.submit(r) for r in reqs]
+        for f in futures:
+            f.result(timeout=60)
+        assert srv.stats.batches < 1 + len(reqs)
+        assert srv.stats.images == 1 + len(reqs)
+
+
+def test_concurrent_submitters(engine, tiny_cfg):
+    errs = []
+
+    def worker(seed):
+        try:
+            imgs = iio.synth_images(2, tiny_cfg, seed=seed)
+            labels, top, _ = srv.classify(imgs, timeout=60)
+            want, _ = engine.classify(imgs)
+            np.testing.assert_array_equal(labels, want)
+        except Exception as e:  # surface into the main thread
+            errs.append(e)
+
+    with InferenceServer(engine, max_batch=4, max_delay_ms=5.0) as srv:
+        threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert not errs
+
+
+def test_submit_validates_shape(engine):
+    with InferenceServer(engine) as srv:
+        with pytest.raises(ValueError):
+            srv.submit(np.zeros((3, 3)))
+    with pytest.raises(RuntimeError):
+        srv.submit(np.zeros((1, 3, 32, 32)))  # stopped server
+
+
+def test_measure_throughput_runs(engine, tiny_cfg):
+    with InferenceServer(engine, max_batch=8, max_delay_ms=1.0) as srv:
+        rate, total = measure_throughput(srv, [1, 2, 3, 4], tiny_cfg)
+    assert rate > 0 and total == 10
+
+
+def test_serve_cli_selftest(tiny_cfg, tmp_path, monkeypatch, capsys):
+    import json
+
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.serve import main as serve_main
+    from vit_tpu.io import weights as wio
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    wio.save_reference_weights(
+        wio.synth_reference_tensors(tiny_cfg, seed=1), tmp_path / "Network", tiny_cfg
+    )
+    rc = serve_main([
+        "--config", "vit_tiny_test", "--weights", str(tmp_path / "Network"),
+        "--dtype", "float32", "--selftest", "5", "--max-batch", "8",
+        "--batch-pad", "8", "--no-compile-cache",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] > 0 and out["requests"] == 5
+
+
+def test_serve_http_endpoint(tiny_cfg, tiny_params, tmp_path, monkeypatch):
+    """Full HTTP round-trip on an ephemeral port: wire format in, JSON out."""
+    import http.client
+    import json
+    import time
+
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli import serve as serve_mod
+    from vit_tpu.io import weights as wio
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    wio.save_reference_weights(
+        wio.synth_reference_tensors(tiny_cfg, seed=1), tmp_path / "Network", tiny_cfg
+    )
+    args = serve_mod.build_parser().parse_args([
+        "--config", "vit_tiny_test", "--weights", str(tmp_path / "Network"),
+        "--dtype", "float32", "--port", "0", "--batch-pad", "8",
+        "--no-compile-cache",
+    ])
+    cfg, ops, server = serve_mod._build_server(args)
+
+    # Run the daemon in a thread; capture the httpd instance to learn the
+    # bound ephemeral port and to shut it down cleanly.
+    import http.server as hs
+    import threading as th
+
+    bound = {}
+    orig_init = hs.ThreadingHTTPServer.__init__
+
+    def capture_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        bound["httpd"] = self
+
+    monkeypatch.setattr(hs.ThreadingHTTPServer, "__init__", capture_init)
+    t = th.Thread(
+        target=lambda: serve_mod._http_daemon(args, cfg, ops, server),
+        daemon=True,
+    )
+    t.start()
+    for _ in range(100):
+        if "httpd" in bound:
+            break
+        time.sleep(0.05)
+    port = bound["httpd"].server_address[1]
+
+    images = iio.synth_images(3, tiny_cfg, seed=5)
+    header = np.array(images.shape, dtype="<i4").tobytes()
+    body = header + np.asarray(images, dtype="<f4").tobytes()
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/classify", body=body)
+    resp = json.loads(conn.getresponse().read())
+    assert len(resp["results"]) == 3
+    eng = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", batch_pad=8)
+    want, _ = eng.classify(images)
+    assert [r["label"] for r in resp["results"]] == [int(x) for x in want]
+    assert all(isinstance(r["name"], str) for r in resp["results"])
+
+    conn.request("GET", "/healthz")
+    health = json.loads(conn.getresponse().read())
+    assert health["ok"] and health["images"] >= 3
+
+    bound["httpd"].shutdown()
+    t.join(timeout=10)
+    assert not t.is_alive()

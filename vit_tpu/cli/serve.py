@@ -1,0 +1,188 @@
+"""Serving daemon CLI.
+
+Generalizes the reference's one-shot driver loop (Main.c:45-72) into a
+long-running service: an HTTP endpoint accepting image batches in the
+reference's own wire format (input-100.bin layout: int32[4] header +
+fp32 NCHW), answered with the result lines' data as JSON, backed by the
+dynamic-batching InferenceServer (runtime/serving.py).
+
+Usage::
+
+    vit-tpu-serve --weights ./Network --port 8117
+    # POST /classify with an input-100.bin-format body -> JSON results
+    # GET  /healthz -> liveness + batching stats
+
+    vit-tpu-serve --weights ./Network --allow-synth-weights --selftest 200
+    # in-process throughput check on a stream of variable-size requests
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vit-tpu-serve")
+    p.add_argument("--config", default="vit_b_16")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--allow-synth-weights", action="store_true")
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--ops", default="auto",
+                   choices=["auto", "xla", "pallas", "fused", "quant"])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8117)
+    p.add_argument("--max-batch", type=int, default=64,
+                   help="coalesce requests up to this many images")
+    p.add_argument("--max-delay-ms", type=float, default=5.0,
+                   help="max time to wait filling a batch")
+    p.add_argument("--batch-pad", type=int, default=32,
+                   help="padding grain (one compiled program per padded size)")
+    p.add_argument("--labels", help="label names file (default: packaged ImageNet)")
+    p.add_argument(
+        "--selftest", type=int, metavar="N", default=None,
+        help="serve N randomized variable-size requests in-process, print "
+        "one JSON throughput line, and exit (no socket)",
+    )
+    p.add_argument("--no-compile-cache", action="store_true")
+    return p
+
+
+def _build_server(args):
+    import jax
+
+    from vit_tpu.config import get_config
+    from vit_tpu.io import weights as wio
+    from vit_tpu.runtime import InferenceEngine
+    from vit_tpu.runtime.serving import InferenceServer
+
+    if not args.no_compile_cache:
+        from vit_tpu.runtime.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
+    cfg = get_config(args.config)
+    ops = args.ops
+    if ops == "auto":
+        ops = "fused" if jax.default_backend() == "tpu" else "xla"
+    params = wio.load_reference_weights(
+        args.weights, cfg, allow_synth=args.allow_synth_weights
+    )
+    engine = InferenceEngine(
+        cfg, params, dtype=args.dtype, ops=ops, batch_pad=args.batch_pad
+    )
+    server = InferenceServer(
+        engine, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
+    )
+    return cfg, ops, server
+
+
+def _selftest(args, cfg, ops, server) -> int:
+    import numpy as np
+
+    from vit_tpu.runtime.serving import measure_throughput
+
+    rng = np.random.default_rng(0)
+    sizes = [int(v) for v in rng.integers(1, args.max_batch + 1, args.selftest)]
+    with server:
+        img_per_sec, total = measure_throughput(server, sizes, cfg)
+    print(
+        json.dumps(
+            {
+                "metric": f"serving images/sec, {cfg.name} variable-size stream",
+                "value": round(img_per_sec, 2),
+                "unit": "images/sec",
+                "requests": args.selftest,
+                "images": total,
+                "images_per_batch": round(server.stats.images_per_batch, 2),
+                "batches": server.stats.batches,
+                "ops": ops,
+                "dtype": args.dtype,
+            }
+        )
+    )
+    return 0
+
+
+def _http_daemon(args, cfg, ops, server) -> int:
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from vit_tpu.io.images import parse_image_bytes
+    from vit_tpu.io.labels import load_labels
+
+    label_names = load_labels(args.labels, cfg.num_classes)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet access log
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                s = server.stats
+                self._send(200, {
+                    "ok": True, "model": cfg.name, "ops": ops,
+                    "requests": s.requests, "images": s.images,
+                    "batches": s.batches,
+                    "images_per_batch": round(s.images_per_batch, 2),
+                })
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/classify":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                images = parse_image_bytes(self.rfile.read(n))
+                labels, top_probs, _ = server.classify(images)
+                self._send(200, {
+                    "results": [
+                        {
+                            "index": i,
+                            "label": int(l),
+                            "prob": float(p),
+                            "name": label_names[int(l)],
+                        }
+                        for i, (l, p) in enumerate(zip(labels, top_probs))
+                    ]
+                })
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # keep the daemon alive on bad requests
+                self._send(500, {"error": repr(e)})
+
+    httpd = ThreadingHTTPServer((args.host, args.port), Handler)
+    print(
+        f"vit-tpu-serve: {cfg.name} ops={ops} dtype={args.dtype} "
+        f"listening on http://{args.host}:{httpd.server_address[1]}"
+    )
+    with server:
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.server_close()
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg, ops, server = _build_server(args)
+    if args.selftest is not None:
+        return _selftest(args, cfg, ops, server)
+    return _http_daemon(args, cfg, ops, server)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,6 +42,20 @@ def load_image_bin(path) -> np.ndarray:
     return data.reshape(n, c, h, w)
 
 
+def parse_image_bytes(data: bytes) -> np.ndarray:
+    """In-memory variant of load_image_bin (e.g. an HTTP request body in the
+    serving daemon): same int32[4]-header + fp32-NCHW wire format."""
+    header = np.frombuffer(data, dtype="<i4", count=4)
+    if header.size != 4:
+        raise ValueError("truncated header (Network.c:36-44 format)")
+    n, c, h, w = (int(v) for v in header)
+    want = n * c * h * w
+    body = np.frombuffer(data, dtype="<f4", offset=16, count=-1)
+    if body.size != want:
+        raise ValueError(f"expected {want} fp32 values, got {body.size}")
+    return body.reshape(n, c, h, w).copy()
+
+
 def save_image_bin(images: np.ndarray, path) -> None:
     """Write (N, C, H, W) float32 in the reference's binary format."""
     images = np.asarray(images, dtype="<f4")

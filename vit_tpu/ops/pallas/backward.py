@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vit_tpu.ops.pallas.fused_block import _VMEM_LIMIT, _gelu, _ln
+from vit_tpu.ops.pallas.fused_block import _VMEM_LIMIT, _gelu, _ln, dot_precision
 from vit_tpu.ops.pallas.mlp_kernel import _erf
 
 _INV_SQRT2PI = 0.3989422804014327  # 1/sqrt(2*pi)
@@ -84,30 +84,42 @@ def _row_mask(rows_total, block_rows):
 # -- kernel C backward: d[LN2 + FC1 + GELU + FC2 + residual] ------------------
 
 
-def _ln_mlp_bwd_kernel(
-    dy_ref, x1_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
-    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbeta_ref,
-    *, eps, variant, rows_total,
-):
+def _ln_mlp_bwd_kernel(*refs, eps, variant, rows_total, have_u):
+    if have_u:
+        (dy_ref, x1_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, u_ref,
+         dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbeta_ref) = refs
+    else:
+        (dy_ref, x1_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
+         dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbeta_ref) = refs
+        u_ref = None
+    prec = dot_precision(dy_ref.dtype)
     mask = _row_mask(rows_total, dy_ref.shape[0])
     dy = jnp.where(mask, dy_ref[:].astype(jnp.float32), 0.0)
     x1 = jnp.where(mask, x1_ref[:].astype(jnp.float32), 0.0)
     gamma = s_ref[:].astype(jnp.float32)
 
-    # recompute forward intermediates (remat in VMEM — nothing stashed)
+    # recompute LN in VMEM; use the stashed pre-GELU u when the forward
+    # saved it (skips the FC1 recompute GEMM), else recompute it too
     xhat, inv = _ln_stats(x1, eps)
     h2 = (xhat * gamma + b_ref[:].astype(jnp.float32)).astype(dy_ref.dtype)
-    u = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
-    u = u + b1_ref[:].astype(jnp.float32)
+    if u_ref is not None:
+        u = jnp.where(mask, u_ref[:].astype(jnp.float32), 0.0)
+    else:
+        u = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32, precision=prec)
+        u = u + b1_ref[:].astype(jnp.float32)
     g = _gelu(u, variant)
 
     # dm = dy (residual add passes gradient through)
-    dg = jnp.dot(
-        dy.astype(dy_ref.dtype), w2_ref[:].T, preferred_element_type=jnp.float32
+    dg = jax.lax.dot_general(
+        dy.astype(dy_ref.dtype), w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
     )
     du = dg * _gelu_grad(u, variant)
     du_c = du.astype(dy_ref.dtype)
-    dh2 = jnp.dot(du_c, w1_ref[:].T, preferred_element_type=jnp.float32)
+    dh2 = jax.lax.dot_general(
+        du_c, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
     dx_ln = _ln_bwd_dx(dh2, xhat, inv, gamma)
     dx_ref[:] = (dy + dx_ln).astype(dx_ref.dtype)
 
@@ -124,11 +136,13 @@ def _ln_mlp_bwd_kernel(
     g_c = g.astype(dy_ref.dtype)
     dy_c = dy.astype(dy_ref.dtype)
     dw1_ref[:] += jax.lax.dot_general(
-        h2, du_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        h2, du_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
     )
     db1_ref[:] += jnp.sum(du, axis=0, keepdims=True)
     dw2_ref[:] += jax.lax.dot_general(
-        g_c, dy_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        g_c, dy_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
     )
     db2_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
     dg_ref[:] += jnp.sum(dh2 * xhat, axis=0, keepdims=True)
@@ -137,7 +151,7 @@ def _ln_mlp_bwd_kernel(
 
 def ln_mlp_residual_bwd(
     dy, x1, ln_scale, ln_bias, w1, b1, w2, eps, gelu_variant="exact",
-    block_rows=256, interpret=False,
+    block_rows=None, interpret=False, u=None,
 ):
     """VJP of fused_block.ln_mlp_residual (non-partial form).
 
@@ -145,24 +159,38 @@ def ln_mlp_residual_bwd(
     in fp32 (caller casts to the param dtype)."""
     rows, d = dy.shape
     f = w1.shape[-1]
+    if block_rows is None:
+        block_rows = 256  # measured best at B/16 (512 regressed 4%)
     block_rows = min(block_rows, rows)
     grid = (pl.cdiv(rows, block_rows),)
     acc = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)  # noqa: E731
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        const((1, d)),
+        const((1, d)),
+        const((d, f)),
+        const((1, f)),
+        const((f, d)),
+    ]
+    inputs = [
+        dy, x1,
+        ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+        w1, b1.reshape(1, f), w2,
+    ]
+    if u is not None:
+        in_specs.append(
+            pl.BlockSpec((block_rows, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(u)
     outs = pl.pallas_call(
         functools.partial(
-            _ln_mlp_bwd_kernel, eps=eps, variant=gelu_variant, rows_total=rows
+            _ln_mlp_bwd_kernel, eps=eps, variant=gelu_variant,
+            rows_total=rows, have_u=u is not None,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            const((1, d)),
-            const((1, d)),
-            const((d, f)),
-            const((1, f)),
-            const((f, d)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             const((d, f)),
@@ -184,15 +212,162 @@ def ln_mlp_residual_bwd(
             transcendentals=2 * rows * f,
         ),
         interpret=interpret,
-    )(
-        dy, x1,
-        ln_scale.reshape(1, d), ln_bias.reshape(1, d),
-        w1, b1.reshape(1, f), w2,
-    )
+    )(*inputs)
     dx1, dw1, db1, dw2, db2, dgam, dbeta = outs
     return (
         dx1, dgam.reshape(d), dbeta.reshape(d),
         dw1, db1.reshape(f), dw2, db2.reshape(d),
+    )
+
+
+
+
+# -- merged kernel C'+B': d[LN2+MLP+residual] chained into d[out_proj+residual]
+# One kernel per row block: dx1 never round-trips to HBM between the MLP
+# backward and the out_proj backward (measured win at B/16 batch-64).
+
+
+def _ln_mlp_out_bwd_kernel(*refs, eps, variant, rows_total, have_u):
+    if have_u:
+        (dy_ref, x1_ref, ctx_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
+         wo_ref, u_ref,
+         dx_ref, dctx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref,
+         dbeta_ref, dwo_ref, dbo_ref) = refs
+    else:
+        (dy_ref, x1_ref, ctx_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
+         wo_ref,
+         dx_ref, dctx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref,
+         dbeta_ref, dwo_ref, dbo_ref) = refs
+        u_ref = None
+    prec = dot_precision(dy_ref.dtype)
+    mask = _row_mask(rows_total, dy_ref.shape[0])
+    dy = jnp.where(mask, dy_ref[:].astype(jnp.float32), 0.0)
+    x1 = jnp.where(mask, x1_ref[:].astype(jnp.float32), 0.0)
+    ctx = jnp.where(mask, ctx_ref[:].astype(jnp.float32), 0.0)
+    gamma = s_ref[:].astype(jnp.float32)
+
+    xhat, inv = _ln_stats(x1, eps)
+    h2 = (xhat * gamma + b_ref[:].astype(jnp.float32)).astype(dy_ref.dtype)
+    if u_ref is not None:
+        u = jnp.where(mask, u_ref[:].astype(jnp.float32), 0.0)
+    else:
+        u = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32, precision=prec)
+        u = u + b1_ref[:].astype(jnp.float32)
+    g = _gelu(u, variant)
+
+    dg = jax.lax.dot_general(
+        dy.astype(dy_ref.dtype), w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    du = dg * _gelu_grad(u, variant)
+    du_c = du.astype(dy_ref.dtype)
+    dh2 = jax.lax.dot_general(
+        du_c, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dx1 = dy + _ln_bwd_dx(dh2, xhat, inv, gamma)
+    dx_ref[:] = dx1.astype(dx_ref.dtype)
+
+    # chain directly into the out_proj backward while dx1 is in VMEM
+    dx1_c = dx1.astype(dy_ref.dtype)
+    dctx_ref[:] = jax.lax.dot_general(
+        dx1_c, wo_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(dctx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+
+    g_c = g.astype(dy_ref.dtype)
+    dy_c = dy.astype(dy_ref.dtype)
+    dw1_ref[:] += jax.lax.dot_general(
+        h2, du_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    db1_ref[:] += jnp.sum(du, axis=0, keepdims=True)
+    dw2_ref[:] += jax.lax.dot_general(
+        g_c, dy_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    db2_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+    dg_ref[:] += jnp.sum(dh2 * xhat, axis=0, keepdims=True)
+    dbeta_ref[:] += jnp.sum(dh2, axis=0, keepdims=True)
+    dwo_ref[:] += jax.lax.dot_general(
+        ctx.astype(ctx_ref.dtype), dx1_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dbo_ref[:] += jnp.sum(dx1, axis=0, keepdims=True)
+
+
+def ln_mlp_out_residual_bwd(
+    dy, x1, ctx, ln_scale, ln_bias, w1, b1, w2, wo, eps,
+    gelu_variant="exact", block_rows=256, interpret=False, u=None,
+):
+    """Fused VJP of [LN2+MLP+residual] o [out_proj+residual]: returns
+    (dx1, dctx, d_ln_scale, d_ln_bias, dw1, db1, dw2, db2, dwo, dbo)."""
+    rows, d = dy.shape
+    f = w1.shape[-1]
+    d_ctx = ctx.shape[-1]
+    block_rows = min(block_rows, rows)
+    grid = (pl.cdiv(rows, block_rows),)
+    acc = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)  # noqa: E731
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    rowblk = lambda w: pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    in_specs = [
+        rowblk(d), rowblk(d), rowblk(d_ctx),
+        const((1, d)), const((1, d)),
+        const((d, f)), const((1, f)), const((f, d)),
+        const((d_ctx, d)),
+    ]
+    inputs = [
+        dy, x1, ctx,
+        ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+        w1, b1.reshape(1, f), w2,
+        wo,
+    ]
+    if u is not None:
+        in_specs.append(rowblk(f))
+        inputs.append(u)
+    outs = pl.pallas_call(
+        functools.partial(
+            _ln_mlp_out_bwd_kernel, eps=eps, variant=gelu_variant,
+            rows_total=rows, have_u=u is not None,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            rowblk(d), rowblk(d_ctx),
+            const((d, f)), const((1, f)), const((f, d)), const((1, d)),
+            const((1, d)), const((1, d)),
+            const((d_ctx, d)), const((1, d)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, d), dy.dtype),
+            jax.ShapeDtypeStruct((rows, d_ctx), dy.dtype),
+            acc((d, f)), acc((1, f)), acc((f, d)), acc((1, d)),
+            acc((1, d)), acc((1, d)),
+            acc((d_ctx, d)), acc((1, d)),
+        ),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * rows * d * f + 4 * rows * d * d_ctx,
+            bytes_accessed=(4 * rows * d + 2 * d * f + d_ctx * d) * dy.dtype.itemsize,
+            transcendentals=2 * rows * f,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    (dx1, dctx, dw1, db1, dw2, db2, dgam, dbeta, dwo, dbo) = outs
+    return (
+        dx1, dctx, dgam.reshape(d), dbeta.reshape(d),
+        dw1, db1.reshape(f), dw2, db2.reshape(d), dwo, dbo.reshape(d),
     )
 
 
@@ -202,12 +377,14 @@ def ln_mlp_residual_bwd(
 def _out_res_bwd_kernel(
     dx1_ref, ctx_ref, wo_ref, dctx_ref, dwo_ref, dbo_ref, *, rows_total
 ):
+    prec = dot_precision(dx1_ref.dtype)
     mask = _row_mask(rows_total, dx1_ref.shape[0])
     dx1 = jnp.where(mask, dx1_ref[:].astype(jnp.float32), 0.0)
     ctx = jnp.where(mask, ctx_ref[:].astype(jnp.float32), 0.0)
     dx1_c = dx1.astype(dx1_ref.dtype)
-    dctx_ref[:] = jnp.dot(
-        dx1_c, wo_ref[:].T, preferred_element_type=jnp.float32
+    dctx_ref[:] = jax.lax.dot_general(
+        dx1_c, wo_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
     ).astype(dctx_ref.dtype)
 
     @pl.when(pl.program_id(0) == 0)
@@ -217,7 +394,7 @@ def _out_res_bwd_kernel(
 
     dwo_ref[:] += jax.lax.dot_general(
         ctx.astype(ctx_ref.dtype), dx1_c, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     dbo_ref[:] += jnp.sum(dx1, axis=0, keepdims=True)
 
@@ -261,31 +438,41 @@ def out_residual_bwd(dx1, ctx, wo, block_rows=512, interpret=False):
 # -- kernel A backward: d[LN1 + QKV + attention] ------------------------------
 
 
-def _ln_qkv_attn_bwd_kernel(
-    dctx_ref, dres_ref, x_ref, s_ref, b_ref, w_ref, bias_ref,
-    dx_ref, dw_ref, dbq_ref, dg_ref, dbeta_ref,
-    *, eps, num_heads, scale,
-):
+def _ln_qkv_attn_bwd_kernel(*refs, eps, num_heads, scale, have_qkv):
+    if have_qkv:
+        (dctx_ref, dres_ref, x_ref, s_ref, b_ref, w_ref, bias_ref, qkv_ref,
+         dx_ref, dw_ref, dbq_ref, dg_ref, dbeta_ref, dqkv_scr) = refs
+    else:
+        (dctx_ref, dres_ref, x_ref, s_ref, b_ref, w_ref, bias_ref,
+         dx_ref, dw_ref, dbq_ref, dg_ref, dbeta_ref, dqkv_scr) = refs
+        qkv_ref = None
     d3 = w_ref.shape[-1]
     dh = d3 // (3 * num_heads)
     cdtype = x_ref.dtype
+    prec = dot_precision(cdtype)
     gamma = s_ref[:].astype(jnp.float32)
 
-    # recompute LN1 + QKV (same math as the forward kernel)
+    # recompute LN1 (cheap, VPU); reuse the stashed packed QKV when the
+    # forward saved it (skips the QKV GEMM recompute)
     xf = x_ref[0].astype(jnp.float32)
     xhat, inv = _ln_stats(xf, eps)
     h1 = (xhat * gamma + b_ref[:].astype(jnp.float32)).astype(cdtype)
-    qkv = jnp.dot(h1, w_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bias_ref[:].astype(jnp.float32)).astype(cdtype)
+    if qkv_ref is not None:
+        qkv = qkv_ref[0]
+    else:
+        qkv = jnp.dot(h1, w_ref[:], preferred_element_type=jnp.float32, precision=prec)
+        qkv = (qkv + bias_ref[:].astype(jnp.float32)).astype(cdtype)
 
-    parts = []  # packed (head, {q,k,v}, dh) column order, same as the weights
+    # packed (head, {q,k,v}, dh) column order, written straight into the
+    # VMEM scratch (a 3*heads-way concat lowered poorly in Mosaic)
     for h in range(num_heads):
         base = h * 3 * dh
         q_s = qkv[:, base : base + dh] * jnp.asarray(scale, cdtype)  # q*scale
         k = qkv[:, base + dh : base + 2 * dh]
         v = qkv[:, base + 2 * dh : base + 3 * dh]
         s_scores = jax.lax.dot_general(
-            q_s, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q_s, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
         )
         m = jnp.max(s_scores, axis=-1, keepdims=True)
         e = jnp.exp(s_scores - m)
@@ -294,22 +481,30 @@ def _ln_qkv_attn_bwd_kernel(
 
         dctx_h = dctx_ref[0, :, h * dh : (h + 1) * dh].astype(cdtype)
         dv = jax.lax.dot_general(
-            p_c, dctx_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p_c, dctx_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
         )
         dp = jax.lax.dot_general(
-            dctx_h, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            dctx_h, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
         )
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         ds_c = ds.astype(cdtype)
-        dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
+        dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32, precision=prec) * scale
         dk = jax.lax.dot_general(
-            ds_c, q_s, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds_c, q_s, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
         )
-        parts += [dq, dk, dv]
+        dqkv_scr[:, base : base + dh] = dq
+        dqkv_scr[:, base + dh : base + 2 * dh] = dk
+        dqkv_scr[:, base + 2 * dh : base + 3 * dh] = dv
 
-    dqkv = jnp.concatenate(parts, axis=1)
+    dqkv = dqkv_scr[:]
     dqkv_c = dqkv.astype(cdtype)
-    dh1 = jnp.dot(dqkv_c, w_ref[:].T, preferred_element_type=jnp.float32)
+    dh1 = jax.lax.dot_general(
+        dqkv_c, w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
     dx_ln = _ln_bwd_dx(dh1, xhat, inv, gamma)
     dx_ref[0] = (dres_ref[0].astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
 
@@ -321,7 +516,8 @@ def _ln_qkv_attn_bwd_kernel(
         dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
 
     dw_ref[:] += jax.lax.dot_general(
-        h1, dqkv_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        h1, dqkv_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
     )
     dbq_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
     dg_ref[:] += jnp.sum(dh1 * xhat, axis=0, keepdims=True)
@@ -330,7 +526,7 @@ def _ln_qkv_attn_bwd_kernel(
 
 def ln_qkv_attn_bwd(
     dctx, dres, x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps,
-    interpret=False,
+    interpret=False, qkv=None,
 ):
     """VJP of fused_block.ln_qkv_attn, fused with the first residual's
     gradient join: dx = dres + d(LN1+QKV+attention)/dx.
@@ -344,20 +540,36 @@ def ln_qkv_attn_bwd(
     b = rows // seq_len
     scale = 1.0 / ((d_ctx // num_heads) ** 0.5)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        const((1, d)),
+        const((1, d)),
+        const((d, d3)),
+        const((1, d3)),
+    ]
+    inputs = [
+        dctx.reshape(b, seq_len, d_ctx),
+        dres.reshape(b, seq_len, d),
+        x2d.reshape(b, seq_len, d),
+        ln_scale.reshape(1, d),
+        ln_bias.reshape(1, d),
+        wqkv,
+        bqkv.reshape(1, d3),
+    ]
+    if qkv is not None:
+        in_specs.append(
+            pl.BlockSpec((1, seq_len, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(qkv.reshape(b, seq_len, d3))
     outs = pl.pallas_call(
         functools.partial(
-            _ln_qkv_attn_bwd_kernel, eps=eps, num_heads=num_heads, scale=scale
+            _ln_qkv_attn_bwd_kernel, eps=eps, num_heads=num_heads,
+            scale=scale, have_qkv=qkv is not None,
         ),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            const((1, d)),
-            const((1, d)),
-            const((d, d3)),
-            const((1, d3)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             const((d, d3)),
@@ -372,6 +584,7 @@ def ln_qkv_attn_bwd(
             jax.ShapeDtypeStruct((1, d), jnp.float32),
             jax.ShapeDtypeStruct((1, d), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((seq_len, d3), jnp.float32)],
         compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=6 * rows * d * d3 + 10 * b * seq_len * seq_len * d_ctx,
@@ -379,15 +592,7 @@ def ln_qkv_attn_bwd(
             transcendentals=b * num_heads * seq_len * seq_len,
         ),
         interpret=interpret,
-    )(
-        dctx.reshape(b, seq_len, d_ctx),
-        dres.reshape(b, seq_len, d),
-        x2d.reshape(b, seq_len, d),
-        ln_scale.reshape(1, d),
-        ln_bias.reshape(1, d),
-        wqkv,
-        bqkv.reshape(1, d3),
-    )
+    )(*inputs)
     dx, dw, dbq, dgam, dbeta = outs
     return (
         dx.reshape(rows, d), dgam.reshape(d), dbeta.reshape(d),
@@ -397,21 +602,23 @@ def ln_qkv_attn_bwd(
 
 def fused_encoder_block_bwd(
     x2d, blk, ctx, x1, g, num_heads, seq_len, eps, gelu_variant, interpret,
+    qkv=None, u=None,
 ):
-    """Full-block backward from saved (x, ctx, x1) residuals.
+    """Full-block backward from saved (x, ctx, x1[, qkv, u]) residuals.
 
     Chains C' -> B' -> A' and returns (dx, dblk) with dblk matching the
-    params pytree keys/dtypes."""
-    dx1_mlp, dg2, dbt2, dw1, db1, dw2, db2 = ln_mlp_residual_bwd(
-        g, x1, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
-        blk["w2"], eps, gelu_variant, interpret=interpret,
-    )
-    dctx, dwo, dbo = out_residual_bwd(
-        dx1_mlp, ctx, blk["wo"], interpret=interpret
+    params pytree keys/dtypes.  ``qkv``/``u``, when stashed by the forward,
+    skip the two big recompute GEMMs."""
+    (dx1_mlp, dctx, dg2, dbt2, dw1, db1, dw2, db2, dwo, dbo) = (
+        ln_mlp_out_residual_bwd(
+            g, x1, ctx, blk["ln2_scale"], blk["ln2_bias"], blk["w1"],
+            blk["b1"], blk["w2"], blk["wo"], eps, gelu_variant,
+            interpret=interpret, u=u,
+        )
     )
     dx, dg1, dbt1, dwqkv, dbqkv = ln_qkv_attn_bwd(
         dctx, dx1_mlp, x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
-        blk["bqkv"], num_heads, seq_len, eps, interpret=interpret,
+        blk["bqkv"], num_heads, seq_len, eps, interpret=interpret, qkv=qkv,
     )
 
     def like(val, ref):

@@ -38,6 +38,13 @@ from vit_tpu.ops.pallas.mlp_kernel import _erf
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
+def dot_precision(dtype):
+    """fp32 MXU dots need an explicit HIGHEST precision: this TPU stack's
+    DEFAULT computes them in bf16 (measured 2.6e-3 rel err on-chip vs
+    1.7e-7 at HIGHEST).  bf16 operands are unaffected (None)."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def _ln(x, scale, bias, eps):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -65,31 +72,39 @@ def _head_context(qkv, h, dh, scale):
     (head,{q,k,v},dh) columns of a VMEM-resident qkv (T, 3D) tile.
     Shared by the fp and int8 block kernels."""
     base = h * 3 * dh
+    prec = dot_precision(qkv.dtype)
     # fold 1/sqrt(dh) into Q (a T x dh multiply, not T x T)
     q = qkv[:, base : base + dh] * jnp.asarray(scale, qkv.dtype)
     k = qkv[:, base + dh : base + 2 * dh]
     v = qkv[:, base + 2 * dh : base + 3 * dh]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
     )
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     # normalize via reciprocal-multiply (row-wise divide is VPU-expensive)
     inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
     p = (p * inv).astype(v.dtype)
-    return jnp.dot(p, v, preferred_element_type=jnp.float32)
+    return jnp.dot(p, v, preferred_element_type=jnp.float32, precision=prec)
 
 
 def _ln_qkv_attn_kernel(
-    x_ref, s_ref, b_ref, w_ref, bias_ref, out_ref, *, eps, num_heads, scale
+    x_ref, s_ref, b_ref, w_ref, bias_ref, *out_refs, eps, num_heads, scale
 ):
     # head_dim comes from the weight, not the input width: under tensor
     # parallelism the kernel sees only this shard's (head,{q,k,v},dh)
     # column block (num_heads = local heads), while x keeps the full D.
+    out_ref = out_refs[0]
     dh = w_ref.shape[-1] // (3 * num_heads)
     h_ln = _ln(x_ref[0], s_ref[:], b_ref[:], eps).astype(x_ref.dtype)
-    qkv = jnp.dot(h_ln, w_ref[:], preferred_element_type=jnp.float32)
+    qkv = jnp.dot(
+        h_ln, w_ref[:], preferred_element_type=jnp.float32,
+        precision=dot_precision(x_ref.dtype),
+    )
     qkv = (qkv + bias_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    if len(out_refs) > 1:  # training path: stash qkv for the backward
+        out_refs[1][0] = qkv
     for h in range(num_heads):  # heads are column slices of the VMEM qkv
         out_ref[0, :, h * dh : (h + 1) * dh] = _head_context(
             qkv, h, dh, scale
@@ -97,19 +112,32 @@ def _ln_qkv_attn_kernel(
 
 
 def ln_qkv_attn(
-    x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps, interpret=False
+    x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps,
+    interpret=False, return_qkv=False,
 ):
     """(B*T, D) -> attention context (B*T, Dctx): LN1, QKV projection, and
     the per-head attention all inside one kernel; W_qkv stays VMEM-resident.
 
     ``num_heads`` is the number of heads present in ``wqkv``'s packed
     columns; Dctx = wqkv.shape[-1] // 3 (== D single-device, D/tp under TP).
+    ``return_qkv`` additionally emits the packed QKV (training residual —
+    lets the backward kernel skip the QKV GEMM recompute).
     """
     rows, d = x2d.shape
     d3 = wqkv.shape[-1]
     d_ctx = d3 // 3
     b = rows // seq_len
     scale = 1.0 / ((d_ctx // num_heads) ** 0.5)
+    out_specs = pl.BlockSpec(
+        (1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((b, seq_len, d_ctx), x2d.dtype)
+    if return_qkv:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, seq_len, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (out_shape, jax.ShapeDtypeStruct((b, seq_len, d3), x2d.dtype))
     out = pl.pallas_call(
         functools.partial(
             _ln_qkv_attn_kernel, eps=eps, num_heads=num_heads, scale=scale
@@ -122,10 +150,8 @@ def ln_qkv_attn(
             pl.BlockSpec((d, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, seq_len, d_ctx), x2d.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * d * d3 + 4 * b * seq_len * seq_len * d_ctx,
@@ -140,6 +166,9 @@ def ln_qkv_attn(
         wqkv,
         bqkv.reshape(1, d3),
     )
+    if return_qkv:
+        ctx, qkv = out
+        return ctx.reshape(rows, d_ctx), qkv.reshape(rows, d3)
     return out.reshape(rows, d_ctx)
 
 
@@ -147,7 +176,10 @@ def ln_qkv_attn(
 
 
 def _out_res_kernel(ctx_ref, res_ref, wo_ref, bo_ref, out_ref):
-    acc = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
+    acc = jnp.dot(
+        ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32,
+        precision=dot_precision(ctx_ref.dtype),
+    )
     acc = acc + bo_ref[:].astype(jnp.float32) + res_ref[:].astype(jnp.float32)
     out_ref[:] = acc.astype(out_ref.dtype)
 
@@ -183,13 +215,18 @@ def out_residual(ctx, res, wo, bo, block_rows=512, interpret=False):
 
 
 def _ln_mlp_kernel(
-    x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, eps,
+    x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, *out_refs, eps,
     variant, partial=False,
 ):
+    out_ref = out_refs[0]
+    prec = dot_precision(x_ref.dtype)
     h = _ln(x_ref[:], s_ref[:], b_ref[:], eps).astype(x_ref.dtype)
-    h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
-    h = _gelu(h + b1_ref[:].astype(jnp.float32), variant).astype(x_ref.dtype)
-    acc = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    u = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32, precision=prec)
+    u = u + b1_ref[:].astype(jnp.float32)
+    if len(out_refs) > 1:  # training path: stash pre-GELU u for the backward
+        out_refs[1][:] = u.astype(out_refs[1].dtype)
+    h = _gelu(u, variant).astype(x_ref.dtype)
+    acc = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32, precision=prec)
     if not partial:  # TP row-parallel w2: bias+residual ride the psum epilogue
         acc = acc + b2_ref[:].astype(jnp.float32) + x_ref[:].astype(jnp.float32)
     out_ref[:] = acc.astype(out_ref.dtype)
@@ -197,7 +234,7 @@ def _ln_mlp_kernel(
 
 def ln_mlp_residual(
     x2d, ln_scale, ln_bias, w1, b1, w2, b2, eps, gelu_variant="exact",
-    block_rows=256, interpret=False, partial=False,
+    block_rows=256, interpret=False, partial=False, return_u=False,
 ):
     """LN2 -> FC1 -> GELU -> FC2 (-> +b2 +residual) over (B*T, D) rows.
 
@@ -206,12 +243,25 @@ def ln_mlp_residual(
     partial product (no bias, no residual) for a psum epilogue outside
     (Megatron row-parallel second GEMM; the reference's analog seam is the
     per-head loop ViT_opencl.c:546, SURVEY.md §2.3).
+
+    ``return_u=True`` additionally emits the pre-GELU activation (training
+    residual — lets the backward kernel skip the FC1 recompute).
     """
     rows, d = x2d.shape
     f = w1.shape[-1]
     block_rows = min(block_rows, rows)
     out_dtype = jnp.float32 if partial else x2d.dtype
-    return pl.pallas_call(
+    out_specs = pl.BlockSpec(
+        (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((rows, d), out_dtype)
+    if return_u:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((block_rows, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (out_shape, jax.ShapeDtypeStruct((rows, f), x2d.dtype))
+    out = pl.pallas_call(
         functools.partial(
             _ln_mlp_kernel, eps=eps, variant=gelu_variant, partial=partial
         ),
@@ -225,10 +275,8 @@ def ln_mlp_residual(
             pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((rows, d), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=4 * rows * d * f,
@@ -245,6 +293,7 @@ def ln_mlp_residual(
         w2,
         b2.reshape(1, d),
     )
+    return out
 
 
 # -- full block --------------------------------------------------------------

@@ -51,6 +51,12 @@ def _fwd(x2d, blk, num_heads, seq_len, eps, gelu_variant):
     from vit_tpu.ops.pallas import interpret_default
 
     interpret = interpret_default()
+    # Stash only (x, ctx, x1); the backward recomputes LN/QKV/probs/FC1 in
+    # VMEM.  Stashing qkv / pre-GELU u instead was measured SLOWER on-chip
+    # (72.5 -> 78.7 / 79.4 ms at B/16 batch-64: the extra per-grid-step
+    # VMEM->HBM stash writes serialize the forward kernels' pipelines more
+    # than the recompute GEMMs cost) — the return_qkv/return_u hooks remain
+    # for memory-constrained recompute-free schedules.
     ctx = ln_qkv_attn(
         x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["bqkv"],
         num_heads, seq_len, eps, interpret=interpret,
@@ -60,17 +66,17 @@ def _fwd(x2d, blk, num_heads, seq_len, eps, gelu_variant):
         x1, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
         blk["w2"], blk["b2"], eps, gelu_variant, interpret=interpret,
     )
-    return out, (x2d, blk, ctx, x1)
+    return out, (x2d, blk, ctx, x1, None, None)
 
 
 def _bwd(num_heads, seq_len, eps, gelu_variant, residuals, g):
     from vit_tpu.ops.pallas import interpret_default
     from vit_tpu.ops.pallas.backward import fused_encoder_block_bwd
 
-    x2d, blk, ctx, x1 = residuals
+    x2d, blk, ctx, x1, qkv, u = residuals
     dx, dblk = fused_encoder_block_bwd(
         x2d, blk, ctx, x1, g, num_heads, seq_len, eps, gelu_variant,
-        interpret=interpret_default(),
+        interpret=interpret_default(), qkv=qkv, u=u,
     )
     return dx, dblk
 

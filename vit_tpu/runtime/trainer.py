@@ -27,6 +27,19 @@ def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return nll.mean()
 
 
+def kernel_backward_compiler_options():
+    """Compiler options for jits containing the fused-block backward kernels.
+
+    XLA stages some Pallas-call operands (per-layer weight slices from the
+    scan-stacked params) in VMEM; the backward kernels' operand set
+    overflows the default ~19 MiB scoped-vmem budget at B/16 scale, so TPU
+    compiles raise it (v5e has 128 MiB VMEM; Mosaic's own budget is set
+    separately via CompilerParams).  None on non-TPU backends."""
+    if jax.default_backend() == "tpu":
+        return {"xla_tpu_scoped_vmem_limit_kib": "81920"}
+    return None
+
+
 def _make_loss_fn(cfg, ops, remat, compute_dtype):
     def loss_fn(params, images, labels, rng=None):
         def fwd(p, x):
@@ -152,7 +165,11 @@ def jit_train_step_dp_shard_map(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(
+        step,
+        donate_argnums=(0, 1),
+        compiler_options=kernel_backward_compiler_options(),
+    )
 
 
 def _opt_state_shardings(opt_state, params, p_shard, mesh):
