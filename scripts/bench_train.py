@@ -71,15 +71,26 @@ def main():
     labels = jnp.asarray(rng.integers(0, 1000, args.batch), jnp.int32)
 
     for ops_name in args.paths.split(","):
-        params, opt_state = trainer.init_train_state(
-            jax.random.key(1), cfg, optimizer
-        )
+        fused_opt = ops_name.endswith("+fadamw")
+        ops_name = ops_name.removesuffix("+fadamw")
         remat = ops_name == "xla"  # custom-VJP paths already recompute
-        step = jax.jit(
-            trainer.make_train_step(
+        if fused_opt:
+            params, _ = trainer.init_train_state(jax.random.key(1), cfg, optimizer)
+            opt_state = trainer.init_fused_adamw_state(params)
+            raw_step = trainer.make_train_step_fused_adamw(
+                cfg, 1e-3, get_ops(ops_name), remat=remat,
+                compute_dtype=jnp.bfloat16,
+            )
+        else:
+            params, opt_state = trainer.init_train_state(
+                jax.random.key(1), cfg, optimizer
+            )
+            raw_step = trainer.make_train_step(
                 cfg, optimizer, get_ops(ops_name), remat=remat,
                 compute_dtype=jnp.bfloat16,
-            ),
+            )
+        step = jax.jit(
+            raw_step,
             donate_argnums=(0, 1),
             compiler_options=(
                 trainer.kernel_backward_compiler_options()
@@ -98,7 +109,7 @@ def main():
         _, _, params, opt_state = run(3, params, opt_state)  # warm/compile
         dt, lv, params, opt_state = run(args.iters, params, opt_state)
         print(
-            f"{ops_name}: {dt*1e3:.1f} ms/step  "
+            f"{ops_name}{'+fadamw' if fused_opt else ''}: {dt*1e3:.1f} ms/step  "
             f"({args.batch/dt:.0f} img/s)  loss={lv:.3f}"
         )
 

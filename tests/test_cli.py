@@ -116,6 +116,24 @@ def test_train_cli_fused_train_mixed_precision(tiny_cfg, monkeypatch, capsys, tm
     assert (tmp_path / "p.npz").exists()
 
 
+def test_train_cli_fused_adamw(tiny_cfg, monkeypatch, capsys):
+    import jax
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "2", "--batch", "4",
+        "--dp", "4", "--ops", "fused_train", "--optimizer", "fused_adamw",
+        "--no-compile-cache",
+    ])
+    assert rc == 0
+    assert "step    1" in capsys.readouterr().out
+
+
 def test_train_cli_rejects_fused_train_with_tp(tiny_cfg, monkeypatch, capsys):
     import jax
 

@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="bf16 compute with fp32 master weights and optimizer state",
     )
     p.add_argument(
+        "--optimizer", default="adamw", choices=["adamw", "fused_adamw"],
+        help="adamw (optax) or fused_adamw (in-place Pallas AdamW kernel; "
+        "requires --ops fused_train, dp-only)",
+    )
+    p.add_argument(
         "--no-compile-cache", action="store_true",
         help="disable the persistent XLA compilation cache",
     )
@@ -134,16 +139,27 @@ def main(argv=None) -> int:
         params, opt_state = trainer.init_train_state(
             jax.random.key(args.seed), cfg, optimizer
         )
+    if args.optimizer == "fused_adamw" and ops_name != "fused_train":
+        print(
+            "error: --optimizer fused_adamw requires --ops fused_train",
+            file=sys.stderr,
+        )
+        return 2
     if ops_name == "fused_train":
         # Pallas custom-VJP path: params/optimizer replicated, batch over
         # dp, per-shard grads pmean'd under shard_map.
         from vit_tpu.parallel import replicate
 
         params = jax.device_put(params, replicate(mesh))
+        fused_adamw = None
+        if args.optimizer == "fused_adamw":
+            fused_adamw = {"lr": lr, "weight_decay": args.weight_decay}
+            opt_state = trainer.init_fused_adamw_state(params)
         opt_state = jax.device_put(opt_state, replicate(mesh))
         step = trainer.jit_train_step_dp_shard_map(
             cfg, optimizer, mesh, ops,
             remat=not args.no_remat, compute_dtype=compute_dtype,
+            fused_adamw=fused_adamw,
         )
     else:
         params = shard_params(params, mesh)

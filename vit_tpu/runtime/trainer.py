@@ -127,6 +127,51 @@ def jit_train_step_for_mesh(
     )
 
 
+def make_train_step_fused_adamw(
+    cfg: ViTConfig,
+    lr,
+    ops: OpsImpl = REFERENCE_OPS,
+    remat: bool = False,
+    compute_dtype=None,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+):
+    """Train step with the fused in-place AdamW Pallas kernel
+    (ops/pallas/adamw_kernel.py) instead of optax: one HBM pass per leaf
+    for the whole optimizer update.  State is ``(count, mu, nu)``
+    (init with :func:`init_fused_adamw_state`); math matches optax.adamw.
+    ``lr`` may be a float or an ``optax``-style schedule fn of the step.
+    """
+    from vit_tpu.ops.pallas.adamw_kernel import adamw_update
+
+    loss_fn = _make_loss_fn(cfg, ops, remat, compute_dtype)
+
+    def train_step(params, opt_state, images, labels):
+        count, mu, nu = opt_state
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        step = count + 1
+        lr_t = lr(step) if callable(lr) else lr
+        params, mu, nu = adamw_update(
+            grads, params, mu, nu, step, lr_t,
+            b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+        )
+        return params, (step, mu, nu), loss
+
+    return train_step
+
+
+def init_fused_adamw_state(params):
+    """(count, mu, nu) state for :func:`make_train_step_fused_adamw`."""
+    zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    return (
+        jnp.zeros((), jnp.int32),
+        zeros,
+        jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+    )
+
+
 def jit_train_step_dp_shard_map(
     cfg: ViTConfig,
     optimizer: optax.GradientTransformation,
@@ -134,12 +179,17 @@ def jit_train_step_dp_shard_map(
     ops: OpsImpl,
     remat: bool = True,
     compute_dtype=None,
+    fused_adamw: dict = None,
 ):
     """Data-parallel train step for Pallas-kernel op paths (e.g.
     'fused_train'), which GSPMD cannot partition: per-shard value_and_grad
     under shard_map with pmean'd loss/grads (the one collective), optimizer
     update on replicated params outside.  Params and optimizer state stay
     replicated; the batch splits over 'dp'.
+
+    ``fused_adamw`` (dict with lr/b1/b2/eps/weight_decay) swaps optax for
+    the in-place Pallas AdamW kernel; state is then ``(count, mu, nu)``
+    from :func:`init_fused_adamw_state`.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -159,11 +209,32 @@ def jit_train_step_dp_shard_map(
         check_vma=False,
     )
 
-    def step(params, opt_state, images, labels):
-        loss, grads = grad_fn(params, images, labels)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    if fused_adamw is not None:
+        from vit_tpu.ops.pallas.adamw_kernel import adamw_update
+
+        lr = fused_adamw["lr"]
+
+        def step(params, opt_state, images, labels):
+            loss, grads = grad_fn(params, images, labels)
+            count, mu, nu = opt_state
+            step_no = count + 1
+            lr_t = lr(step_no) if callable(lr) else lr
+            params, mu, nu = adamw_update(
+                grads, params, mu, nu, step_no, lr_t,
+                b1=fused_adamw.get("b1", 0.9),
+                b2=fused_adamw.get("b2", 0.999),
+                eps=fused_adamw.get("eps", 1e-8),
+                weight_decay=fused_adamw.get("weight_decay", 0.0),
+            )
+            return params, (step_no, mu, nu), loss
+
+    else:
+
+        def step(params, opt_state, images, labels):
+            loss, grads = grad_fn(params, images, labels)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
 
     return jax.jit(
         step,
