@@ -296,6 +296,78 @@ def ln_mlp_residual(
     return out
 
 
+# -- merged kernel B+C: out_proj + residual + LN2 + MLP + residual -----------
+# Row-blocked over all images; x1 never round-trips to HBM between the
+# out_proj epilogue and the MLP.  (Round 1 measured this merge neutral at
+# the 64 MB VMEM limit pre-attention-merge; re-measured a win at 96 MB.)
+
+
+def _out_ln_mlp_kernel(
+    ctx_ref, res_ref, wo_ref, bo_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
+    b2_ref, out_ref, *, eps, variant,
+):
+    prec = dot_precision(ctx_ref.dtype)
+    x1 = jnp.dot(
+        ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32, precision=prec
+    )
+    x1 = x1 + bo_ref[:].astype(jnp.float32) + res_ref[:].astype(jnp.float32)
+    h = _ln(x1, s_ref[:], b_ref[:], eps).astype(ctx_ref.dtype)
+    u = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32, precision=prec)
+    h = _gelu(u + b1_ref[:].astype(jnp.float32), variant).astype(ctx_ref.dtype)
+    acc = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32, precision=prec)
+    out_ref[:] = (acc + b2_ref[:].astype(jnp.float32) + x1).astype(out_ref.dtype)
+
+
+def out_ln_mlp_residual(
+    ctx, res, wo, bo, ln_scale, ln_bias, w1, b1, w2, b2, eps,
+    gelu_variant="exact", block_rows=256, interpret=False,
+):
+    """res + ctx@wo+bo -> LN2 -> FC1 -> GELU -> FC2 -> +residual, fused."""
+    rows, d_ctx = ctx.shape
+    d = res.shape[-1]
+    f = w1.shape[-1]
+    block_rows = min(block_rows, rows)
+    return pl.pallas_call(
+        functools.partial(_out_ln_mlp_kernel, eps=eps, variant=gelu_variant),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, d_ctx), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_ctx, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, d), res.dtype),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * d_ctx * d + 4 * rows * d * f,
+            bytes_accessed=(3 * rows * d + 2 * d * f + d_ctx * d)
+            * res.dtype.itemsize,
+            transcendentals=rows * f,
+        ),
+        interpret=interpret,
+    )(
+        ctx,
+        res,
+        wo,
+        bo.reshape(1, d),
+        ln_scale.reshape(1, d),
+        ln_bias.reshape(1, d),
+        w1,
+        b1.reshape(1, f),
+        w2,
+        b2.reshape(1, d),
+    )
+
+
 # -- full block --------------------------------------------------------------
 
 
@@ -310,8 +382,10 @@ def fused_encoder_block(
 ) -> jax.Array:
     """One pre-LN encoder block on a flat (B*T, D) activation.
 
-    Three kernels: [LN1+QKV+attention] -> [out_proj+residual] ->
-    [LN2+MLP+residual] — the packed QKV never leaves VMEM."""
+    Two kernels: [LN1+QKV+attention] -> [out_proj+residual+LN2+MLP+residual]
+    — the packed QKV and the post-attention activation x1 never leave VMEM
+    (3 HBM passes over the activation per layer; the training forward keeps
+    the split form because its backward consumes x1)."""
     if interpret is None:
         from vit_tpu.ops.pallas import interpret_default
 
@@ -320,9 +394,11 @@ def fused_encoder_block(
         x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["bqkv"],
         num_heads, seq_len, eps, interpret=interpret,
     )
-    x2d = out_residual(ctx, x2d, blk["wo"], blk["bo"], interpret=interpret)
-    return ln_mlp_residual(
+    return out_ln_mlp_residual(
+        ctx,
         x2d,
+        blk["wo"],
+        blk["bo"],
         blk["ln2_scale"],
         blk["ln2_bias"],
         blk["w1"],

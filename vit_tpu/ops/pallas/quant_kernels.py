@@ -158,6 +158,72 @@ def ln_mlp_residual_q8(
     )
 
 
+def _out_ln_mlp_q8_kernel(
+    ctx_ref, res_ref, wo_ref, bo_ref, s_ref, b_ref, w1q_ref, w1s_ref, b1_ref,
+    w2q_ref, w2s_ref, b2_ref, out_ref, *, eps, variant,
+):
+    from vit_tpu.ops.pallas.fused_block import dot_precision
+
+    x1 = jnp.dot(
+        ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32,
+        precision=dot_precision(ctx_ref.dtype),
+    )
+    x1 = x1 + bo_ref[:].astype(jnp.float32) + res_ref[:].astype(jnp.float32)
+    h = _ln(x1, s_ref[:], b_ref[:], eps)
+    hq, hs = _quant_rows(h)
+    acc1 = jax.lax.dot_general(
+        hq, w1q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    mid = acc1.astype(jnp.float32) * hs * w1s_ref[:].astype(jnp.float32)
+    mid = _gelu(mid + b1_ref[:].astype(jnp.float32), variant)
+    mq, ms = _quant_rows(mid)
+    acc2 = jax.lax.dot_general(
+        mq, w2q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = acc2.astype(jnp.float32) * ms * w2s_ref[:].astype(jnp.float32)
+    out_ref[:] = (out + b2_ref[:].astype(jnp.float32) + x1).astype(out_ref.dtype)
+
+
+def out_ln_mlp_residual_q8(
+    ctx, res, wo, bo, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2, eps,
+    gelu_variant="exact", block_rows=128, interpret=False,
+):
+    """int8 twin of fused_block.out_ln_mlp_residual: fp out_proj epilogue
+    chained into the W8A8 MLP; x1 never leaves VMEM."""
+    rows, d_ctx = ctx.shape
+    d = res.shape[-1]
+    f = w1q.shape[-1]
+    block_rows = min(block_rows, rows)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    rowblk = lambda w: pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_out_ln_mlp_q8_kernel, eps=eps, variant=gelu_variant),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            rowblk(d_ctx), rowblk(d),
+            const((d_ctx, d)), const((1, d)),
+            const((1, d)), const((1, d)),
+            const((d, f)), const((1, f)), const((1, f)),
+            const((f, d)), const((1, d)), const((1, d)),
+        ],
+        out_specs=rowblk(d),
+        out_shape=jax.ShapeDtypeStruct((rows, d), res.dtype),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * d_ctx * d + 4 * rows * d * f,
+            bytes_accessed=(3 * rows * d + 2 * d * f) * res.dtype.itemsize,
+            transcendentals=rows * f,
+        ),
+        interpret=interpret,
+    )(
+        ctx, res,
+        wo, bo.reshape(1, d),
+        ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+        w1q, w1s.reshape(1, f), b1.reshape(1, f),
+        w2q, w2s.reshape(1, d), b2.reshape(1, d),
+    )
+
+
 def fused_encoder_block_q8(
     x2d: jax.Array,
     blk,
@@ -177,15 +243,12 @@ def fused_encoder_block_q8(
         from vit_tpu.ops.pallas import interpret_default
 
         interpret = interpret_default()
-    from vit_tpu.ops.pallas.fused_block import out_residual
-
     ctx = ln_qkv_attn_q8(
         x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["wqkv_scale"],
         blk["bqkv"], num_heads, seq_len, eps, interpret=interpret,
     )
-    x2d = out_residual(ctx, x2d, blk["wo"], blk["bo"], interpret=interpret)
-    return ln_mlp_residual_q8(
-        x2d, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["w1_scale"],
-        blk["b1"], blk["w2"], blk["w2_scale"], blk["b2"], eps, gelu_variant,
-        interpret=interpret,
+    return out_ln_mlp_residual_q8(
+        ctx, x2d, blk["wo"], blk["bo"], blk["ln2_scale"], blk["ln2_bias"],
+        blk["w1"], blk["w1_scale"], blk["b1"], blk["w2"], blk["w2_scale"],
+        blk["b2"], eps, gelu_variant, interpret=interpret,
     )
