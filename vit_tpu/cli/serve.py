@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="serve N randomized variable-size requests in-process, print "
         "one JSON throughput line, and exit (no socket)",
     )
+    p.add_argument(
+        "--staged", action="store_true",
+        help="selftest with device-resident payloads (measures the serving "
+        "loop, not the host->device wire; request sizes snap to the "
+        "padding grain to bound the jit-program count)",
+    )
     p.add_argument("--no-compile-cache", action="store_true")
     return p
 
@@ -84,13 +90,21 @@ def _selftest(args, cfg, ops, server) -> int:
     from vit_tpu.runtime.serving import measure_throughput
 
     rng = np.random.default_rng(0)
-    sizes = [int(v) for v in rng.integers(1, args.max_batch + 1, args.selftest)]
+    if args.staged:
+        grain = args.batch_pad
+        choices = sorted({grain, max(grain, args.max_batch // 2), args.max_batch})
+        sizes = [int(rng.choice(choices)) for _ in range(args.selftest)]
+    else:
+        sizes = [int(v) for v in rng.integers(1, args.max_batch + 1, args.selftest)]
     with server:
-        img_per_sec, total = measure_throughput(server, sizes, cfg)
+        img_per_sec, total = measure_throughput(
+            server, sizes, cfg, device_staged=args.staged
+        )
     print(
         json.dumps(
             {
-                "metric": f"serving images/sec, {cfg.name} variable-size stream",
+                "metric": f"serving images/sec, {cfg.name} variable-size stream"
+                + (" (device-staged)" if args.staged else ""),
                 "value": round(img_per_sec, 2),
                 "unit": "images/sec",
                 "requests": args.selftest,
@@ -99,6 +113,7 @@ def _selftest(args, cfg, ops, server) -> int:
                 "batches": server.stats.batches,
                 "ops": ops,
                 "dtype": args.dtype,
+                "staged": bool(args.staged),
             }
         )
     )
@@ -161,6 +176,8 @@ def _http_daemon(args, cfg, ops, server) -> int:
             except Exception as e:  # keep the daemon alive on bad requests
                 self._send(500, {"error": repr(e)})
 
+    print("warming up jit cache (one program per padded batch size)...")
+    server.warmup()
     httpd = ThreadingHTTPServer((args.host, args.port), Handler)
     print(
         f"vit-tpu-serve: {cfg.name} ops={ops} dtype={args.dtype} "

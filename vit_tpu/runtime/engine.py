@@ -185,18 +185,28 @@ class InferenceEngine:
     # -- internals --------------------------------------------------------
 
     def _stage(self, images) -> Tuple[jax.Array, int]:
-        """Host->device staging: cast to compute dtype, pad batch to the
-        padding grain, place with the dp sharding."""
-        images = np.asarray(images)
+        """Staging: cast to compute dtype, pad batch to the padding grain,
+        place with the dp sharding.  Device-resident inputs (jax.Array —
+        e.g. a decode pipeline's output or the serving loop's staged
+        payloads) are padded/cast on device, skipping the host round-trip."""
+        on_device = isinstance(images, jax.Array)
+        if not on_device:
+            images = np.asarray(images)
         n = images.shape[0]
         grain = self.batch_pad
         if self.mesh is not None:
             grain = _lcm(grain, self.mesh.shape.get("dp", 1))
         padded = max(grain, math.ceil(n / grain) * grain)
-        if padded != n:
-            pad = np.zeros((padded - n, *images.shape[1:]), images.dtype)
-            images = np.concatenate([images, pad], axis=0)
-        x = jnp.asarray(images, dtype=self.compute_dtype)
+        if on_device:
+            x = images.astype(self.compute_dtype)
+            if padded != n:
+                pad = jnp.zeros((padded - n, *x.shape[1:]), x.dtype)
+                x = jnp.concatenate([x, pad], axis=0)
+        else:
+            if padded != n:
+                pad = np.zeros((padded - n, *images.shape[1:]), images.dtype)
+                images = np.concatenate([images, pad], axis=0)
+            x = jnp.asarray(images, dtype=self.compute_dtype)
         if self._input_sharding is not None:
             x = jax.device_put(x, self._input_sharding)
         return x, n

@@ -40,10 +40,11 @@ class ServerStats:
 
 
 class _Request:
-    __slots__ = ("images", "future")
+    __slots__ = ("images", "future", "return_probs")
 
-    def __init__(self, images: np.ndarray):
+    def __init__(self, images, return_probs: bool):
         self.images = images
+        self.return_probs = return_probs
         self.future: Future = Future()
 
 
@@ -74,7 +75,29 @@ class InferenceServer:
         self._inflight: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
         self._dispatcher: Optional[threading.Thread] = None
         self._completer: Optional[threading.Thread] = None
+        self._carry: Optional[_Request] = None  # request that overflowed a batch
         self._running = False
+
+        import jax
+        import jax.numpy as jnp
+
+        from vit_tpu.ops import reference
+
+        # One jitted program for the whole post-processing chain — eager
+        # softmax/argmax would be one dispatch RPC each (20-50 ms through
+        # this environment's tunnel, serializing the dispatcher).
+        def _postprocess(logits):
+            probs = reference.softmax(logits)
+            labels = jnp.argmax(probs, axis=-1)
+            top = jnp.take_along_axis(probs, labels[:, None], axis=-1)[:, 0]
+            return labels, top, probs
+
+        # forward + postprocess as ONE dispatch: each dispatch costs an RPC
+        # round-trip through this environment's TPU tunnel (~18 ms), so the
+        # dispatcher issues exactly one per batch
+        self._serve_fn = jax.jit(
+            lambda params, x: _postprocess(engine._forward(params, x))
+        )
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -104,28 +127,40 @@ class InferenceServer:
 
     # -- request API --------------------------------------------------------
 
-    def submit(self, images) -> Future:
+    def submit(self, images, return_probs: bool = False) -> Future:
         """Enqueue a (n, C, H, W) request; resolves to (labels, top_probs,
-        probs) for those n images."""
-        images = np.asarray(images)
+        probs) for those n images — ``probs`` is None unless
+        ``return_probs`` (argmax/top-prob are computed on device so only
+        ~8 bytes/image cross the wire, not the 1000-class distribution).
+        Device-resident payloads (jax.Array) stay on device end-to-end."""
+        import jax
+
+        if not isinstance(images, jax.Array):
+            images = np.asarray(images)
         if images.ndim != 4:
             raise ValueError(f"expected (n, C, H, W), got {images.shape}")
         if not self._running:
             raise RuntimeError("server not started")
-        req = _Request(images)
+        req = _Request(images, return_probs)
         self._q.put(req)
         return req.future
 
-    def classify(self, images, timeout: Optional[float] = None):
-        return self.submit(images).result(timeout)
+    def classify(self, images, timeout: Optional[float] = None,
+                 return_probs: bool = False):
+        return self.submit(images, return_probs).result(timeout)
 
     # -- internals ----------------------------------------------------------
 
     def _gather(self) -> Optional[List[_Request]]:
-        """Collect requests up to max_batch images or max_delay."""
+        """Collect requests up to (never past) max_batch images or
+        max_delay.  A request that would overflow the batch is carried to
+        the next one, so padded batch sizes stay within the warmed jit
+        cache (each new padded size is a fresh ~minutes compile through
+        this environment's tunnel)."""
         import time
 
-        first = self._q.get()
+        first = self._carry or self._q.get()
+        self._carry = None
         if first is _STOP:
             return None
         reqs = [first]
@@ -142,28 +177,67 @@ class InferenceServer:
             if nxt is _STOP:
                 self._q.put(_STOP)  # re-signal for the outer loop
                 break
+            if total + len(nxt.images) > self.max_batch:
+                self._carry = nxt
+                break
             reqs.append(nxt)
             total += len(nxt.images)
         return reqs
 
-    def _dispatch_loop(self) -> None:
-        from vit_tpu.ops import reference
+    def warmup(self) -> None:
+        """Compile every padded batch size the server can dispatch (one
+        program per padding-grain multiple up to max_batch) before serving
+        traffic — the production analog of the reference compiling
+        kernel.cl at startup (ViT_opencl.c:89-96)."""
+        import jax
 
+        engine = self.engine
+        cfg = engine.cfg
+        grain = engine.batch_pad
+        sizes = sorted({min(s, self.max_batch) for s in
+                        range(grain, self.max_batch + grain, grain)})
+        for s in sizes:
+            x = np.zeros((s, cfg.in_channels, cfg.image_size, cfg.image_size),
+                         np.float32)
+            staged, n = engine._stage(x)
+            jax.block_until_ready(self._serve_fn(engine.params, staged))
+
+    def _dispatch_loop(self) -> None:
         engine = self.engine
         while True:
             reqs = self._gather()
             if reqs is None:
                 break
             try:
-                batch = (
-                    reqs[0].images
-                    if len(reqs) == 1
-                    else np.concatenate([r.images for r in reqs], axis=0)
-                )
+                import jax
+                import jax.numpy as jnp
+
+                if len(reqs) == 1:
+                    batch = reqs[0].images
+                elif any(isinstance(r.images, jax.Array) for r in reqs):
+                    batch = jnp.concatenate(
+                        [jnp.asarray(r.images) for r in reqs], axis=0
+                    )
+                else:
+                    batch = np.concatenate([r.images for r in reqs], axis=0)
                 x, n = engine._stage(batch)
-                logits = engine._forward(engine.params, x)[:n]
-                probs = reference.softmax(logits)  # async on device
-                self._inflight.put((probs, reqs))  # backpressure
+                # device-side argmax/top-prob: the readback per batch is
+                # ~8 B/image instead of 4 KB/image (num_classes fp32);
+                # padded tail rows are never read (offsets cover real
+                # images only)
+                labels, top, probs = self._serve_fn(engine.params, x)
+                want_probs = any(r.return_probs for r in reqs)
+                if not want_probs:
+                    probs = None
+                # start the device->host copies now: the transfer RTT then
+                # overlaps the next batches' compute instead of serializing
+                # the completer (arrival spacing becomes compute-bound)
+                for arr in (labels, top) + ((probs,) if probs is not None else ()):
+                    try:
+                        arr.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                self._inflight.put((labels, top, probs, reqs))  # backpressure
             except Exception as e:  # config errors etc. -> fail the batch
                 for r in reqs:
                     r.future.set_exception(e)
@@ -174,9 +248,11 @@ class InferenceServer:
             item = self._inflight.get()
             if item is _STOP:
                 break
-            probs_dev, reqs = item
+            labels_dev, top_dev, probs_dev, reqs = item
             try:
-                probs = np.asarray(probs_dev)  # host sync for this batch
+                labels = np.asarray(labels_dev)  # host sync for this batch
+                top = np.asarray(top_dev)
+                probs = np.asarray(probs_dev) if probs_dev is not None else None
             except Exception as e:
                 for r in reqs:
                     r.future.set_exception(e)
@@ -185,12 +261,9 @@ class InferenceServer:
             off = 0
             for r in reqs:
                 n = len(r.images)
-                p = probs[off : off + n]
+                p = probs[off : off + n] if (probs is not None and r.return_probs) else None
+                r.future.set_result((labels[off : off + n], top[off : off + n], p))
                 off += n
-                labels = p.argmax(-1)
-                r.future.set_result(
-                    (labels, p[np.arange(n), labels], p)
-                )
                 self.stats.requests += 1
                 self.stats.images += n
 
@@ -200,17 +273,34 @@ def measure_throughput(
     request_sizes: List[int],
     cfg,
     seed: int = 0,
+    device_staged: bool = False,
 ) -> Tuple[float, int]:
     """Drive the server with a pre-generated stream of variable-size synth
     requests; returns (images/sec, total_images).  Used by the serve CLI's
-    --selftest to compare against bench.py's static-batch number."""
+    --selftest to compare against bench.py's static-batch number.
+
+    ``device_staged`` pre-places every request payload on the device,
+    measuring the serving loop itself (batching + pipeline + compute)
+    without the host->device transfer — on this environment's remote TPU
+    tunnel (~13 MB/s) the wire otherwise dominates by 50x, which no
+    batching can hide; a local PCIe deployment sits near the staged number.
+    """
     import time
 
     from vit_tpu.io import images as iio
 
     pool = iio.synth_images(max(request_sizes), cfg, seed=seed)
     requests = [np.asarray(pool[:n]) for n in request_sizes]
-    # warm up (compiles the padded-size programs)
+    if device_staged:
+        import jax
+        import jax.numpy as jnp
+
+        requests = [
+            jax.device_put(jnp.asarray(r, server.engine.compute_dtype))
+            for r in requests
+        ]
+        jax.block_until_ready(requests)
+    server.warmup()  # compile every padded size outside the timed window
     server.classify(requests[0])
     t0 = time.perf_counter()
     futures = [server.submit(r) for r in requests]
