@@ -1,0 +1,75 @@
+"""Pipeline-parallel forward over the stacked-layer seam (parallel/pipeline.py)
+on the virtual CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec
+
+from vit_tpu.config import VIT_B_16
+from vit_tpu.models import vit
+from vit_tpu.parallel import make_mesh
+from vit_tpu.parallel.pipeline import pp_param_pspecs, shard_forward_pp
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 4, reason="needs 4 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def cfg4():
+    # depth divisible by pp=2 and pp=4
+    return dataclasses.replace(
+        VIT_B_16, depth=4, embed_dim=64, num_heads=4, image_size=32,
+        patch_size=16, num_classes=11, name="vit_tiny_pp",
+    )
+
+
+@pytest.fixture(scope="module")
+def params4(cfg4):
+    return vit.init_params(jax.random.key(0), cfg4)
+
+
+def _place(params, mesh):
+    specs = pp_param_pspecs(params)
+    return jax.device_put(
+        params,
+        jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, PartitionSpec),
+        ),
+    )
+
+
+@pytest.mark.parametrize("pp", [2, 4])
+def test_pp_matches_single_device(cfg4, params4, pp):
+    images = np.asarray(
+        jax.random.normal(jax.random.key(1), (8, 3, 32, 32), jnp.float32)
+    )
+    want = np.asarray(jax.jit(vit.logits_fn(cfg4))(params4, images))
+    mesh = make_mesh({"pp": pp}, jax.devices()[:pp])
+    fwd = jax.jit(shard_forward_pp(cfg4, mesh, num_microbatches=4))
+    got = np.asarray(fwd(_place(params4, mesh), jnp.asarray(images)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pp_microbatch_count_independent(cfg4, params4):
+    # Pipeline schedule must not change results with the microbatch split.
+    images = jnp.asarray(
+        np.random.default_rng(2).normal(size=(8, 3, 32, 32)), jnp.float32
+    )
+    mesh = make_mesh({"pp": 2}, jax.devices()[:2])
+    p = _place(params4, mesh)
+    a = np.asarray(jax.jit(shard_forward_pp(cfg4, mesh, 2))(p, images))
+    b = np.asarray(jax.jit(shard_forward_pp(cfg4, mesh, 8))(p, images))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_pp_validates_divisibility(cfg4):
+    mesh = make_mesh({"pp": 2}, jax.devices()[:2])
+    bad = dataclasses.replace(cfg4, depth=3, name="odd")
+    with pytest.raises(ValueError, match="must divide depth"):
+        shard_forward_pp(bad, mesh, 2)

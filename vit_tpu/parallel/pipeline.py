@@ -1,0 +1,146 @@
+"""Pipeline parallelism over the stacked-layer axis (GPipe-style).
+
+The model stacks its encoder layers on a leading axis and scans them
+(models/vit.py) — docs/parity.md calls this the natural pipeline seam.
+This module makes it real: the layer stack shards over a 'pp' mesh axis
+(L/P layers per stage), the batch splits into microbatches, and activations
+flow stage-to-stage with ``ppermute`` in the classic M+P-1-step schedule:
+at step t, stage p runs microbatch t-p (idle steps compute masked garbage —
+the usual pipeline bubble).
+
+Embeddings, final LN, and the head are replicated (they are a rounding
+error of the FLOPs); logits are psum-broadcast from the last stage.  The
+reference has no analog (single-device, SURVEY.md §2.3 documents PP as
+absent); this is the pod-scale extension path, validated on the virtual
+CPU mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vit_tpu.config import ViTConfig
+from vit_tpu.models import vit
+from vit_tpu.ops import reference
+from vit_tpu.ops.dispatch import REFERENCE_OPS
+
+
+def pp_param_pspecs(params) -> dict:
+    """PartitionSpecs: block stack sharded over 'pp' on the layer axis,
+    everything else replicated."""
+    rep = P()
+    blocks = {
+        k: P("pp", *([None] * (v.ndim - 1))) for k, v in params["blocks"].items()
+    }
+    return {
+        "cls_token": rep,
+        "patch_embed": {"kernel": rep, "bias": rep},
+        "pos_embed": rep,
+        "blocks": blocks,
+        "ln_final": {"scale": rep, "bias": rep},
+        "head": {"kernel": rep, "bias": rep},
+    }
+
+
+def shard_forward_pp(
+    cfg: ViTConfig,
+    mesh: Mesh,
+    num_microbatches: int,
+    gelu_variant: str = "exact",
+):
+    """Build ``forward(params, images) -> logits`` pipelined over 'pp'.
+
+    Params must be placed with :func:`pp_param_pspecs` shardings; the batch
+    must divide ``num_microbatches``.  Uses the jnp op path per stage (the
+    per-stage body is itself a lax.scan over the local layers).
+    """
+    if "pp" not in mesh.axis_names:
+        raise ValueError(f"mesh {mesh.axis_names} has no 'pp' axis")
+    n_stages = mesh.shape["pp"]
+    if cfg.depth % n_stages:
+        raise ValueError(f"pp={n_stages} must divide depth={cfg.depth}")
+    m = num_microbatches
+
+    def local_fn(params, images):
+        b = images.shape[0]
+        if b % m:
+            raise ValueError(f"batch {b} must divide microbatches {m}")
+        compute_dtype = params["pos_embed"].dtype
+        x = images.astype(compute_dtype)
+        x = reference.patch_embed(
+            x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
+            cfg.patch_size,
+        )
+        x = reference.add_cls_and_pos(x, params["cls_token"], params["pos_embed"])
+        t_len, d = x.shape[-2], x.shape[-1]
+        xmb = x.reshape(m, b // m, t_len, d)
+
+        stage = jax.lax.axis_index("pp")
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def run_stage(x_mb):
+            def body(c, blk):
+                return (
+                    vit.encoder_block(c, blk, cfg, REFERENCE_OPS, gelu_variant),
+                    None,
+                )
+
+            out, _ = jax.lax.scan(body, x_mb, params["blocks"])
+            return out
+
+        def step(t, carry):
+            buf, outputs = carry
+            mb = t - stage  # microbatch this stage works on at step t
+            valid = (mb >= 0) & (mb < m)
+            # stage 0 reads fresh microbatches; later stages read the
+            # ppermuted activation from their predecessor
+            inp = jnp.where(
+                stage == 0, xmb[jnp.clip(mb, 0, m - 1)], buf
+            )
+            out = run_stage(inp)
+            # last stage banks its finished microbatch
+            is_last = stage == n_stages - 1
+            outputs = jax.lax.cond(
+                valid & is_last,
+                lambda o: jax.lax.dynamic_update_index_in_dim(
+                    o, out, jnp.clip(mb, 0, m - 1), 0
+                ),
+                lambda o: o,
+                outputs,
+            )
+            buf = jax.lax.ppermute(out, "pp", perm)
+            return buf, outputs
+
+        buf0 = jnp.zeros((b // m, t_len, d), compute_dtype)
+        outs0 = jnp.zeros((m, b // m, t_len, d), compute_dtype)
+        _, outputs = jax.lax.fori_loop(0, m + n_stages - 1, step, (buf0, outs0))
+
+        # broadcast the last stage's result to every stage
+        outputs = jax.lax.psum(
+            jnp.where(stage == n_stages - 1, outputs, jnp.zeros_like(outputs)),
+            "pp",
+        )
+        x = outputs.reshape(b, t_len, d)
+        x = reference.layer_norm(
+            x, params["ln_final"]["scale"], params["ln_final"]["bias"],
+            cfg.layernorm_eps,
+        )
+        logits = reference.linear(
+            x[..., 0, :], params["head"]["kernel"], params["head"]["bias"]
+        )
+        return logits.astype(jnp.float32)
+
+    def fn(params, images):
+        # in_specs depend on the params structure, so the shard_map is
+        # built per call (jit caches the traced result)
+        return jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(pp_param_pspecs(params), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(params, images)
+
+    return fn
