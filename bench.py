@@ -116,6 +116,52 @@ def main(argv=None) -> None:
 
     stats = roofline(cfg, batch, dt, chip="v5e", dtype="bf16")
 
+    # Training throughput: fused_train (Pallas forward + hand-written
+    # backward kernels), bf16 mixed precision, adamw — B/16 batch 64.
+    train_img_per_sec = None
+    if ops_impl == "fused" and cfg.name == "vit_b_16":
+        try:
+            import optax
+
+            from vit_tpu.ops.dispatch import get_ops
+            from vit_tpu.runtime import trainer
+
+            optimizer = optax.adamw(1e-3)
+            tparams, topt = trainer.init_train_state(
+                jax.random.key(1), cfg, optimizer
+            )
+            tb = 64
+            rng = np.random.default_rng(0)
+            timgs = jnp.asarray(rng.normal(size=(tb, cfg.in_channels,
+                                                 cfg.image_size, cfg.image_size)),
+                                jnp.float32)
+            tlbls = jnp.asarray(rng.integers(0, cfg.num_classes, tb), jnp.int32)
+            step = jax.jit(
+                trainer.make_train_step(
+                    cfg, optimizer, get_ops("fused_train"), remat=False,
+                    compute_dtype=jnp.bfloat16,
+                ),
+                donate_argnums=(0, 1),
+                compiler_options=trainer.kernel_backward_compiler_options(),
+            )
+
+            def t_pass(iters, p, o):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    p, o, loss = step(p, o, timgs, tlbls)
+                float(loss)
+                return (time.perf_counter() - t0) / iters, p, o
+
+            _, tparams, topt = t_pass(3, tparams, topt)
+            tdt, tparams, topt = t_pass(20, tparams, topt)
+            train_img_per_sec = round(tb / tdt, 2)
+        except Exception as e:
+            import sys
+            import traceback
+
+            print(f"train benchmark path failed: {e!r}", file=sys.stderr)
+            traceback.print_exc()
+
     # Correctness: bf16 fast path vs independent NumPy fp64 oracle, 4 images.
     sub = images[:4]
     got = np.asarray(engine.logits(sub))
@@ -177,6 +223,7 @@ def main(argv=None) -> None:
             full_label_match and full_prob_dev <= 0.01
         ),
         "int8_images_per_sec": int8_img_per_sec,
+        "train_images_per_sec_fused_bf16_b64": train_img_per_sec,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
