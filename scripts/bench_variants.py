@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Variant-config throughput on one chip (bf16 fused path).
+
+Refreshes docs/performance.md's variant table; run alone (shared chip).
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from vit_tpu.runtime.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from vit_tpu.config import get_config
+from vit_tpu.io import synth_images, weights as wio
+from vit_tpu.runtime import InferenceEngine
+from vit_tpu.runtime.profiler import roofline
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--configs", default="vit_b_16_384:32,vit_l_16:64,vit_h_14:32"
+    )
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    for spec in args.configs.split(","):
+        name, batch = spec.split(":")
+        batch = int(batch)
+        cfg = get_config(name)
+        params = wio.params_from_tensors(wio.synth_reference_tensors(cfg, 0), cfg)
+        engine = InferenceEngine(cfg, params, dtype="bfloat16", ops="fused",
+                                 batch_pad=batch)
+        x, _ = engine._stage(synth_images(batch, cfg, seed=0))
+
+        def timed(n):
+            acc = jnp.zeros((), jnp.float32)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                acc = acc + jnp.sum(engine._forward(engine.params, x))
+            float(acc)
+            return (time.perf_counter() - t0) / n
+
+        timed(3)
+        dt = timed(args.iters)
+        stats = roofline(cfg, batch, dt, chip="v5e", dtype="bf16")
+        print(
+            f"{name} batch={batch}: {dt*1e3:7.2f} ms  "
+            f"{stats['images_per_sec_per_chip']:7.1f} img/s  "
+            f"{stats['mxu_utilization']*100:4.1f}% MXU"
+        )
+
+
+if __name__ == "__main__":
+    main()
