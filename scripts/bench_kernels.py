@@ -111,12 +111,13 @@ def main():
         print(f"C  bf16 ln_mlp:       {dt*1e3:7.3f} ms/layer  {fl_c/dt/1e12:6.1f} TF/s")
     if "c8" in which:
         dt = timeit_scan(
-            lambda c, w: QK.ln_mlp_residual_q8(
-                c, w[0], w[1], w[2], w[3], w[4], w[5], w[6], w[7], eps
+            lambda c, w: QK.out_ln_mlp_residual_q8(
+                c, c, w[0], w[1], w[2], w[3], w[4], w[5], w[6], w[7], w[8],
+                w[9], eps
             ),
-            x, (s1, b1ln, w1_q, w1_s, b1, w2_q, w2_s, b2),
+            x, (wo, bo, s1, b1ln, w1_q, w1_s, b1, w2_q, w2_s, b2),
         )
-        print(f"C  int8 ln_mlp:       {dt*1e3:7.3f} ms/layer  {fl_c/dt/1e12:6.1f} TF/s")
+        print(f"BC int8 merged:       {dt*1e3:7.3f} ms/layer  {(fl_b+fl_c)/dt/1e12:6.1f} TF/s")
 
 
 if __name__ == "__main__":

@@ -89,75 +89,6 @@ def ln_qkv_attn_q8(
     return out.reshape(rows, d_ctx)
 
 
-def _ln_mlp_q8_kernel(
-    x_ref, s_ref, b_ref, w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref,
-    out_ref, *, eps, variant
-):
-    h = _ln(x_ref[:], s_ref[:], b_ref[:], eps)
-    hq, hs = _quant_rows(h)
-    acc1 = jax.lax.dot_general(
-        hq, w1q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    mid = acc1.astype(jnp.float32) * hs * w1s_ref[:].astype(jnp.float32)
-    mid = _gelu(mid + b1_ref[:].astype(jnp.float32), variant)
-    mq, ms = _quant_rows(mid)
-    acc2 = jax.lax.dot_general(
-        mq, w2q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    out = acc2.astype(jnp.float32) * ms * w2s_ref[:].astype(jnp.float32)
-    out = out + b2_ref[:].astype(jnp.float32) + x_ref[:].astype(jnp.float32)
-    out_ref[:] = out.astype(out_ref.dtype)
-
-
-def ln_mlp_residual_q8(
-    x2d, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2, eps,
-    gelu_variant="exact", block_rows=128, interpret=False,
-):
-    """int8 twin of fused_block.ln_mlp_residual.  (The tensor-parallel form
-    lives in parallel/tp_forward.py — the dynamic mid-activation row scale
-    needs a cross-shard pmax, so it can't stay inside one kernel.)"""
-    rows, d = x2d.shape
-    f = w1q.shape[-1]
-    block_rows = min(block_rows, rows)
-    out_dtype = x2d.dtype
-    return pl.pallas_call(
-        functools.partial(_ln_mlp_q8_kernel, eps=eps, variant=gelu_variant),
-        grid=(pl.cdiv(rows, block_rows),),
-        in_specs=[
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((rows, d), out_dtype),
-        compiler_params=_VMEM_LIMIT,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * rows * d * f,
-            bytes_accessed=rows * d * 4 + 2 * d * f,
-            transcendentals=rows * f,
-        ),
-        interpret=interpret,
-    )(
-        x2d,
-        ln_scale.reshape(1, d),
-        ln_bias.reshape(1, d),
-        w1q,
-        w1s.reshape(1, f),
-        b1.reshape(1, f),
-        w2q,
-        w2s.reshape(1, d),
-        b2.reshape(1, d),
-    )
-
-
 def _out_ln_mlp_q8_kernel(
     ctx_ref, res_ref, wo_ref, bo_ref, s_ref, b_ref, w1q_ref, w1s_ref, b1_ref,
     w2q_ref, w2s_ref, b2_ref, out_ref, *, eps, variant,
@@ -236,8 +167,10 @@ def fused_encoder_block_q8(
     """Pre-LN encoder block with int8 QKV + MLP GEMMs; bf16 attention core.
 
     ``blk`` carries int8 ``wqkv``/``w1``/``w2`` with ``*_scale`` fp32
-    companions (vit_tpu.ops.quant.quantize_params); ``wo`` stays fp
-    (the out_proj+residual kernel is shared with the bf16 path).
+    companions (vit_tpu.ops.quant.quantize_params); ``wo`` stays fp and
+    rides the merged kernel's prologue (int8 wo would need another
+    activation quant pass on the already-VPU-bound path —
+    docs/performance.md roofline).
     """
     if interpret is None:
         from vit_tpu.ops.pallas import interpret_default
