@@ -1,0 +1,113 @@
+"""Training-state checkpoint/resume (io/checkpoint.py + train CLI)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vit_tpu.io import checkpoint as ckpt
+from vit_tpu.ops.dispatch import get_ops
+from vit_tpu.runtime import trainer
+
+
+def test_train_state_roundtrip(tiny_cfg, tmp_path):
+    optimizer = optax.adamw(1e-3)
+    params, opt_state = trainer.init_train_state(
+        jax.random.key(0), tiny_cfg, optimizer
+    )
+    # advance a couple of steps so the optimizer state is non-trivial
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(4, 3, tiny_cfg.image_size, tiny_cfg.image_size)),
+        jnp.float32,
+    )
+    labels = jnp.asarray(rng.integers(0, tiny_cfg.num_classes, 4), jnp.int32)
+    step = jax.jit(trainer.make_train_step(tiny_cfg, optimizer, get_ops("xla"),
+                                           remat=False))
+    for _ in range(2):
+        params, opt_state, _ = step(params, opt_state, images, labels)
+
+    path = tmp_path / "state.npz"
+    ckpt.save_train_state(jax.device_get(params), jax.device_get(opt_state), 2, path)
+    template = optimizer.init(params)
+    params_r, opt_r, s = ckpt.load_train_state(path, jax.device_get(template))
+    assert s == 2
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(opt_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resumed training must continue identically to uninterrupted training
+    p_cont, o_cont, l_cont = step(params, opt_state, images, labels)
+    p_res, o_res, l_res = step(
+        jax.tree.map(jnp.asarray, params_r), opt_r, images, labels
+    )
+    assert float(l_cont) == pytest.approx(float(l_res), abs=1e-7)
+    for a, b in zip(jax.tree.leaves(p_cont), jax.tree.leaves(p_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_load_rejects_optimizer_mismatch(tiny_cfg, tmp_path):
+    opt_a = optax.adamw(1e-3)
+    params, state_a = trainer.init_train_state(jax.random.key(1), tiny_cfg, opt_a)
+    path = tmp_path / "state.npz"
+    ckpt.save_train_state(params, state_a, 1, path)
+    opt_b = optax.sgd(0.1, momentum=0.9)
+    with pytest.raises((ValueError, KeyError)):
+        ckpt.load_train_state(path, opt_b.init(params))
+
+
+def test_fused_adamw_state_roundtrip(tiny_cfg, tmp_path):
+    params, _ = trainer.init_train_state(
+        jax.random.key(2), tiny_cfg, optax.sgd(0.1)
+    )
+    state = trainer.init_fused_adamw_state(params)
+    path = tmp_path / "fstate.npz"
+    ckpt.save_train_state(params, state, 7, path)
+    _, state_r, s = ckpt.load_train_state(
+        path, trainer.init_fused_adamw_state(params)
+    )
+    assert s == 7
+    assert len(jax.tree.leaves(state_r)) == len(jax.tree.leaves(state))
+
+
+def test_train_cli_save_every_and_resume(tiny_cfg, monkeypatch, capsys, tmp_path):
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    state = tmp_path / "state.npz"
+    common = [
+        "--config", "vit_tiny_test", "--batch", "4", "--dp", "4",
+        "--ops", "xla", "--no-compile-cache", "--save-state", str(state),
+    ]
+    rc = train_main(common + ["--steps", "3", "--save-every", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "saved training state (step 2)" in out
+    assert "saved training state (step 3)" in out
+
+    rc = train_main(common + ["--steps", "2", "--resume", str(state)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "step    3" in out and "step    4" in out
+    assert "saved training state (step 5)" in out
+
+
+def test_train_cli_skip_nonfinite_flag(tiny_cfg, monkeypatch, capsys):
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    # lr high enough to be stable for 2 steps; the flag's wiring is what's
+    # under test (apply_if_finite wraps the optimizer)
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "2", "--batch", "4",
+        "--dp", "4", "--ops", "xla", "--skip-nonfinite", "--no-compile-cache",
+    ])
+    assert rc == 0

@@ -40,6 +40,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init-weights", help="warm-start from Weight_*.bin dir")
     p.add_argument("--allow-synth-weights", action="store_true")
     p.add_argument("--save", help="save final params to this .npz")
+    p.add_argument(
+        "--save-state", metavar="PATH",
+        help="checkpoint the FULL training state (params+optimizer+step) "
+        "to this .npz at the end and every --save-every steps",
+    )
+    p.add_argument(
+        "--save-every", type=int, default=0, metavar="N",
+        help="with --save-state: also checkpoint every N steps",
+    )
+    p.add_argument(
+        "--resume", metavar="PATH",
+        help="resume a --save-state checkpoint (params, optimizer, step)",
+    )
+    p.add_argument(
+        "--skip-nonfinite", action="store_true",
+        help="skip optimizer updates when grads are non-finite "
+        "(optax.apply_if_finite) instead of aborting on a bad loss",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-remat", action="store_true")
     p.add_argument(
@@ -129,6 +147,12 @@ def main(argv=None) -> int:
     else:
         lr = args.lr
     optimizer = optax.adamw(lr, weight_decay=args.weight_decay)
+    if args.skip_nonfinite:
+        if args.optimizer == "fused_adamw":
+            print("error: --skip-nonfinite requires --optimizer adamw",
+                  file=sys.stderr)
+            return 2
+        optimizer = optax.apply_if_finite(optimizer, max_consecutive_errors=8)
     if args.init_weights:
         params = wio.load_reference_weights(
             args.init_weights, cfg, allow_synth=args.allow_synth_weights
@@ -174,6 +198,17 @@ def main(argv=None) -> int:
             remat=not args.no_remat, compute_dtype=compute_dtype,
         )
 
+    start_step = 0
+    if args.resume:
+        params_r, opt_r, start_step = ckpt.load_train_state(
+            args.resume, jax.device_get(opt_state)
+        )
+        params = jax.device_put(jax.tree.map(jnp.asarray, params_r),
+                                jax.tree.map(lambda a: a.sharding, params))
+        opt_state = jax.device_put(opt_r,
+                                   jax.tree.map(lambda a: a.sharding, opt_state))
+        print(f"resumed from {args.resume} at step {start_step}")
+
     rng = np.random.default_rng(args.seed)
     if args.input:
         images = iio.load_image_bin(args.input)
@@ -201,7 +236,14 @@ def main(argv=None) -> int:
     n = (len(images) // args.batch) * args.batch  # drop the ragged remainder
     images, labels = images[:n], labels[:n]
 
-    for s in range(args.steps):
+    def save_state(s):
+        ckpt.save_train_state(
+            jax.device_get(params), jax.device_get(opt_state), s,
+            args.save_state,
+        )
+        print(f"saved training state (step {s}) to {args.save_state}")
+
+    for s in range(start_step, start_step + args.steps):
         i0 = (s * args.batch) % max(n - args.batch + 1, 1)
         xb = jax.device_put(
             jnp.asarray(images[i0 : i0 + args.batch]), batch_sharding(mesh, 4)
@@ -214,9 +256,16 @@ def main(argv=None) -> int:
         loss = float(loss)
         print(f"step {s:4d}  loss {loss:.4f}  {time.perf_counter()-t0:.2f}s")
         if not np.isfinite(loss):
-            print("non-finite loss; aborting", file=sys.stderr)
-            return 1
+            if args.skip_nonfinite:
+                print(f"step {s}: non-finite loss; update skipped", file=sys.stderr)
+            else:
+                print("non-finite loss; aborting", file=sys.stderr)
+                return 1
+        if args.save_state and args.save_every and (s + 1) % args.save_every == 0:
+            save_state(s + 1)
 
+    if args.save_state:
+        save_state(start_step + args.steps)
     if args.save:
         ckpt.save_npz(jax.device_get(params), args.save)
         print(f"saved params to {args.save}")

@@ -29,6 +29,48 @@ def load_npz(path, dtype=None) -> Any:
     return unflatten_tree(flat)
 
 
+def save_train_state(params: Any, opt_state: Any, step: int, path) -> None:
+    """Checkpoint a full training state (params + optimizer + step) to one
+    .npz — the resume story the reference lacks entirely (its only
+    persistence is the Weight_*.bin dump, SURVEY.md §5).  Optimizer states
+    are arbitrary pytrees (optax namedtuples, the fused-AdamW tuple), so
+    their leaves are stored positionally and restored against a
+    same-structure template."""
+    import jax
+
+    flat_p = {
+        f"params.{k}": np.asarray(v) for k, v in flatten_tree(params).items()
+    }
+    flat_o = {
+        f"opt.{i}": np.asarray(x) for i, x in enumerate(jax.tree.leaves(opt_state))
+    }
+    np.savez(path, __step__=np.int64(step), **flat_p, **flat_o)
+
+
+def load_train_state(path, opt_state_like: Any):
+    """-> (params, opt_state, step).  ``opt_state_like`` provides the
+    optimizer pytree structure (e.g. ``optimizer.init(params)``)."""
+    import jax
+
+    with np.load(path) as z:
+        step = int(z["__step__"])
+        params = unflatten_tree(
+            {k[len("params."):]: z[k] for k in z.files if k.startswith("params.")}
+        )
+        template_leaves = jax.tree.leaves(opt_state_like)
+        leaves = [z[f"opt.{i}"] for i in range(len(template_leaves))]
+        for i, (got, want) in enumerate(zip(leaves, template_leaves)):
+            if tuple(got.shape) != tuple(np.shape(want)):
+                raise ValueError(
+                    f"opt leaf {i}: checkpoint shape {got.shape} != "
+                    f"template {np.shape(want)} (optimizer mismatch?)"
+                )
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(opt_state_like), leaves
+        )
+    return params, opt_state, step
+
+
 def save_orbax(tree: Any, path) -> None:
     """Orbax checkpoint (sharded arrays, async-capable, multi-host)."""
     import orbax.checkpoint as ocp
