@@ -110,3 +110,19 @@ def test_fuzz_fused_vs_xla_random_shapes():
         got = np.asarray(vit.forward(params, imgs, cfg, get_ops("fused")))
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4,
                                    err_msg=f"trial {trial} cfg={cfg.name}")
+
+
+def test_long_sequence_fallback_matches_xla(monkeypatch):
+    """Past VMEM_ATTENTION_MAX_T the fused block must switch to the
+    blockwise flash-attention composition and stay correct."""
+    from vit_tpu.ops.pallas import fused_block as FB
+
+    monkeypatch.setattr(FB, "VMEM_ATTENTION_MAX_T", 4)  # force the fallback
+    cfg = _cfg(64, 4)  # T = (32/16)^2 + 1 = 5 > 4
+    params = vit.init_params(jax.random.key(3), cfg)
+    imgs = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 3, 32, 32)), jnp.float32
+    )
+    want = np.asarray(vit.forward(params, imgs, cfg, get_ops("xla")))
+    got = np.asarray(vit.forward(params, imgs, cfg, get_ops("fused")))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
