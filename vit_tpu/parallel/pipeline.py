@@ -90,7 +90,11 @@ def shard_forward_pp(
             out, _ = jax.lax.scan(body, x_mb, params["blocks"])
             return out
 
-        def step(t, carry):
+        def step(carry, t):
+            # lax.scan (not fori_loop) so the schedule is
+            # reverse-differentiable — pipeline-parallel TRAINING falls out
+            # of jax.grad through this forward (shard_map transposes the
+            # ppermute and psums the replicated params' cotangents).
             buf, outputs = carry
             mb = t - stage  # microbatch this stage works on at step t
             valid = (mb >= 0) & (mb < m)
@@ -111,11 +115,13 @@ def shard_forward_pp(
                 outputs,
             )
             buf = jax.lax.ppermute(out, "pp", perm)
-            return buf, outputs
+            return (buf, outputs), None
 
         buf0 = jnp.zeros((b // m, t_len, d), compute_dtype)
         outs0 = jnp.zeros((m, b // m, t_len, d), compute_dtype)
-        _, outputs = jax.lax.fori_loop(0, m + n_stages - 1, step, (buf0, outs0))
+        (_, outputs), _ = jax.lax.scan(
+            step, (buf0, outs0), jnp.arange(m + n_stages - 1)
+        )
 
         # broadcast the last stage's result to every stage
         outputs = jax.lax.psum(
@@ -144,3 +150,35 @@ def shard_forward_pp(
         )(params, images)
 
     return fn
+
+
+def make_pp_train_step(
+    cfg: ViTConfig,
+    optimizer,
+    mesh: Mesh,
+    num_microbatches: int,
+    gelu_variant: str = "exact",
+):
+    """Pipeline-parallel training step: grads flow backward through the
+    microbatched schedule (the scan's transpose runs the stages in reverse
+    — the textbook 1F1B-ish backward fills the same bubbles).  Params stay
+    layer-sharded over 'pp'; optimizer state shards likewise."""
+    import optax
+
+    from vit_tpu.runtime.trainer import cross_entropy_loss
+
+    fwd = shard_forward_pp(cfg, mesh, num_microbatches, gelu_variant)
+
+    def loss_fn(params, images, labels):
+        return cross_entropy_loss(fwd(params, images), labels)
+
+    def train_step(params, opt_state, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # no donation: callers often place params with device_put, which can
+    # alias the source arrays when shardings already match — donating would
+    # delete the caller's buffers
+    return jax.jit(train_step)
