@@ -134,7 +134,9 @@ def test_train_cli_fused_adamw(tiny_cfg, monkeypatch, capsys):
     assert "step    1" in capsys.readouterr().out
 
 
-def test_train_cli_rejects_fused_train_with_tp(tiny_cfg, monkeypatch, capsys):
+def test_train_cli_fused_train_with_tp(tiny_cfg, monkeypatch, capsys):
+    # Round 2: fused_train trains tensor-parallel via the kernel-TP step
+    # (trainer.jit_train_step_kernel_tp) — was rejected before.
     import jax
 
     if jax.device_count() < 4:
@@ -144,11 +146,11 @@ def test_train_cli_rejects_fused_train_with_tp(tiny_cfg, monkeypatch, capsys):
 
     monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
     rc = train_main([
-        "--config", "vit_tiny_test", "--steps", "1", "--batch", "4",
+        "--config", "vit_tiny_test", "--steps", "2", "--batch", "4",
         "--dp", "2", "--tp", "2", "--ops", "fused_train", "--no-compile-cache",
     ])
-    assert rc == 2
-    assert "data-parallel only" in capsys.readouterr().err
+    assert rc == 0
+    assert "step    1" in capsys.readouterr().out
 
 
 def test_cli_golden_compare_detects_mismatch(

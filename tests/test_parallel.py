@@ -205,6 +205,46 @@ def test_fused_tp_features_and_bf16(tiny_cfg, tiny_params, tiny_images):
     np.testing.assert_allclose(fa, fb, atol=5e-2)
 
 
+@pytest.mark.parametrize("mesh_shape", [{"dp": 1, "tp": 2}, {"dp": 2, "tp": 2}])
+def test_kernel_tp_train_step_matches_fused_train(tiny_cfg, mesh_shape):
+    # Tensor-parallel TRAINING through the fused kernels (custom-VJP
+    # pallas calls under shard_map) must match the single-device
+    # fused_train step.
+    from vit_tpu.ops.dispatch import get_ops
+
+    n = mesh_shape["dp"] * mesh_shape["tp"]
+    optimizer = optax.sgd(0.05)
+    params, opt0 = trainer.init_train_state(jax.random.key(7), tiny_cfg, optimizer)
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(
+        rng.normal(size=(8, 3, tiny_cfg.image_size, tiny_cfg.image_size)),
+        jnp.float32,
+    )
+    labels = jnp.asarray(rng.integers(0, tiny_cfg.num_classes, 8), jnp.int32)
+
+    step_ref = jax.jit(
+        trainer.make_train_step(tiny_cfg, optimizer, get_ops("fused_train"),
+                                remat=False)
+    )
+    p_ref, _, l_ref = step_ref(params, opt0, images, labels)
+
+    mesh = make_mesh(mesh_shape, jax.devices()[:n])
+    p_s = shard_params(jax.device_get(params), mesh)
+    o_s = jax.device_put(
+        jax.device_get(opt0),
+        trainer._opt_state_shardings(opt0, p_s, param_shardings(mesh, p_s), mesh),
+    )
+    step_tp = trainer.jit_train_step_kernel_tp(tiny_cfg, optimizer, mesh, p_s, o_s)
+    p_tp, _, l_tp = step_tp(
+        p_s, o_s,
+        jax.device_put(images, batch_sharding(mesh, 4)),
+        jax.device_put(labels, batch_sharding(mesh, 1)),
+    )
+    assert abs(float(l_ref) - float(l_tp)) < 1e-6
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(jax.device_get(p_tp))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_unfused_kernel_paths_reject_tp_mesh(tiny_cfg, tiny_params):
     # Per-op pallas and the custom-VJP trainable path still shard dp-only.
     mesh = make_mesh({"dp": 4, "tp": 2})

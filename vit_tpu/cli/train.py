@@ -65,8 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
         default="auto",
         choices=["auto", "xla", "fused_train"],
         help="forward path: xla (jnp, GSPMD-shardable) or fused_train "
-        "(Pallas megakernel forward with custom-VJP backward; dp-only "
-        "meshes). auto = fused_train on a TPU backend when tp==1",
+        "(Pallas megakernel forward with custom-VJP backward; dp via "
+        "shard_map, tp via the kernel-TP step). auto = fused_train on a "
+        "TPU backend",
     )
     p.add_argument(
         "--mixed-precision", action="store_true",
@@ -119,18 +120,7 @@ def main(argv=None) -> int:
 
     ops_name = args.ops
     if ops_name == "auto":
-        ops_name = (
-            "fused_train"
-            if jax.default_backend() == "tpu" and mesh_axes["tp"] == 1
-            else "xla"
-        )
-    if ops_name == "fused_train" and mesh_axes["tp"] != 1:
-        print(
-            "error: --ops fused_train shards data-parallel only; "
-            "use --ops xla with --tp",
-            file=sys.stderr,
-        )
-        return 2
+        ops_name = "fused_train" if jax.default_backend() == "tpu" else "xla"
     from vit_tpu.ops.dispatch import get_ops
 
     ops = get_ops(ops_name)
@@ -163,15 +153,32 @@ def main(argv=None) -> int:
         params, opt_state = trainer.init_train_state(
             jax.random.key(args.seed), cfg, optimizer
         )
-    if args.optimizer == "fused_adamw" and ops_name != "fused_train":
+    if args.optimizer == "fused_adamw" and (
+        ops_name != "fused_train" or mesh_axes["tp"] != 1
+    ):
         print(
-            "error: --optimizer fused_adamw requires --ops fused_train",
+            "error: --optimizer fused_adamw requires --ops fused_train "
+            "and tp=1",
             file=sys.stderr,
         )
         return 2
-    if ops_name == "fused_train":
-        # Pallas custom-VJP path: params/optimizer replicated, batch over
-        # dp, per-shard grads pmean'd under shard_map.
+    if ops_name == "fused_train" and mesh_axes["tp"] != 1:
+        # Tensor-parallel training through the fused kernels: shard_map
+        # forward with custom-VJP pallas calls (trainer.jit_train_step_kernel_tp).
+        params = shard_params(params, mesh)
+        opt_state = jax.device_put(
+            opt_state,
+            trainer._opt_state_shardings(
+                opt_state, params, param_shardings(mesh, params), mesh
+            ),
+        )
+        step = trainer.jit_train_step_kernel_tp(
+            cfg, optimizer, mesh, params, opt_state,
+            remat=not args.no_remat, compute_dtype=compute_dtype,
+        )
+    elif ops_name == "fused_train":
+        # dp-only: params/optimizer replicated, batch over dp, per-shard
+        # grads pmean'd under shard_map.
         from vit_tpu.parallel import replicate
 
         params = jax.device_put(params, replicate(mesh))

@@ -84,7 +84,7 @@ def _row_mask(rows_total, block_rows):
 # -- kernel C backward: d[LN2 + FC1 + GELU + FC2 + residual] ------------------
 
 
-def _ln_mlp_bwd_kernel(*refs, eps, variant, rows_total, have_u):
+def _ln_mlp_bwd_kernel(*refs, eps, variant, rows_total, have_u, residual=True):
     if have_u:
         (dy_ref, x1_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, u_ref,
          dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbeta_ref) = refs
@@ -121,7 +121,8 @@ def _ln_mlp_bwd_kernel(*refs, eps, variant, rows_total, have_u):
         preferred_element_type=jnp.float32, precision=prec,
     )
     dx_ln = _ln_bwd_dx(dh2, xhat, inv, gamma)
-    dx_ref[:] = (dy + dx_ln).astype(dx_ref.dtype)
+    # the partial (TP row-parallel) form has no residual passthrough
+    dx_ref[:] = ((dy + dx_ln) if residual else dx_ln).astype(dx_ref.dtype)
 
     # fp32 accumulators, revisited across all row blocks
     @pl.when(pl.program_id(0) == 0)
@@ -151,7 +152,7 @@ def _ln_mlp_bwd_kernel(*refs, eps, variant, rows_total, have_u):
 
 def ln_mlp_residual_bwd(
     dy, x1, ln_scale, ln_bias, w1, b1, w2, eps, gelu_variant="exact",
-    block_rows=None, interpret=False, u=None,
+    block_rows=None, interpret=False, u=None, residual=True,
 ):
     """VJP of fused_block.ln_mlp_residual (non-partial form).
 
@@ -187,7 +188,7 @@ def ln_mlp_residual_bwd(
     outs = pl.pallas_call(
         functools.partial(
             _ln_mlp_bwd_kernel, eps=eps, variant=gelu_variant,
-            rows_total=rows, have_u=u is not None,
+            rows_total=rows, have_u=u is not None, residual=residual,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -438,7 +439,7 @@ def out_residual_bwd(dx1, ctx, wo, block_rows=512, interpret=False):
 # -- kernel A backward: d[LN1 + QKV + attention] ------------------------------
 
 
-def _ln_qkv_attn_bwd_kernel(*refs, eps, num_heads, scale, have_qkv):
+def _ln_qkv_attn_bwd_kernel(*refs, eps, num_heads, scale, have_qkv, have_dres=True):
     if have_qkv:
         (dctx_ref, dres_ref, x_ref, s_ref, b_ref, w_ref, bias_ref, qkv_ref,
          dx_ref, dw_ref, dbq_ref, dg_ref, dbeta_ref, dqkv_scr) = refs
@@ -506,7 +507,9 @@ def _ln_qkv_attn_bwd_kernel(*refs, eps, num_heads, scale, have_qkv):
         preferred_element_type=jnp.float32, precision=prec,
     )
     dx_ln = _ln_bwd_dx(dh1, xhat, inv, gamma)
-    dx_ref[0] = (dres_ref[0].astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
+    if have_dres:  # fused residual-join (the block backward's path)
+        dx_ln = dres_ref[0].astype(jnp.float32) + dx_ln
+    dx_ref[0] = dx_ln.astype(dx_ref.dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -528,6 +531,9 @@ def ln_qkv_attn_bwd(
     dctx, dres, x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps,
     interpret=False, qkv=None,
 ):
+    # ``dres=None`` skips the residual join (standalone-kernel VJP); the
+    # kernel still wants a same-shaped ref, so zeros are substituted and
+    # the add is compiled out via have_dres.
     """VJP of fused_block.ln_qkv_attn, fused with the first residual's
     gradient join: dx = dres + d(LN1+QKV+attention)/dx.
 
@@ -540,6 +546,9 @@ def ln_qkv_attn_bwd(
     b = rows // seq_len
     scale = 1.0 / ((d_ctx // num_heads) ** 0.5)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    have_dres = dres is not None
+    if not have_dres:
+        dres = jnp.zeros_like(x2d)
     in_specs = [
         pl.BlockSpec((1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -566,7 +575,7 @@ def ln_qkv_attn_bwd(
     outs = pl.pallas_call(
         functools.partial(
             _ln_qkv_attn_bwd_kernel, eps=eps, num_heads=num_heads,
-            scale=scale, have_qkv=qkv is not None,
+            scale=scale, have_qkv=qkv is not None, have_dres=have_dres,
         ),
         grid=(b,),
         in_specs=in_specs,

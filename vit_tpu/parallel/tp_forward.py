@@ -23,6 +23,8 @@ the canonical Megatron count.  dp composes freely: the batch splits over
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -30,6 +32,78 @@ from jax.sharding import Mesh, PartitionSpec as P
 from vit_tpu.config import ViTConfig
 from vit_tpu.ops import reference
 from vit_tpu.parallel.sharding import param_pspecs
+
+
+# -- differentiable kernel wrappers -------------------------------------------
+# The TP block's only non-differentiable pieces are the two pallas_calls;
+# giving them custom VJPs (reusing the backward megakernels with the
+# residual joins disabled) makes fused_block_tp trainable — psum/pmax and
+# the jnp epilogues transpose natively under shard_map.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _ln_qkv_attn_diff(x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps):
+    from vit_tpu.ops.pallas import interpret_default
+    from vit_tpu.ops.pallas.fused_block import ln_qkv_attn
+
+    return ln_qkv_attn(
+        x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps,
+        interpret=interpret_default(),
+    )
+
+
+def _lqa_fwd(x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps):
+    out = _ln_qkv_attn_diff(x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps)
+    return out, (x2d, ln_scale, ln_bias, wqkv, bqkv)
+
+
+def _lqa_bwd(num_heads, seq_len, eps, res, g):
+    from vit_tpu.ops.pallas import interpret_default
+    from vit_tpu.ops.pallas.backward import ln_qkv_attn_bwd
+
+    x2d, s, b, w, bq = res
+    dx, ds, db, dw, dbq = ln_qkv_attn_bwd(
+        g, None, x2d, s, b, w, bq, num_heads, seq_len, eps,
+        interpret=interpret_default(),
+    )
+    return dx, ds.astype(s.dtype), db.astype(b.dtype), dw.astype(w.dtype), dbq.astype(bq.dtype)
+
+
+_ln_qkv_attn_diff.defvjp(_lqa_fwd, _lqa_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _ln_mlp_partial_diff(x2d, ln_scale, ln_bias, w1, b1, w2, eps, gelu_variant):
+    from vit_tpu.ops.pallas import interpret_default
+    from vit_tpu.ops.pallas.fused_block import ln_mlp_residual
+
+    return ln_mlp_residual(
+        x2d, ln_scale, ln_bias, w1, b1, w2, jnp.zeros((w2.shape[-1],), x2d.dtype),
+        eps, gelu_variant, interpret=interpret_default(), partial=True,
+    )
+
+
+def _lmp_fwd(x2d, ln_scale, ln_bias, w1, b1, w2, eps, gelu_variant):
+    out = _ln_mlp_partial_diff(x2d, ln_scale, ln_bias, w1, b1, w2, eps, gelu_variant)
+    return out, (x2d, ln_scale, ln_bias, w1, b1, w2)
+
+
+def _lmp_bwd(eps, gelu_variant, res, g):
+    from vit_tpu.ops.pallas import interpret_default
+    from vit_tpu.ops.pallas.backward import ln_mlp_residual_bwd
+
+    x2d, s, b, w1, b1, w2 = res
+    dx, ds, db, dw1, db1, dw2, _db2 = ln_mlp_residual_bwd(
+        g.astype(x2d.dtype), x2d, s, b, w1, b1, w2, eps, gelu_variant,
+        interpret=interpret_default(), residual=False,
+    )
+    return (
+        dx, ds.astype(s.dtype), db.astype(b.dtype),
+        dw1.astype(w1.dtype), db1.astype(b1.dtype), dw2.astype(w2.dtype),
+    )
+
+
+_ln_mlp_partial_diff.defvjp(_lmp_fwd, _lmp_bwd)
 
 
 def _precision_for(dtype):
@@ -50,9 +124,11 @@ def fused_block_tp(
     interpret: bool,
 ) -> jax.Array:
     """One pre-LN encoder block, this shard's slice: local-head attention,
-    psum-completed out_proj and MLP (see module docstring)."""
-    from vit_tpu.ops.pallas.fused_block import ln_mlp_residual, ln_qkv_attn
+    psum-completed out_proj and MLP (see module docstring).
 
+    The fp path is differentiable (the two pallas_calls carry custom VJPs
+    backed by the backward megakernels), so TP *training* of the fused
+    path is jax.grad through this function."""
     dtype = x2d.dtype
     if quant:
         from vit_tpu.ops.pallas.quant_kernels import ln_qkv_attn_q8
@@ -63,9 +139,9 @@ def fused_block_tp(
             interpret=interpret,
         )
     else:
-        ctx = ln_qkv_attn(
+        ctx = _ln_qkv_attn_diff(
             x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["bqkv"],
-            heads_local, seq_len, eps, interpret=interpret,
+            heads_local, seq_len, eps,
         )
     # row-parallel out_proj: fp32 partial -> psum -> bias+residual epilogue
     part = jnp.dot(
@@ -79,10 +155,9 @@ def fused_block_tp(
 
     if quant:
         return _mlp_q8_tp(x2d, blk, eps, gelu_variant, axis)
-    part2 = ln_mlp_residual(
+    part2 = _ln_mlp_partial_diff(
         x2d, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
-        blk["w2"], blk["b2"], eps, gelu_variant, interpret=interpret,
-        partial=True,
+        blk["w2"], eps, gelu_variant,
     )
     part2 = jax.lax.psum(part2, axis)
     return (

@@ -243,6 +243,55 @@ def jit_train_step_dp_shard_map(
     )
 
 
+def jit_train_step_kernel_tp(
+    cfg: ViTConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    params_like: Any,
+    opt_state_like: Any,
+    remat: bool = False,
+    compute_dtype=None,
+    gelu_variant: str = "exact",
+):
+    """Tensor-parallel training THROUGH the fused Pallas kernels: the
+    forward is parallel/tp_forward's shard_map (local-head attention
+    kernels, psum epilogues), whose pallas_calls carry custom VJPs backed
+    by the backward megakernels — jax.grad transposes the shard_map, so
+    tp-sharded params get tp-sharded grads and replicated leaves get
+    psum'd cotangents automatically.  Batch shards over 'dp'."""
+    from vit_tpu.parallel import batch_sharding, param_shardings
+    from vit_tpu.parallel.tp_forward import shard_forward_tp
+
+    fwd = shard_forward_tp(cfg, mesh, "fused", params_like, gelu_variant)
+
+    def loss_fn(params, images, labels):
+        def run(p, x):
+            if compute_dtype is not None:
+                p = vit.cast_params(p, compute_dtype)
+                x = x.astype(compute_dtype)
+            return fwd(p, x)
+
+        if remat:
+            run = jax.checkpoint(run)
+        return cross_entropy_loss(run(params, images), labels)
+
+    def step(params, opt_state, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    p_shard = param_shardings(mesh, params_like)
+    o_shard = _opt_state_shardings(opt_state_like, params_like, p_shard, mesh)
+    return jax.jit(
+        step,
+        in_shardings=(p_shard, o_shard, batch_sharding(mesh, 4), batch_sharding(mesh, 1)),
+        out_shardings=(p_shard, o_shard, replicate(mesh)),
+        donate_argnums=(0, 1),
+        compiler_options=kernel_backward_compiler_options(),
+    )
+
+
 def _opt_state_shardings(opt_state, params, p_shard, mesh):
     """Shard optimizer-state leaves like their corresponding params when the
     shapes line up (adam mu/nu mirror param shapes); replicate everything
