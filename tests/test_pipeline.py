@@ -125,3 +125,21 @@ def test_pp_train_loss_decreases(cfg4, params4):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_pp_fused_kernels_match_single_device(cfg4, params4):
+    # Pipeline over the fused Pallas megakernels (inference).
+    images = np.asarray(
+        jax.random.normal(jax.random.key(9), (8, 3, 32, 32), jnp.float32)
+    )
+    from vit_tpu.ops.dispatch import get_ops
+    from vit_tpu.models import vit as vit_mod
+
+    want = np.asarray(
+        jax.jit(vit_mod.logits_fn(cfg4, get_ops("fused")))(params4, images)
+    )
+    mesh = make_mesh({"pp": 2}, jax.devices()[:2])
+    fwd = jax.jit(shard_forward_pp(cfg4, mesh, num_microbatches=4,
+                                   ops_name="fused"))
+    got = np.asarray(fwd(_place(params4, mesh), jnp.asarray(images)))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "xla", "pallas", "fused", "quant"])
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8117)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel size (heads/MLP over a mesh)")
+    p.add_argument("--dp", type=int, default=None, help="data-parallel size")
     p.add_argument("--max-batch", type=int, default=64,
                    help="coalesce requests up to this many images")
     p.add_argument("--max-delay-ms", type=float, default=5.0,
@@ -72,11 +75,22 @@ def _build_server(args):
     ops = args.ops
     if ops == "auto":
         ops = "fused" if jax.default_backend() == "tpu" else "xla"
+    mesh = None
+    if args.tp > 1 or args.dp:
+        from vit_tpu.parallel import make_mesh, mesh_shape_for
+
+        shape = mesh_shape_for(
+            (args.dp or jax.device_count() // args.tp) * args.tp,
+            tp=args.tp, dp=args.dp,
+        )
+        mesh = make_mesh(shape, jax.devices()[: shape["dp"] * shape["tp"]])
+        print(f"mesh: {shape} over {jax.device_count()} device(s)")
     params = wio.load_reference_weights(
         args.weights, cfg, allow_synth=args.allow_synth_weights
     )
     engine = InferenceEngine(
-        cfg, params, dtype=args.dtype, ops=ops, batch_pad=args.batch_pad
+        cfg, params, dtype=args.dtype, ops=ops, mesh=mesh,
+        batch_pad=args.batch_pad,
     )
     server = InferenceServer(
         engine, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms

@@ -49,15 +49,20 @@ def shard_forward_pp(
     mesh: Mesh,
     num_microbatches: int,
     gelu_variant: str = "exact",
+    ops_name: str = "xla",
 ):
     """Build ``forward(params, images) -> logits`` pipelined over 'pp'.
 
     Params must be placed with :func:`pp_param_pspecs` shardings; the batch
-    must divide ``num_microbatches``.  Uses the jnp op path per stage (the
-    per-stage body is itself a lax.scan over the local layers).
+    must divide ``num_microbatches``.  The per-stage body is a lax.scan
+    over the local layers with either the jnp ops (``ops_name='xla'``,
+    differentiable — training) or the fused Pallas megakernels
+    (``ops_name='fused'`` — inference).
     """
     if "pp" not in mesh.axis_names:
         raise ValueError(f"mesh {mesh.axis_names} has no 'pp' axis")
+    if ops_name not in ("xla", "fused"):
+        raise ValueError(f"pp supports ops 'xla'/'fused', got {ops_name!r}")
     n_stages = mesh.shape["pp"]
     if cfg.depth % n_stages:
         raise ValueError(f"pp={n_stages} must divide depth={cfg.depth}")
@@ -80,15 +85,37 @@ def shard_forward_pp(
         stage = jax.lax.axis_index("pp")
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-        def run_stage(x_mb):
-            def body(c, blk):
-                return (
-                    vit.encoder_block(c, blk, cfg, REFERENCE_OPS, gelu_variant),
-                    None,
-                )
+        if ops_name == "fused":
+            from vit_tpu.ops.pallas.fused_block import fused_encoder_block
 
-            out, _ = jax.lax.scan(body, x_mb, params["blocks"])
-            return out
+            def run_stage(x_mb):
+                mb_b = x_mb.shape[0]
+
+                def body(c, blk):
+                    return (
+                        fused_encoder_block(
+                            c, blk, cfg.num_heads, t_len, cfg.layernorm_eps,
+                            gelu_variant,
+                        ),
+                        None,
+                    )
+
+                x2, _ = jax.lax.scan(
+                    body, x_mb.reshape(mb_b * t_len, d), params["blocks"]
+                )
+                return x2.reshape(mb_b, t_len, d)
+
+        else:
+
+            def run_stage(x_mb):
+                def body(c, blk):
+                    return (
+                        vit.encoder_block(c, blk, cfg, REFERENCE_OPS, gelu_variant),
+                        None,
+                    )
+
+                out, _ = jax.lax.scan(body, x_mb, params["blocks"])
+                return out
 
         def step(carry, t):
             # lax.scan (not fori_loop) so the schedule is
