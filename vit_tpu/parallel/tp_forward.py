@@ -167,7 +167,7 @@ def fused_block_tp(
 
 def _mlp_q8_tp(x2d, blk, eps, variant, axis):
     """W8A8 MLP, tensor-parallel, matching the single-device kernel's
-    quantization grouping exactly (quant_kernels._ln_mlp_q8_kernel).
+    quantization grouping exactly (quant_kernels._out_ln_mlp_q8_kernel).
 
     The mid activation's dynamic per-row int8 scale is an absmax over the
     FULL MLP-hidden row, but each shard holds only F/tp columns — so the
