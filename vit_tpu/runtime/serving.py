@@ -189,8 +189,6 @@ class InferenceServer:
         program per padding-grain multiple up to max_batch) before serving
         traffic — the production analog of the reference compiling
         kernel.cl at startup (ViT_opencl.c:89-96)."""
-        import jax
-
         engine = self.engine
         cfg = engine.cfg
         grain = engine.batch_pad
@@ -200,7 +198,11 @@ class InferenceServer:
             x = np.zeros((s, cfg.in_channels, cfg.image_size, cfg.image_size),
                          np.float32)
             staged, n = engine._stage(x)
-            jax.block_until_ready(self._serve_fn(engine.params, staged))
+            _, top, _ = self._serve_fn(engine.params, staged)
+            # a scalar host readback is the only reliable compile/run sync
+            # on remote backends (block_until_ready can return early
+            # through this environment's tunnel — docs/performance.md)
+            float(top.sum())
 
     def _dispatch_loop(self) -> None:
         engine = self.engine
