@@ -164,3 +164,51 @@ def test_out_residual_kernel_parity(key):
     got = out_residual(ctx, res, wo, bo, block_rows=64, interpret=True)
     want = res + R.linear(ctx, wo, bo)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fast_erf_accuracy():
+    """The tanh-form erf (bf16 compute paths) must stay within its
+    documented bounds vs the A-S reference form everywhere."""
+    import jax.numpy as jnp
+    import numpy as np
+    from scipy.special import erf as scipy_erf
+
+    from vit_tpu.ops.pallas.fused_block import _erf_tanh_inner, _gelu
+
+    x = jnp.asarray(np.linspace(-12, 12, 100001), jnp.float32)
+    _, _, t = _erf_tanh_inner(x)
+    assert float(jnp.abs(t - scipy_erf(np.asarray(x))).max()) < 5e-5
+    g_fast = _gelu(x, "exact", fast_erf=True)
+    g_ref = _gelu(x, "exact", fast_erf=False)
+    assert float(jnp.abs(g_fast - g_ref).max()) < 1e-4
+
+
+def test_fast_erf_grad_accuracy():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit_tpu.ops.pallas.backward import _gelu_grad
+
+    x = jnp.asarray(np.linspace(-12, 12, 100001), jnp.float32)
+    g_fast = _gelu_grad(x, "exact", fast_erf=True)
+    g_ref = _gelu_grad(x, "exact", fast_erf=False)
+    assert float(jnp.abs(g_fast - g_ref).max()) < 5e-4
+
+
+def test_bf16_fused_uses_fast_erf_and_stays_close(tiny_cfg, tiny_params, tiny_images):
+    """bf16 fused forward (fast-erf path) vs fp32 xla: within bf16 noise."""
+    from vit_tpu.models import vit as vit_mod
+    from vit_tpu.ops.dispatch import get_ops
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    p32 = tiny_params
+    want = np.asarray(vit_mod.forward(p32, jnp.asarray(tiny_images), tiny_cfg,
+                                      get_ops("xla")))
+    pbf = jax.tree.map(lambda a: a.astype(jnp.bfloat16), tiny_params)
+    got = np.asarray(vit_mod.forward(
+        pbf, jnp.asarray(tiny_images, jnp.bfloat16), tiny_cfg, get_ops("fused")
+    ))
+    np.testing.assert_allclose(got, want, atol=0.1)  # bf16-path tolerance

@@ -37,19 +37,39 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vit_tpu.ops.pallas.fused_block import _VMEM_LIMIT, _gelu, _ln, dot_precision
+from vit_tpu.ops.pallas.fused_block import (
+    _VMEM_LIMIT,
+    _erf_tanh_inner,
+    _ERF_TANH_Q,
+    _gelu,
+    _ln,
+    dot_precision,
+    use_fast_erf,
+)
 from vit_tpu.ops.pallas.mlp_kernel import _erf
 
 _INV_SQRT2PI = 0.3989422804014327  # 1/sqrt(2*pi)
 
 
-def _gelu_grad(u, variant):
+def _gelu_grad(u, variant, fast_erf=False):
     """d gelu(u) / du for both reference variants (fp32).
 
     exact:  Phi(u) + u * phi(u)                      (ViT_seq.c:232 erf form)
     tanh:   0.5(1+t) + 0.5 u (1-t^2) c (1+3*0.044715 u^2)   (kernel.cl:442)
+
+    ``fast_erf`` differentiates the tanh-form erf instead (one tanh, no
+    exp/divide; |err| 1.7e-4 — below bf16 resolution).
     """
     if variant == "exact":
+        if fast_erf:
+            inv_sqrt2 = 0.7071067811865476
+            sc, q, t = _erf_tanh_inner(u * inv_sqrt2)
+            tsq = sc * sc
+            qp = jnp.float32((len(_ERF_TANH_Q) - 1) * _ERF_TANH_Q[-1])
+            for i in range(len(_ERF_TANH_Q) - 2, 0, -1):
+                qp = qp * tsq + jnp.float32(i * _ERF_TANH_Q[i])
+            vp = q + 2.0 * tsq * qp  # d(s*q(s^2))/ds
+            return 0.5 * (1.0 + t) + 0.5 * u * (1.0 - t * t) * vp * inv_sqrt2
         phi_cdf = 0.5 * (1.0 + _erf(u * 0.7071067811865476))
         pdf = _INV_SQRT2PI * jnp.exp(-0.5 * u * u)
         return phi_cdf + u * pdf
@@ -107,14 +127,15 @@ def _ln_mlp_bwd_kernel(*refs, eps, variant, rows_total, have_u, residual=True):
     else:
         u = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32, precision=prec)
         u = u + b1_ref[:].astype(jnp.float32)
-    g = _gelu(u, variant)
+    fast = use_fast_erf(dy_ref.dtype)
+    g = _gelu(u, variant, fast_erf=fast)
 
     # dm = dy (residual add passes gradient through)
     dg = jax.lax.dot_general(
         dy.astype(dy_ref.dtype), w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     )
-    du = dg * _gelu_grad(u, variant)
+    du = dg * _gelu_grad(u, variant, fast_erf=fast)
     du_c = du.astype(dy_ref.dtype)
     dh2 = jax.lax.dot_general(
         du_c, w1_ref[:], (((1,), (1,)), ((), ())),
@@ -254,13 +275,14 @@ def _ln_mlp_out_bwd_kernel(*refs, eps, variant, rows_total, have_u):
     else:
         u = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32, precision=prec)
         u = u + b1_ref[:].astype(jnp.float32)
-    g = _gelu(u, variant)
+    fast = use_fast_erf(dy_ref.dtype)
+    g = _gelu(u, variant, fast_erf=fast)
 
     dg = jax.lax.dot_general(
         dy.astype(dy_ref.dtype), w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     )
-    du = dg * _gelu_grad(u, variant)
+    du = dg * _gelu_grad(u, variant, fast_erf=fast)
     du_c = du.astype(dy_ref.dtype)
     dh2 = jax.lax.dot_general(
         du_c, w1_ref[:], (((1,), (1,)), ((), ())),

@@ -55,10 +55,40 @@ def _ln(x, scale, bias, eps):
     )
 
 
-def _gelu(h, variant):
+# erf(x) ~= tanh(x * q(x^2)) with input clamped to [-B, B]: one VPU
+# transcendental instead of A-S's exp+divide.  max |erf err| = 3.1e-5
+# (gelu err 3.5e-5, gelu' err 1.7e-4) — far below bf16 resolution, so the
+# bf16 compute paths use it; fp32 keeps the 1.5e-7 A-S form.
+_ERF_TANH_Q = (
+    1.1281997085186337, 0.10359029852786425, -0.0011219408928909798,
+    -0.00022230843767343287, 1.4501721850515667e-05,
+)
+_ERF_TANH_B = 3.2
+
+
+def _erf_tanh_inner(x):
+    """-> (clamped x, q(x^2), tanh(x*q)) — shared by gelu and its grad."""
+    xc = jnp.clip(x, -_ERF_TANH_B, _ERF_TANH_B)
+    t = xc * xc
+    q = jnp.float32(_ERF_TANH_Q[-1])
+    for c in _ERF_TANH_Q[-2::-1]:
+        q = q * t + jnp.float32(c)
+    return xc, q, jnp.tanh(xc * q)
+
+
+def _gelu(h, variant, fast_erf=False):
     if variant == "exact":
+        if fast_erf:
+            _, _, t = _erf_tanh_inner(h * 0.7071067811865476)
+            return 0.5 * h * (1.0 + t)
         return 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
     return 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h)))
+
+
+def use_fast_erf(dtype) -> bool:
+    """The tanh-form erf is used when the compute dtype can't resolve its
+    3e-5 error anyway (bf16); fp32 paths keep the A-S form."""
+    return jnp.dtype(dtype) == jnp.bfloat16
 
 
 # -- kernel A: LN1 + QKV projection + attention core --------------------------
@@ -225,7 +255,7 @@ def _ln_mlp_kernel(
     u = u + b1_ref[:].astype(jnp.float32)
     if len(out_refs) > 1:  # training path: stash pre-GELU u for the backward
         out_refs[1][:] = u.astype(out_refs[1].dtype)
-    h = _gelu(u, variant).astype(x_ref.dtype)
+    h = _gelu(u, variant, fast_erf=use_fast_erf(x_ref.dtype)).astype(x_ref.dtype)
     acc = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32, precision=prec)
     if not partial:  # TP row-parallel w2: bias+residual ride the psum epilogue
         acc = acc + b2_ref[:].astype(jnp.float32) + x_ref[:].astype(jnp.float32)
@@ -313,7 +343,10 @@ def _out_ln_mlp_kernel(
     x1 = x1 + bo_ref[:].astype(jnp.float32) + res_ref[:].astype(jnp.float32)
     h = _ln(x1, s_ref[:], b_ref[:], eps).astype(ctx_ref.dtype)
     u = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32, precision=prec)
-    h = _gelu(u + b1_ref[:].astype(jnp.float32), variant).astype(ctx_ref.dtype)
+    h = _gelu(
+        u + b1_ref[:].astype(jnp.float32), variant,
+        fast_erf=use_fast_erf(ctx_ref.dtype),
+    ).astype(ctx_ref.dtype)
     acc = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32, precision=prec)
     out_ref[:] = (acc + b2_ref[:].astype(jnp.float32) + x1).astype(out_ref.dtype)
 

@@ -18,7 +18,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vit_tpu.ops.pallas.fused_block import _VMEM_LIMIT, _gelu, _head_context, _ln
+from vit_tpu.ops.pallas.fused_block import (
+    _VMEM_LIMIT,
+    _gelu,
+    _head_context,
+    _ln,
+    use_fast_erf,
+)
 
 
 def _quant_rows(h):
@@ -106,7 +112,10 @@ def _out_ln_mlp_q8_kernel(
         hq, w1q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
     mid = acc1.astype(jnp.float32) * hs * w1s_ref[:].astype(jnp.float32)
-    mid = _gelu(mid + b1_ref[:].astype(jnp.float32), variant)
+    mid = _gelu(
+        mid + b1_ref[:].astype(jnp.float32), variant,
+        fast_erf=use_fast_erf(res_ref.dtype),
+    )
     mq, ms = _quant_rows(mid)
     acc2 = jax.lax.dot_general(
         mq, w2q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
