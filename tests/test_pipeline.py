@@ -127,6 +127,51 @@ def test_pp_train_loss_decreases(cfg4, params4):
     assert losses[-1] < losses[0]
 
 
+def test_pp_fused_train_step_matches_single_device(cfg4, params4):
+    """PP training through the fused Pallas kernels (custom VJP backward
+    megakernels): one SGD step over pp=2 must match the unsharded
+    fused_train step."""
+    import optax
+
+    from vit_tpu.ops.dispatch import get_ops
+    from vit_tpu.parallel.pipeline import make_pp_train_step
+    from vit_tpu.runtime import trainer
+
+    optimizer = optax.sgd(0.05)
+    opt0 = optimizer.init(params4)
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.normal(size=(8, 3, 32, 32)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, cfg4.num_classes, 8), jnp.int32)
+
+    step_ref = jax.jit(
+        trainer.make_train_step(cfg4, optimizer, get_ops("fused_train"),
+                                remat=False)
+    )
+    p_ref, _, l_ref = step_ref(params4, opt0, images, labels)
+
+    mesh = make_mesh({"pp": 2}, jax.devices()[:2])
+    p_pp = _place(params4, mesh)
+    opt_pp = optimizer.init(p_pp)
+    step_pp = make_pp_train_step(cfg4, optimizer, mesh, num_microbatches=4,
+                                 ops_name="fused_train")
+    p_out, _, l_pp = step_pp(p_pp, opt_pp, jnp.asarray(images), labels)
+
+    assert abs(float(l_ref) - float(l_pp)) < 1e-5
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(jax.device_get(p_out))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_pp_train_rejects_nondifferentiable_fused(cfg4):
+    import optax
+
+    from vit_tpu.parallel.pipeline import make_pp_train_step
+
+    mesh = make_mesh({"pp": 2}, jax.devices()[:2])
+    with pytest.raises(ValueError, match="fused_train"):
+        make_pp_train_step(cfg4, optax.sgd(0.1), mesh, 2, ops_name="fused")
+
+
 def test_pp_fused_kernels_match_single_device(cfg4, params4):
     # Pipeline over the fused Pallas megakernels (inference).
     images = np.asarray(

@@ -56,13 +56,17 @@ def shard_forward_pp(
     Params must be placed with :func:`pp_param_pspecs` shardings; the batch
     must divide ``num_microbatches``.  The per-stage body is a lax.scan
     over the local layers with either the jnp ops (``ops_name='xla'``,
-    differentiable — training) or the fused Pallas megakernels
-    (``ops_name='fused'`` — inference).
+    differentiable — training), the fused Pallas megakernels
+    (``ops_name='fused'`` — inference), or the differentiable fused block
+    (``ops_name='fused_train'`` — Pallas forward + hand-written backward
+    kernels; jax.grad transposes the schedule through the custom VJP).
     """
     if "pp" not in mesh.axis_names:
         raise ValueError(f"mesh {mesh.axis_names} has no 'pp' axis")
-    if ops_name not in ("xla", "fused"):
-        raise ValueError(f"pp supports ops 'xla'/'fused', got {ops_name!r}")
+    if ops_name not in ("xla", "fused", "fused_train"):
+        raise ValueError(
+            f"pp supports ops 'xla'/'fused'/'fused_train', got {ops_name!r}"
+        )
     n_stages = mesh.shape["pp"]
     if cfg.depth % n_stages:
         raise ValueError(f"pp={n_stages} must divide depth={cfg.depth}")
@@ -85,15 +89,20 @@ def shard_forward_pp(
         stage = jax.lax.axis_index("pp")
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-        if ops_name == "fused":
-            from vit_tpu.ops.pallas.fused_block import fused_encoder_block
+        if ops_name in ("fused", "fused_train"):
+            if ops_name == "fused":
+                from vit_tpu.ops.pallas.fused_block import fused_encoder_block as blk_fn
+            else:
+                from vit_tpu.ops.pallas.trainable import (
+                    fused_encoder_block_trainable as blk_fn,
+                )
 
             def run_stage(x_mb):
                 mb_b = x_mb.shape[0]
 
                 def body(c, blk):
                     return (
-                        fused_encoder_block(
+                        blk_fn(
                             c, blk, cfg.num_heads, t_len, cfg.layernorm_eps,
                             gelu_variant,
                         ),
@@ -185,16 +194,28 @@ def make_pp_train_step(
     mesh: Mesh,
     num_microbatches: int,
     gelu_variant: str = "exact",
+    ops_name: str = "xla",
 ):
     """Pipeline-parallel training step: grads flow backward through the
     microbatched schedule (the scan's transpose runs the stages in reverse
     — the textbook 1F1B-ish backward fills the same bubbles).  Params stay
-    layer-sharded over 'pp'; optimizer state shards likewise."""
+    layer-sharded over 'pp'; optimizer state shards likewise.
+
+    ``ops_name='fused_train'`` runs each stage through the fused Pallas
+    megakernels with the hand-written backward kernels (the custom VJP in
+    ops/pallas/trainable.py); shard_map transposes the ppermute chain around
+    them exactly as in the xla case.
+    """
     import optax
 
-    from vit_tpu.runtime.trainer import cross_entropy_loss
+    from vit_tpu.runtime.trainer import (
+        cross_entropy_loss,
+        kernel_backward_compiler_options,
+    )
 
-    fwd = shard_forward_pp(cfg, mesh, num_microbatches, gelu_variant)
+    if ops_name == "fused":
+        raise ValueError("pp training needs 'xla' or 'fused_train' (differentiable)")
+    fwd = shard_forward_pp(cfg, mesh, num_microbatches, gelu_variant, ops_name)
 
     def loss_fn(params, images, labels):
         return cross_entropy_loss(fwd(params, images), labels)
@@ -208,4 +229,9 @@ def make_pp_train_step(
     # no donation: callers often place params with device_put, which can
     # alias the source arrays when shardings already match — donating would
     # delete the caller's buffers
-    return jax.jit(train_step)
+    jit_kwargs = {}
+    if ops_name == "fused_train":
+        opts = kernel_backward_compiler_options()
+        if opts:
+            jit_kwargs["compiler_options"] = opts
+    return jax.jit(train_step, **jit_kwargs)
