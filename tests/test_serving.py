@@ -172,6 +172,36 @@ def test_serve_http_endpoint(tiny_cfg, tiny_params, tmp_path, monkeypatch):
     assert not t.is_alive()
 
 
+def test_serve_cli_selftest_multihost(tiny_cfg, tmp_path, monkeypatch, capsys):
+    """--multihost lockstep mode, single process: distributed.initialize
+    degrades to a no-op and the LockstepServer serves over the global
+    (8-virtual-device) dp mesh."""
+    import json
+
+    import jax
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.serve import main as serve_main
+    from vit_tpu.io import weights as wio
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    wio.save_reference_weights(
+        wio.synth_reference_tensors(tiny_cfg, seed=1), tmp_path / "Network", tiny_cfg
+    )
+    rc = serve_main([
+        "--config", "vit_tiny_test", "--weights", str(tmp_path / "Network"),
+        "--dtype", "float32", "--selftest", "4", "--multihost",
+        "--local-batch", "8", "--no-compile-cache",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "multihost: 1 host(s), global dp=" in out
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["value"] > 0 and res["requests"] == 4
+
+
 def test_serve_cli_selftest_mesh(tiny_cfg, tmp_path, monkeypatch, capsys):
     """Serving over a dp x tp mesh (engine shard_map TP under the daemon)."""
     import json

@@ -55,6 +55,22 @@ def build_parser() -> argparse.ArgumentParser:
         "padding grain to bound the jit-program count)",
     )
     p.add_argument("--no-compile-cache", action="store_true")
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="pod mode: initialize jax.distributed, build a global dp mesh "
+        "over all hosts' devices, and serve via the lockstep tick server "
+        "(every host runs this same command; each host's daemon answers "
+        "its local requests)",
+    )
+    p.add_argument("--coordinator", default=None,
+                   help="multihost coordinator address (host:port); "
+                   "auto-discovered on TPU pods")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--local-batch", type=int, default=32,
+                   help="multihost: images per host per tick (shape-static)")
+    p.add_argument("--tick-ms", type=float, default=10.0,
+                   help="multihost: lockstep tick period")
     return p
 
 
@@ -75,6 +91,32 @@ def _build_server(args):
     ops = args.ops
     if ops == "auto":
         ops = "fused" if jax.default_backend() == "tpu" else "xla"
+    if args.multihost:
+        from vit_tpu.parallel import make_mesh
+        from vit_tpu.runtime import distributed
+        from vit_tpu.runtime.multihost_serving import LockstepServer
+
+        distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        mesh = make_mesh({"dp": jax.device_count()}, jax.devices())
+        print(
+            f"multihost: {jax.process_count()} host(s), global dp="
+            f"{jax.device_count()}, local_batch={args.local_batch}"
+        )
+        params = wio.load_reference_weights(
+            args.weights, cfg, allow_synth=args.allow_synth_weights
+        )
+        engine = InferenceEngine(
+            cfg, params, dtype=args.dtype, ops=ops, mesh=mesh,
+            batch_pad=args.batch_pad,
+        )
+        server = LockstepServer(
+            engine, local_batch=args.local_batch, tick_ms=args.tick_ms
+        )
+        return cfg, ops, server
     mesh = None
     if args.tp > 1 or args.dp:
         from vit_tpu.parallel import make_mesh, mesh_shape_for
@@ -104,12 +146,14 @@ def _selftest(args, cfg, ops, server) -> int:
     from vit_tpu.runtime.serving import measure_throughput
 
     rng = np.random.default_rng(0)
+    # in multihost mode a request must fit one tick's local slice
+    cap = args.local_batch if args.multihost else args.max_batch
     if args.staged:
         grain = args.batch_pad
-        choices = sorted({grain, max(grain, args.max_batch // 2), args.max_batch})
+        choices = sorted({min(grain, cap), max(min(grain, cap), cap // 2), cap})
         sizes = [int(rng.choice(choices)) for _ in range(args.selftest)]
     else:
-        sizes = [int(v) for v in rng.integers(1, args.max_batch + 1, args.selftest)]
+        sizes = [int(v) for v in rng.integers(1, cap + 1, args.selftest)]
     with server:
         img_per_sec, total = measure_throughput(
             server, sizes, cfg, device_staged=args.staged

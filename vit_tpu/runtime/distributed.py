@@ -25,15 +25,27 @@ def initialize(
     process_id: Optional[int] = None,
 ) -> None:
     """Initialize multi-host JAX.  On TPU pods all arguments are discovered
-    from the environment; pass them explicitly elsewhere.  Idempotent."""
+    from the environment; pass them explicitly elsewhere.  Idempotent.
+
+    When nothing is passed and no cluster can be detected (plain single
+    process — e.g. local development or tests), this degrades to a no-op:
+    ``jax.process_count()`` stays 1 and every multi-host code path runs in
+    its single-process form."""
     global _initialized
     if _initialized:
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # ValueError: no cluster detectable; RuntimeError: XLA backend
+        # already initialized (single-process use after other jax calls).
+        if coordinator_address or num_processes or process_id is not None:
+            raise  # explicit cluster args that don't work ARE an error
+        # undetectable cluster + no args -> single process
     _initialized = True
 
 
