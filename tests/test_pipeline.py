@@ -172,6 +172,108 @@ def test_pp_train_rejects_nondifferentiable_fused(cfg4):
         make_pp_train_step(cfg4, optax.sgd(0.1), mesh, 2, ops_name="fused")
 
 
+def _place3d(params, mesh):
+    specs = pp_param_pspecs(params, mesh.axis_names)
+    return jax.device_put(
+        params,
+        jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, PartitionSpec),
+        ),
+    )
+
+
+def test_pp3d_fused_matches_single_device(cfg4, params4):
+    """Full 3D parallelism (dp=2 x pp=2 x tp=2) through the fused Pallas
+    kernels: batch sharded, layer stack staged, heads/MLP-hidden sharded."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from vit_tpu.ops.dispatch import get_ops
+
+    images = np.asarray(
+        jax.random.normal(jax.random.key(11), (8, 3, 32, 32), jnp.float32)
+    )
+    want = np.asarray(
+        jax.jit(vit.logits_fn(cfg4, get_ops("fused")))(params4, images)
+    )
+    mesh = make_mesh({"dp": 2, "pp": 2, "tp": 2}, jax.devices()[:8])
+    fwd = jax.jit(shard_forward_pp(cfg4, mesh, num_microbatches=2,
+                                   ops_name="fused"))
+    got = np.asarray(fwd(_place3d(params4, mesh), jnp.asarray(images)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pp3d_fused_train_step_matches_single_device(cfg4, params4):
+    """3D-parallel TRAINING (dp x pp x tp) through the fused kernels with
+    the hand-written backward megakernels: one SGD step must match the
+    unsharded fused_train step."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import optax
+
+    from vit_tpu.ops.dispatch import get_ops
+    from vit_tpu.parallel.pipeline import make_pp_train_step
+    from vit_tpu.runtime import trainer
+
+    optimizer = optax.sgd(0.05)
+    opt0 = optimizer.init(params4)
+    rng = np.random.default_rng(13)
+    images = jnp.asarray(rng.normal(size=(8, 3, 32, 32)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, cfg4.num_classes, 8), jnp.int32)
+
+    step_ref = jax.jit(
+        trainer.make_train_step(cfg4, optimizer, get_ops("fused_train"),
+                                remat=False)
+    )
+    p_ref, _, l_ref = step_ref(params4, opt0, images, labels)
+
+    mesh = make_mesh({"dp": 2, "pp": 2, "tp": 2}, jax.devices()[:8])
+    p_3d = _place3d(params4, mesh)
+    opt_3d = optimizer.init(p_3d)
+    step_3d = make_pp_train_step(cfg4, optimizer, mesh, num_microbatches=2,
+                                 ops_name="fused_train")
+    p_out, _, l_3d = step_3d(p_3d, opt_3d, images, labels)
+
+    assert abs(float(l_ref) - float(l_3d)) < 1e-5
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(jax.device_get(p_out))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_pp_tp_quant_matches_single_device(cfg4, params4):
+    """pp x tp over the W8A8 int8 path: the tp block's pmax/int32-psum keep
+    the quantization grouping exact, so staged+sharded must equal the
+    single-device quant engine bit-for-bit (same arithmetic order)."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    from vit_tpu.ops import quant
+    from vit_tpu.runtime import InferenceEngine
+
+    images = np.asarray(
+        jax.random.normal(jax.random.key(17), (4, 3, 32, 32), jnp.float32)
+    )
+    single = InferenceEngine(cfg4, params4, dtype="float32", ops="quant",
+                             batch_pad=4)
+    want = np.asarray(single.logits(images))
+
+    qparams = quant.cast_quantized_params(
+        quant.quantize_params(params4), jnp.float32
+    )
+    mesh = make_mesh({"pp": 2, "tp": 2}, jax.devices()[:4])
+    fwd = jax.jit(shard_forward_pp(cfg4, mesh, num_microbatches=2,
+                                   ops_name="quant"))
+    got = np.asarray(fwd(_place3d(qparams, mesh), jnp.asarray(images)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pp3d_validates_ops(cfg4):
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh({"dp": 2, "pp": 2, "tp": 2}, jax.devices()[:8])
+    with pytest.raises(ValueError, match="tp composition"):
+        shard_forward_pp(cfg4, mesh, 2, ops_name="xla")
+
+
 def test_pp_fused_kernels_match_single_device(cfg4, params4):
     # Pipeline over the fused Pallas megakernels (inference).
     images = np.asarray(

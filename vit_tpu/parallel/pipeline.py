@@ -27,21 +27,19 @@ from vit_tpu.ops import reference
 from vit_tpu.ops.dispatch import REFERENCE_OPS
 
 
-def pp_param_pspecs(params) -> dict:
-    """PartitionSpecs: block stack sharded over 'pp' on the layer axis,
-    everything else replicated."""
-    rep = P()
-    blocks = {
-        k: P("pp", *([None] * (v.ndim - 1))) for k, v in params["blocks"].items()
+def pp_param_pspecs(params, axis_names=("pp",)) -> dict:
+    """PartitionSpecs: block stack sharded over 'pp' on the layer axis.
+    When ``axis_names`` also contains 'tp', the per-layer weights compose
+    the Megatron tensor-parallel rules (parallel/sharding.py) on their
+    remaining axes — the full 3D (dp x pp x tp) placement.  Embeddings,
+    final LN, and head stay replicated."""
+    from vit_tpu.parallel.sharding import param_pspecs
+
+    specs = param_pspecs(axis_names, params)
+    specs["blocks"] = {
+        k: P("pp", *tuple(v)[1:]) for k, v in specs["blocks"].items()
     }
-    return {
-        "cls_token": rep,
-        "patch_embed": {"kernel": rep, "bias": rep},
-        "pos_embed": rep,
-        "blocks": blocks,
-        "ln_final": {"scale": rep, "bias": rep},
-        "head": {"kernel": rep, "bias": rep},
-    }
+    return specs
 
 
 def shard_forward_pp(
@@ -60,17 +58,38 @@ def shard_forward_pp(
     (``ops_name='fused'`` — inference), or the differentiable fused block
     (``ops_name='fused_train'`` — Pallas forward + hand-written backward
     kernels; jax.grad transposes the schedule through the custom VJP).
+
+    Composes with the other mesh axes for full 3D parallelism:
+
+      - 'dp' in the mesh: the batch shards over it (params replicate).
+      - 'tp' in the mesh (fused/fused_train/quant only): each stage's body
+        is the tensor-parallel fused block (parallel/tp_forward.py) —
+        local-head attention kernels with psum-completed out_proj/MLP —
+        so every layer runs pp-staged AND head/MLP-hidden-sharded.
+        Place params with ``pp_param_pspecs(params, mesh.axis_names)``.
     """
     if "pp" not in mesh.axis_names:
         raise ValueError(f"mesh {mesh.axis_names} has no 'pp' axis")
-    if ops_name not in ("xla", "fused", "fused_train"):
+    use_tp = "tp" in mesh.axis_names
+    if ops_name not in (("fused", "fused_train", "quant") if use_tp
+                        else ("xla", "fused", "fused_train")):
         raise ValueError(
-            f"pp supports ops 'xla'/'fused'/'fused_train', got {ops_name!r}"
+            f"pp ops {ops_name!r} not supported on mesh axes {mesh.axis_names} "
+            "(tp composition needs 'fused'/'fused_train'/'quant'; without a "
+            "'tp' axis use 'xla'/'fused'/'fused_train')"
         )
     n_stages = mesh.shape["pp"]
     if cfg.depth % n_stages:
         raise ValueError(f"pp={n_stages} must divide depth={cfg.depth}")
+    if use_tp:
+        tp = mesh.shape["tp"]
+        if cfg.num_heads % tp:
+            raise ValueError(f"tp={tp} must divide num_heads={cfg.num_heads}")
+        if cfg.mlp_dim % tp:
+            raise ValueError(f"tp={tp} must divide mlp_dim={cfg.mlp_dim}")
+        heads_local = cfg.num_heads // tp
     m = num_microbatches
+    batch_spec = P("dp") if "dp" in mesh.axis_names else P()
 
     def local_fn(params, images):
         b = images.shape[0]
@@ -89,7 +108,31 @@ def shard_forward_pp(
         stage = jax.lax.axis_index("pp")
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-        if ops_name in ("fused", "fused_train"):
+        if use_tp:
+            from vit_tpu.ops.pallas import interpret_default
+            from vit_tpu.parallel.tp_forward import fused_block_tp
+
+            interp = interpret_default()
+            quant = ops_name == "quant"
+
+            def run_stage(x_mb):
+                mb_b = x_mb.shape[0]
+
+                def body(c, blk):
+                    return (
+                        fused_block_tp(
+                            c, blk, heads_local, t_len, cfg.layernorm_eps,
+                            gelu_variant, "tp", quant, interp,
+                        ),
+                        None,
+                    )
+
+                x2, _ = jax.lax.scan(
+                    body, x_mb.reshape(mb_b * t_len, d), params["blocks"]
+                )
+                return x2.reshape(mb_b, t_len, d)
+
+        elif ops_name in ("fused", "fused_train"):
             if ops_name == "fused":
                 from vit_tpu.ops.pallas.fused_block import fused_encoder_block as blk_fn
             else:
@@ -180,8 +223,8 @@ def shard_forward_pp(
         return jax.shard_map(
             local_fn,
             mesh=mesh,
-            in_specs=(pp_param_pspecs(params), P()),
-            out_specs=P(),
+            in_specs=(pp_param_pspecs(params, mesh.axis_names), batch_spec),
+            out_specs=batch_spec,
             check_vma=False,
         )(params, images)
 
@@ -213,7 +256,7 @@ def make_pp_train_step(
         kernel_backward_compiler_options,
     )
 
-    if ops_name == "fused":
+    if ops_name in ("fused", "quant"):
         raise ValueError("pp training needs 'xla' or 'fused_train' (differentiable)")
     fwd = shard_forward_pp(cfg, mesh, num_microbatches, gelu_variant, ops_name)
 
