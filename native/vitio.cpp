@@ -8,10 +8,13 @@
 //
 // Build: make -C native   (produces libvitio.so)
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #if defined(_WIN32)
 #define VITIO_EXPORT extern "C" __declspec(dllexport)
@@ -64,6 +67,59 @@ VITIO_EXPORT int vitio_read_image_bin_header(const char* path, int* out4) {
   size_t got = std::fread(out4, sizeof(int32_t), 4, f);
   std::fclose(f);
   return got == 4 ? 0 : -1;
+}
+
+// Gather-read `n_samples` equal-size records scattered across a set of
+// files, in parallel — the training data loader's hot path (the reference's
+// analog is the serial per-image fread loop, Network.c:66-90).  Sample i
+// lives in paths[sample_path[i]] at byte offset sample_offset[i] and is
+// sample_bytes long; it lands at out + i * sample_bytes.  `threads` worker
+// threads pull sample indices from a shared atomic counter (dynamic load
+// balancing — shards may sit on media with different latencies).  Each
+// worker keeps at most one FILE* open, reopening only when the path index
+// changes (the index is sorted by shard in the Python wrapper, so reopens
+// are rare).  Returns the number of fully-read samples (== n_samples on
+// success), or -1 on argument errors.
+VITIO_EXPORT long long vitio_gather_read(const char* const* paths,
+                                         const int32_t* sample_path,
+                                         const int64_t* sample_offset,
+                                         long long n_samples,
+                                         long long sample_bytes, char* out,
+                                         int threads) {
+  if (n_samples < 0 || sample_bytes <= 0 || threads < 1) return -1;
+  if (n_samples == 0) return 0;
+  std::atomic<long long> next{0};
+  std::atomic<long long> ok{0};
+  auto worker = [&]() {
+    FILE* f = nullptr;
+    int cur_path = -1;
+    long long done = 0;
+    for (;;) {
+      long long i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n_samples) break;
+      int p = sample_path[i];
+      if (p != cur_path) {
+        if (f) std::fclose(f);
+        f = std::fopen(paths[p], "rb");
+        cur_path = p;
+      }
+      if (!f) continue;
+      if (std::fseek(f, static_cast<long>(sample_offset[i]), SEEK_SET) != 0)
+        continue;
+      size_t got = std::fread(out + i * sample_bytes, 1,
+                              static_cast<size_t>(sample_bytes), f);
+      if (got == static_cast<size_t>(sample_bytes)) ++done;
+    }
+    if (f) std::fclose(f);
+    ok.fetch_add(done, std::memory_order_relaxed);
+  };
+  int nt = static_cast<int>(
+      threads < n_samples ? threads : static_cast<int>(n_samples));
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return ok.load();
 }
 
 // Read the fp32 payload following the 16-byte header.  Returns floats read.

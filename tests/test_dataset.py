@@ -1,0 +1,140 @@
+"""Sharded training dataset (io/dataset.py) + the native threaded gather
+reader (native/vitio.cpp: vitio_gather_read).  Reads must be byte-identical
+between the native and NumPy paths; the batch iterator must reshuffle per
+epoch reproducibly."""
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from vit_tpu.io import native
+from vit_tpu.io.dataset import BinShardDataset
+from vit_tpu.io.images import save_image_bin
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _make_shards(tmp_path, counts=(5, 3, 7), shape=(3, 8, 8), labels=True):
+    rng = np.random.default_rng(0)
+    all_imgs, all_labs = [], []
+    for i, n in enumerate(counts):
+        imgs = rng.normal(size=(n, *shape)).astype(np.float32)
+        save_image_bin(imgs, tmp_path / f"shard{i}.bin")
+        all_imgs.append(imgs)
+        if labels:
+            labs = rng.integers(0, 11, n).astype("<i4")
+            labs.tofile(tmp_path / f"shard{i}.labels.bin")
+            all_labs.append(labs)
+    return (
+        np.concatenate(all_imgs),
+        np.concatenate(all_labs) if labels else None,
+    )
+
+
+@pytest.fixture(scope="module")
+def built_lib():
+    if not native.gather_available():
+        if shutil.which("make") and shutil.which("g++"):
+            subprocess.run(["make", "-C", str(REPO / "native")], check=True)
+            native._load_attempted = False
+            native._lib = None
+        if not native.gather_available():
+            pytest.skip("native gather reader not built and no toolchain")
+
+
+def test_index_and_sequential_read(tmp_path):
+    imgs, labs = _make_shards(tmp_path)
+    ds = BinShardDataset(tmp_path)
+    assert len(ds) == 15 and ds.sample_shape == (3, 8, 8)
+    np.testing.assert_array_equal(ds.read(range(15)), imgs)
+    np.testing.assert_array_equal(ds.labels(), labs)
+
+
+def test_scattered_read_crosses_shards(tmp_path):
+    imgs, _ = _make_shards(tmp_path)
+    ds = BinShardDataset(tmp_path)
+    idx = [14, 0, 6, 5, 13, 2]  # out of order, all three shards
+    np.testing.assert_array_equal(ds.read(idx), imgs[idx])
+
+
+def test_native_gather_matches_numpy(tmp_path, built_lib, monkeypatch):
+    imgs, _ = _make_shards(tmp_path)
+    ds = BinShardDataset(tmp_path, threads=4)
+    idx = np.random.default_rng(3).permutation(15)
+    got_native = ds.read(idx)
+    monkeypatch.setattr(native, "gather_available", lambda: False)
+    got_numpy = BinShardDataset(tmp_path).read(idx)
+    np.testing.assert_array_equal(got_native, got_numpy)
+    np.testing.assert_array_equal(got_native, imgs[idx])
+
+
+def test_batches_shuffle_and_epoch_streams(tmp_path):
+    imgs, labs = _make_shards(tmp_path)
+    ds = BinShardDataset(tmp_path)
+    it = ds.batches(4, shuffle=True, seed=7, epochs=2)
+    batches = list(it)
+    assert len(batches) == 6  # 2 epochs x floor(15/4)
+    for xb, yb in batches:
+        assert xb.shape == (4, 3, 8, 8) and yb.shape == (4,)
+        # every (image, label) pair must be a real sample
+        for x, y in zip(xb, yb):
+            j = np.flatnonzero((imgs == x).all(axis=(1, 2, 3)))
+            assert len(j) == 1 and labs[j[0]] == y
+    # epoch 0 and epoch 1 use different permutations...
+    e0 = np.concatenate([b[1] for b in batches[:3]])
+    e1 = np.concatenate([b[1] for b in batches[3:]])
+    assert not np.array_equal(e0, e1)
+    # ...and the whole stream is reproducible from the seed
+    again = list(ds.batches(4, shuffle=True, seed=7, epochs=2))
+    for (xa, ya), (xb2, yb2) in zip(batches, again):
+        np.testing.assert_array_equal(xa, xb2)
+        np.testing.assert_array_equal(ya, yb2)
+
+
+def test_validation_errors(tmp_path):
+    _make_shards(tmp_path, counts=(4,), labels=False)
+    with pytest.raises(FileNotFoundError, match="labels"):
+        BinShardDataset(tmp_path, require_labels=True)
+    ds = BinShardDataset(tmp_path)
+    with pytest.raises(ValueError, match="no .labels.bin"):
+        ds.labels()
+    with pytest.raises(IndexError):
+        ds.read([4])
+    with pytest.raises(ValueError, match="batch_size"):
+        next(ds.batches(5))
+    # mismatched shard shapes rejected
+    save_image_bin(np.zeros((2, 3, 4, 4), np.float32), tmp_path / "bad.bin")
+    with pytest.raises(ValueError, match="shard shape"):
+        BinShardDataset(tmp_path)
+    with pytest.raises(FileNotFoundError):
+        BinShardDataset(tmp_path / "nonexistent")
+
+
+def test_train_cli_data_dir(tiny_cfg, tmp_path, monkeypatch, capsys):
+    """End-to-end: vit-tpu-train streaming from --data-dir shards."""
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        imgs = rng.normal(
+            size=(6, tiny_cfg.in_channels, tiny_cfg.image_size,
+                  tiny_cfg.image_size)
+        ).astype(np.float32)
+        save_image_bin(imgs, tmp_path / f"s{i}.bin")
+        rng.integers(0, tiny_cfg.num_classes, 6).astype("<i4").tofile(
+            tmp_path / f"s{i}.labels.bin"
+        )
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "4", "--batch", "4",
+        "--dp", "2", "--data-dir", str(tmp_path), "--ops", "xla",
+        "--no-compile-cache",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "data: 12 images in 2 shard(s)" in out
+    assert out.count("loss") >= 4

@@ -37,6 +37,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=None, help="data-parallel size")
     p.add_argument("--input", help="input-100.bin-format images (else synthetic)")
     p.add_argument("--labels", help="raw int32 label file matching --input")
+    p.add_argument(
+        "--data-dir", metavar="DIR",
+        help="stream shuffled minibatches from a directory of "
+        "input-100.bin-format shards, each with a <stem>.labels.bin int32 "
+        "file (io/dataset.py: native threaded gather reads + async "
+        "host->HBM prefetch); overrides --input/--labels",
+    )
+    p.add_argument(
+        "--data-threads", type=int, default=8,
+        help="reader threads for the native gather loader (--data-dir)",
+    )
     p.add_argument("--init-weights", help="warm-start from Weight_*.bin dir")
     p.add_argument("--allow-synth-weights", action="store_true")
     p.add_argument("--save", help="save final params to this .npz")
@@ -217,7 +228,36 @@ def main(argv=None) -> int:
         print(f"resumed from {args.resume} at step {start_step}")
 
     rng = np.random.default_rng(args.seed)
-    if args.input:
+    stream = None
+    if args.data_dir:
+        # Streaming pipeline: shard-indexed dataset, native threaded gather
+        # reads, shuffled per epoch, double-buffered host->HBM prefetch so
+        # host IO and transfer overlap device compute.
+        from vit_tpu.io import native
+        from vit_tpu.io.dataset import BinShardDataset
+        from vit_tpu.runtime.prefetch import prefetch_to_device
+
+        ds = BinShardDataset(
+            args.data_dir, require_labels=True, threads=args.data_threads
+        )
+        if len(ds) < args.batch:
+            print(
+                f"error: {len(ds)} image(s) < --batch {args.batch}; "
+                "reduce --batch or provide more data",
+                file=sys.stderr,
+            )
+            return 2
+        print(
+            f"data: {len(ds)} images in {len(ds.paths)} shard(s), "
+            f"{'native' if native.gather_available() else 'numpy'} reader, "
+            f"{args.data_threads} threads"
+        )
+        stream = prefetch_to_device(
+            ds.batches(args.batch, shuffle=True, seed=args.seed),
+            size=2,
+            sharding=(batch_sharding(mesh, 4), batch_sharding(mesh, 1)),
+        )
+    elif args.input:
         images = iio.load_image_bin(args.input)
         if args.labels:
             labels = np.fromfile(args.labels, dtype="<i4")
@@ -233,15 +273,16 @@ def main(argv=None) -> int:
         images = iio.synth_images(args.batch, cfg, seed=args.seed)
         labels = rng.integers(0, cfg.num_classes, args.batch).astype(np.int32)
 
-    if len(images) < args.batch:
-        print(
-            f"error: {len(images)} image(s) < --batch {args.batch}; "
-            "reduce --batch or provide more data",
-            file=sys.stderr,
-        )
-        return 2
-    n = (len(images) // args.batch) * args.batch  # drop the ragged remainder
-    images, labels = images[:n], labels[:n]
+    if stream is None:
+        if len(images) < args.batch:
+            print(
+                f"error: {len(images)} image(s) < --batch {args.batch}; "
+                "reduce --batch or provide more data",
+                file=sys.stderr,
+            )
+            return 2
+        n = (len(images) // args.batch) * args.batch  # drop ragged remainder
+        images, labels = images[:n], labels[:n]
 
     def save_state(s):
         ckpt.save_train_state(
@@ -251,13 +292,16 @@ def main(argv=None) -> int:
         print(f"saved training state (step {s}) to {args.save_state}")
 
     for s in range(start_step, start_step + args.steps):
-        i0 = (s * args.batch) % max(n - args.batch + 1, 1)
-        xb = jax.device_put(
-            jnp.asarray(images[i0 : i0 + args.batch]), batch_sharding(mesh, 4)
-        )
-        yb = jax.device_put(
-            jnp.asarray(labels[i0 : i0 + args.batch]), batch_sharding(mesh, 1)
-        )
+        if stream is not None:
+            xb, yb = next(stream)
+        else:
+            i0 = (s * args.batch) % max(n - args.batch + 1, 1)
+            xb = jax.device_put(
+                jnp.asarray(images[i0 : i0 + args.batch]), batch_sharding(mesh, 4)
+            )
+            yb = jax.device_put(
+                jnp.asarray(labels[i0 : i0 + args.batch]), batch_sharding(mesh, 1)
+            )
         t0 = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, xb, yb)
         loss = float(loss)
@@ -271,6 +315,8 @@ def main(argv=None) -> int:
         if args.save_state and args.save_every and (s + 1) % args.save_every == 0:
             save_state(s + 1)
 
+    if stream is not None:
+        stream.close()  # stop the prefetch producer thread
     if args.save_state:
         save_state(start_step + args.steps)
     if args.save:

@@ -1,0 +1,192 @@
+"""Sharded training dataset over the reference's binary image format.
+
+The reference's only data artifact is one monolithic ``input-100.bin``
+(4xint32 header + fp32 NCHW payload, Network.c:24-97) read serially into
+per-image buffers.  Training at scale needs the generalization: a directory
+of such shards (``*.bin``), each optionally paired with a raw little-endian
+int32 label file (``<stem>.labels.bin``), indexed once at open and then
+read *by sample* in shuffled order.
+
+The hot path is the native threaded gather reader
+(``native/vitio.cpp: vitio_gather_read`` via io/native.py) — a batch of B
+samples scattered across shards becomes one C call fanning out over worker
+threads; NumPy ``memmap`` slicing is the portable fallback.  Feed the
+iterator through ``runtime.prefetch.prefetch_to_device`` so host reads,
+host->HBM transfer, and device compute overlap (the standard input
+pipeline; the reference has no training at all).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vit_tpu.io import native
+
+_HEADER_BYTES = 16  # 4 x int32: n, c, h, w (Network.c:36-44)
+
+
+class BinShardDataset:
+    """Index over one or more ``input-100.bin``-format shards.
+
+    Args:
+      sources: a directory (every ``*.bin`` except ``*.labels.bin``) or an
+        explicit list of shard paths.
+      require_labels: insist every shard has a ``<stem>.labels.bin``
+        (raw int32, one per image) — labels() then never fabricates.
+      threads: worker threads for the native gather reader.
+    """
+
+    def __init__(
+        self,
+        sources,
+        require_labels: bool = False,
+        threads: int = 8,
+    ):
+        if isinstance(sources, (str, Path)) and Path(sources).is_dir():
+            paths = sorted(
+                p for p in Path(sources).glob("*.bin")
+                if not p.name.endswith(".labels.bin")
+            )
+        else:
+            paths = [Path(p) for p in (
+                [sources] if isinstance(sources, (str, Path)) else sources
+            )]
+        if not paths:
+            raise FileNotFoundError(f"no .bin shards found in {sources!r}")
+        self.paths: List[Path] = paths
+        self.threads = threads
+
+        shape: Optional[Tuple[int, int, int]] = None
+        counts: List[int] = []
+        labels: List[Optional[np.ndarray]] = []
+        for p in paths:
+            hdr = np.fromfile(p, dtype="<i4", count=4)
+            if hdr.size != 4 or (hdr < 0).any():
+                raise ValueError(f"{p}: truncated header (Network.c:36-44 format)")
+            n, c, h, w = (int(v) for v in hdr)
+            if shape is None:
+                shape = (c, h, w)
+            elif shape != (c, h, w):
+                raise ValueError(
+                    f"{p}: shard shape {(c, h, w)} != first shard {shape}"
+                )
+            expect = _HEADER_BYTES + 4 * n * c * h * w
+            actual = p.stat().st_size
+            if actual < expect:
+                raise ValueError(f"{p}: {actual} bytes < expected {expect}")
+            counts.append(n)
+            lp = p.with_name(p.stem + ".labels.bin")
+            if lp.exists():
+                lab = np.fromfile(lp, dtype="<i4")
+                if len(lab) != n:
+                    raise ValueError(f"{lp}: {len(lab)} labels != {n} images")
+                labels.append(lab)
+            elif require_labels:
+                raise FileNotFoundError(f"{lp} (require_labels=True)")
+            else:
+                labels.append(None)
+        assert shape is not None
+        self.sample_shape: Tuple[int, int, int] = shape
+        self.sample_bytes = 4 * int(np.prod(shape))
+        self.counts = counts
+        # global index: sample i -> (shard, byte offset), shard-major order
+        # (keeps the native reader's per-worker file reopens rare)
+        self._shard_of = np.repeat(
+            np.arange(len(paths), dtype=np.int32), counts
+        )
+        within = np.concatenate(
+            [np.arange(n, dtype=np.int64) for n in counts]
+        ) if counts else np.zeros(0, np.int64)
+        self._offset_of = _HEADER_BYTES + within * self.sample_bytes
+        self._labels = (
+            np.concatenate([l for l in labels]).astype(np.int32)
+            if all(l is not None for l in labels)
+            else None
+        )
+        self._mmaps: List[Optional[np.memmap]] = [None] * len(paths)
+
+    def __len__(self) -> int:
+        return int(sum(self.counts))
+
+    @property
+    def has_labels(self) -> bool:
+        return self._labels is not None
+
+    def labels(self) -> np.ndarray:
+        if self._labels is None:
+            raise ValueError("dataset has no .labels.bin files")
+        return self._labels
+
+    # -- sample reads ---------------------------------------------------------
+
+    def read(self, indices: Sequence[int]) -> np.ndarray:
+        """(len(indices), C, H, W) float32 — native threaded gather when the
+        library is built, memmap gather otherwise (identical bytes)."""
+        idx = np.asarray(indices, dtype=np.int64)
+        if idx.size and (idx.min() < 0 or idx.max() >= len(self)):
+            raise IndexError(f"index out of range 0..{len(self) - 1}")
+        # sort by (shard, offset) for sequential IO; undo afterwards
+        order = np.lexsort((self._offset_of[idx], self._shard_of[idx]))
+        sidx = idx[order]
+        if native.gather_available():
+            flat = native.gather_read(
+                [str(p) for p in self.paths],
+                self._shard_of[sidx],
+                self._offset_of[sidx],
+                self.sample_bytes,
+                threads=self.threads,
+            )
+            out = flat.view("<f4").reshape(len(sidx), *self.sample_shape)
+        else:
+            out = np.empty((len(sidx), *self.sample_shape), np.float32)
+            for j, i in enumerate(sidx):
+                out[j] = self._mmap(int(self._shard_of[i]))[
+                    int(self._offset_of[i] - _HEADER_BYTES) // self.sample_bytes
+                ]
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return np.ascontiguousarray(out[inv])
+
+    def _mmap(self, shard: int) -> np.memmap:
+        if self._mmaps[shard] is None:
+            self._mmaps[shard] = np.memmap(
+                self.paths[shard], dtype="<f4", mode="r", offset=_HEADER_BYTES,
+                shape=(self.counts[shard], *self.sample_shape),
+            )
+        return self._mmaps[shard]
+
+    # -- training iterator ----------------------------------------------------
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        epochs: Optional[int] = None,
+        drop_remainder: bool = True,
+    ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
+        """Yield ``(images, labels_or_None)`` minibatches; reshuffled each
+        epoch (epoch-indexed RNG streams, so resume at epoch e is
+        reproducible).  ``epochs=None`` streams forever."""
+        if batch_size < 1 or batch_size > len(self):
+            raise ValueError(
+                f"batch_size {batch_size} not in [1, {len(self)}]"
+            )
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            if shuffle:
+                perm = np.random.default_rng(
+                    np.random.SeedSequence([seed, epoch])
+                ).permutation(len(self))
+            else:
+                perm = np.arange(len(self))
+            end = len(self) - (len(self) % batch_size) if drop_remainder else len(self)
+            for i in range(0, end, batch_size):
+                take = perm[i : i + batch_size]
+                imgs = self.read(take)
+                labs = self._labels[take] if self._labels is not None else None
+                yield imgs, labs
+            epoch += 1

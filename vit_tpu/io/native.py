@@ -55,6 +55,17 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_longlong,
             ]
+            if hasattr(lib, "vitio_gather_read"):  # older built .so may lack it
+                lib.vitio_gather_read.restype = ctypes.c_longlong
+                lib.vitio_gather_read.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.POINTER(ctypes.c_char),
+                    ctypes.c_int,
+                ]
             _lib = lib
             break
     return _lib
@@ -62,6 +73,48 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def gather_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "vitio_gather_read")
+
+
+def gather_read(
+    paths,
+    sample_path: np.ndarray,
+    sample_offset: np.ndarray,
+    sample_bytes: int,
+    threads: int = 8,
+) -> np.ndarray:
+    """Parallel gather of equal-size records scattered across ``paths``:
+    record i comes from ``paths[sample_path[i]]`` at byte ``sample_offset[i]``.
+    Returns a flat uint8 array of ``len(sample_path) * sample_bytes`` — the
+    native threaded hot path of the training data loader (io/dataset.py)."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "vitio_gather_read"), (
+        "native gather reader not built (make -C native)"
+    )
+    sample_path = np.ascontiguousarray(sample_path, dtype=np.int32)
+    sample_offset = np.ascontiguousarray(sample_offset, dtype=np.int64)
+    n = len(sample_path)
+    if len(sample_offset) != n:
+        raise ValueError("sample_path and sample_offset length mismatch")
+    encoded = [str(p).encode() for p in paths]
+    c_paths = (ctypes.c_char_p * len(encoded))(*encoded)
+    out = np.empty(n * sample_bytes, dtype=np.uint8)
+    got = lib.vitio_gather_read(
+        c_paths,
+        sample_path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sample_offset.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        sample_bytes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+        max(1, int(threads)),
+    )
+    if got != n:
+        raise ValueError(f"gather read: {got}/{n} samples read")
+    return out
 
 
 def read_fp32(path, round_to_6dp: bool = True) -> np.ndarray:

@@ -84,6 +84,10 @@ def prefetch_to_device(
                 q.get_nowait()
         except queue.Empty:
             pass
+        # Join so an in-flight device_put completes before interpreter
+        # teardown — a daemon thread dying inside the device runtime
+        # aborts the process (std::terminate) on some backends.
+        t.join(timeout=60.0)
 
 
 def batched(array_like, batch_size: int, drop_remainder: bool = False):
