@@ -94,6 +94,49 @@ def test_batches_shuffle_and_epoch_streams(tmp_path):
         np.testing.assert_array_equal(ya, yb2)
 
 
+def test_shard_split_partitions_each_epoch(tmp_path):
+    """shard=(i, n) host splits: union over hosts covers each epoch exactly
+    once, disjointly (every host slices the SAME seed-determined perm)."""
+    _, labs = _make_shards(tmp_path, counts=(6, 6))
+    ds = BinShardDataset(tmp_path)
+    seen = []
+    for pid in range(2):
+        for xb, yb in ds.batches(3, seed=5, epochs=1, shard=(pid, 2)):
+            assert xb.shape == (3, 3, 8, 8)
+            seen.append(yb)
+    got = np.sort(np.concatenate(seen))
+    np.testing.assert_array_equal(got, np.sort(labs))
+    with pytest.raises(ValueError, match="shard"):
+        next(ds.batches(2, shard=(2, 2)))
+
+
+def test_train_cli_multihost_single_process(tiny_cfg, tmp_path, monkeypatch,
+                                            capsys):
+    """--multihost degenerates to single-process: the make_array global
+    batch assembly and shard-split stream run for real on the CPU mesh."""
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    rng = np.random.default_rng(2)
+    imgs = rng.normal(
+        size=(8, tiny_cfg.in_channels, tiny_cfg.image_size, tiny_cfg.image_size)
+    ).astype(np.float32)
+    save_image_bin(imgs, tmp_path / "s0.bin")
+    rng.integers(0, tiny_cfg.num_classes, 8).astype("<i4").tofile(
+        tmp_path / "s0.labels.bin"
+    )
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "3", "--batch", "4",
+        "--dp", "2", "--data-dir", str(tmp_path), "--ops", "xla",
+        "--multihost", "--no-compile-cache",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "multihost: 1 host(s)" in out
+    assert out.count("loss") >= 3
+
+
 def test_validation_errors(tmp_path):
     _make_shards(tmp_path, counts=(4,), labels=False)
     with pytest.raises(FileNotFoundError, match="labels"):

@@ -93,6 +93,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--no-compile-cache", action="store_true",
         help="disable the persistent XLA compilation cache",
     )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="pod mode: initialize jax.distributed and train data-parallel "
+        "over every host's devices; --batch is the GLOBAL batch, each host "
+        "streams its own disjoint shard of --data-dir (required). Run the "
+        "same command on every host",
+    )
+    p.add_argument("--coordinator", default=None,
+                   help="multihost coordinator address (host:port); "
+                   "auto-discovered on TPU pods")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -116,6 +128,24 @@ def main(argv=None) -> int:
     )
     from vit_tpu.runtime import trainer
 
+    if args.multihost:
+        # must run before anything touches the XLA backend
+        from vit_tpu.runtime import distributed
+
+        distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        if not args.data_dir:
+            print("error: --multihost requires --data-dir (each host "
+                  "streams its own shard of the dataset)", file=sys.stderr)
+            return 2
+        if args.tp != 1:
+            print("error: --multihost supports dp only (tp=1): checkpoint "
+                  "round-trips assume host-replicated params", file=sys.stderr)
+            return 2
+
     if not args.no_compile_cache:
         from vit_tpu.runtime.compile_cache import enable_compilation_cache
 
@@ -123,6 +153,13 @@ def main(argv=None) -> int:
 
     cfg = get_config(args.config)
     n_dev = jax.device_count()
+    procs = jax.process_count()
+    if args.multihost:
+        print(f"multihost: {procs} host(s), {n_dev} global device(s)")
+        if args.batch % procs:
+            print(f"error: global --batch {args.batch} must divide across "
+                  f"{procs} hosts", file=sys.stderr)
+            return 2
     mesh_axes = mesh_shape_for(
         args.dp * args.tp if args.dp else n_dev, tp=args.tp, dp=args.dp
     )
@@ -240,6 +277,7 @@ def main(argv=None) -> int:
         ds = BinShardDataset(
             args.data_dir, require_labels=True, threads=args.data_threads
         )
+        local_batch = args.batch // procs if args.multihost else args.batch
         if len(ds) < args.batch:
             print(
                 f"error: {len(ds)} image(s) < --batch {args.batch}; "
@@ -252,11 +290,34 @@ def main(argv=None) -> int:
             f"{'native' if native.gather_available() else 'numpy'} reader, "
             f"{args.data_threads} threads"
         )
-        stream = prefetch_to_device(
-            ds.batches(args.batch, shuffle=True, seed=args.seed),
-            size=2,
-            sharding=(batch_sharding(mesh, 4), batch_sharding(mesh, 1)),
-        )
+        img_sh, lab_sh = batch_sharding(mesh, 4), batch_sharding(mesh, 1)
+        if args.multihost:
+            # every host reads a disjoint slice of the SAME epoch
+            # permutation and contributes its rows of ONE global batch
+            pid = jax.process_index()
+
+            def _place(item):
+                x, y = item
+                gx = jax.make_array_from_process_local_data(
+                    img_sh, np.ascontiguousarray(x), (args.batch, *x.shape[1:])
+                )
+                gy = jax.make_array_from_process_local_data(
+                    lab_sh, np.ascontiguousarray(y), (args.batch,)
+                )
+                return gx, gy
+
+            stream = prefetch_to_device(
+                ds.batches(local_batch, shuffle=True, seed=args.seed,
+                           shard=(pid, procs)),
+                size=2,
+                place=_place,
+            )
+        else:
+            stream = prefetch_to_device(
+                ds.batches(local_batch, shuffle=True, seed=args.seed),
+                size=2,
+                sharding=(img_sh, lab_sh),
+            )
     elif args.input:
         images = iio.load_image_bin(args.input)
         if args.labels:
@@ -285,6 +346,8 @@ def main(argv=None) -> int:
         images, labels = images[:n], labels[:n]
 
     def save_state(s):
+        if jax.process_index() != 0:
+            return  # params are host-replicated; one writer suffices
         ckpt.save_train_state(
             jax.device_get(params), jax.device_get(opt_state), s,
             args.save_state,
@@ -319,7 +382,7 @@ def main(argv=None) -> int:
         stream.close()  # stop the prefetch producer thread
     if args.save_state:
         save_state(start_step + args.steps)
-    if args.save:
+    if args.save and jax.process_index() == 0:
         ckpt.save_npz(jax.device_get(params), args.save)
         print(f"saved params to {args.save}")
     return 0

@@ -167,13 +167,27 @@ class BinShardDataset:
         seed: int = 0,
         epochs: Optional[int] = None,
         drop_remainder: bool = True,
+        shard: Optional[Tuple[int, int]] = None,
     ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
         """Yield ``(images, labels_or_None)`` minibatches; reshuffled each
         epoch (epoch-indexed RNG streams, so resume at epoch e is
-        reproducible).  ``epochs=None`` streams forever."""
-        if batch_size < 1 or batch_size > len(self):
+        reproducible).  ``epochs=None`` streams forever.
+
+        ``shard=(i, n)`` keeps every n-th sample of each epoch's (shared,
+        seed-determined) permutation starting at i — the multi-host split:
+        every host draws from the SAME permutation, so the union over hosts
+        covers each epoch exactly once with no overlap, and ``batch_size``
+        is the PER-HOST batch."""
+        if shard is not None:
+            sid, nsh = shard
+            if not (0 <= sid < nsh):
+                raise ValueError(f"shard {shard}: need 0 <= i < n")
+        else:
+            sid, nsh = 0, 1
+        local_n = len(range(sid, len(self), nsh))
+        if batch_size < 1 or batch_size > local_n:
             raise ValueError(
-                f"batch_size {batch_size} not in [1, {len(self)}]"
+                f"batch_size {batch_size} not in [1, {local_n}]"
             )
         epoch = 0
         while epochs is None or epoch < epochs:
@@ -183,7 +197,8 @@ class BinShardDataset:
                 ).permutation(len(self))
             else:
                 perm = np.arange(len(self))
-            end = len(self) - (len(self) % batch_size) if drop_remainder else len(self)
+            perm = perm[sid::nsh]
+            end = len(perm) - (len(perm) % batch_size) if drop_remainder else len(perm)
             for i in range(0, end, batch_size):
                 take = perm[i : i + batch_size]
                 imgs = self.read(take)

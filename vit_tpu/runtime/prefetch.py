@@ -26,12 +26,15 @@ def prefetch_to_device(
     iterator: Iterable[Any],
     size: int = 2,
     sharding: Optional[jax.sharding.Sharding] = None,
+    place=None,
 ) -> Iterator[Any]:
     """Yield device-resident batches, staying ``size`` transfers ahead.
 
     Each item may be an array or a pytree of arrays; items are placed with
     ``jax.device_put`` (async on TPU) from a producer thread so host I/O,
-    PCIe transfer, and device compute overlap.
+    PCIe transfer, and device compute overlap.  ``place`` overrides the
+    placement callable — e.g. ``jax.make_array_from_process_local_data``
+    wrappers for multi-host global batches.
     """
     if size < 1:
         raise ValueError("prefetch size must be >= 1")
@@ -53,11 +56,12 @@ def prefetch_to_device(
     def producer():
         try:
             for item in iterator:
-                placed = (
-                    jax.device_put(item, sharding)
-                    if sharding is not None
-                    else jax.device_put(item)
-                )
+                if place is not None:
+                    placed = place(item)
+                elif sharding is not None:
+                    placed = jax.device_put(item, sharding)
+                else:
+                    placed = jax.device_put(item)
                 if not _put(placed):
                     return  # consumer abandoned the generator
         except BaseException as e:  # propagate into the consumer
