@@ -1,0 +1,138 @@
+"""Accuracy evaluation CLI.
+
+The reference's only evaluation is the one-shot comparator over a golden
+text file (comparator.c:23-80, gated at a single line).  This driver
+generalizes it into a real eval loop: stream a labeled dataset (a
+``--data-dir`` of input-100.bin-format shards with ``<stem>.labels.bin``
+files, or one ``--input``/``--labels`` pair) through any engine compute
+path and report top-1 / top-5 accuracy and mean top-probability.
+
+Usage::
+
+    vit-tpu-eval --weights ./Network --data-dir ./val_shards --ops fused
+    vit-tpu-eval --weights ./Network --input input-100.bin --labels y.bin
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vit-tpu-eval", description="top-1/top-5 accuracy evaluation"
+    )
+    p.add_argument("--config", default="vit_b_16")
+    p.add_argument("--weights", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--data-dir", help="dir of labeled .bin shards")
+    src.add_argument("--input", help="input-100.bin-format image batch")
+    p.add_argument("--labels", help="raw int32 labels matching --input")
+    p.add_argument("--batch", type=int, default=64, help="eval batch size")
+    p.add_argument("--limit", type=int, default=None,
+                   help="evaluate at most N images")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--ops", default="auto",
+                   choices=["auto", "xla", "pallas", "fused", "quant"])
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--dp", type=int, default=None)
+    p.add_argument("--gelu", default="exact", choices=["exact", "tanh"])
+    p.add_argument("--allow-synth-weights", action="store_true")
+    p.add_argument("--json", action="store_true",
+                   help="emit one JSON line instead of text")
+    p.add_argument("--no-compile-cache", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.input and not args.labels:
+        print("error: --input requires --labels", file=sys.stderr)
+        return 2
+
+    import jax
+
+    from vit_tpu.config import get_config
+    from vit_tpu.eval import accuracy
+    from vit_tpu.io import weights as wio
+    from vit_tpu.runtime import InferenceEngine
+
+    if not args.no_compile_cache:
+        from vit_tpu.runtime.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
+    cfg = get_config(args.config)
+    ops = args.ops
+    if ops == "auto":
+        ops = "fused" if jax.default_backend() == "tpu" else "xla"
+
+    if args.data_dir:
+        from vit_tpu.io.dataset import BinShardDataset
+
+        ds = BinShardDataset(args.data_dir, require_labels=True)
+        n = min(args.limit, len(ds)) if args.limit else len(ds)
+        images = ds.read(range(n))
+        labels = ds.labels()[:n]
+    else:
+        from vit_tpu.io.images import load_image_bin
+
+        images = load_image_bin(args.input)
+        labels = np.fromfile(args.labels, dtype="<i4")
+        if len(labels) != len(images):
+            print(f"error: {len(labels)} labels != {len(images)} images",
+                  file=sys.stderr)
+            return 2
+        if args.limit:
+            images, labels = images[: args.limit], labels[: args.limit]
+
+    mesh = None
+    if args.tp > 1 or args.dp:
+        from vit_tpu.parallel import make_mesh, mesh_shape_for
+
+        shape = mesh_shape_for(
+            args.dp * args.tp if args.dp else jax.device_count(),
+            tp=args.tp, dp=args.dp,
+        )
+        mesh = make_mesh(shape, jax.devices()[: shape["dp"] * shape["tp"]])
+        print(f"mesh: {shape}", file=sys.stderr)
+
+    params = wio.load_reference_weights(
+        args.weights, cfg, allow_synth=args.allow_synth_weights
+    )
+    engine = InferenceEngine(
+        cfg, params, dtype=args.dtype, ops=ops, mesh=mesh,
+        batch_pad=min(args.batch, len(images)), gelu_variant=args.gelu,
+    )
+    t0 = time.perf_counter()
+    report = accuracy.evaluate(
+        engine, images, labels, batch_size=min(args.batch, len(images))
+    )
+    dt = time.perf_counter() - t0
+    payload = {
+        **report.as_dict(),
+        "images_per_sec": round(report.n / dt, 2),
+        "model": cfg.name,
+        "ops": ops,
+        "dtype": args.dtype,
+    }
+    if args.json:
+        print(json.dumps(payload))
+    else:
+        print(
+            f"{cfg.name} ops={ops} dtype={args.dtype}: "
+            f"top-1 {report.top1:.4f}  top-5 {report.top5:.4f}  "
+            f"mean top-prob {report.mean_top_prob:.4f}  "
+            f"({report.n} images, {payload['images_per_sec']} img/s)"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
