@@ -153,6 +153,64 @@ def test_train_cli_fused_train_with_tp(tiny_cfg, monkeypatch, capsys):
     assert "step    1" in capsys.readouterr().out
 
 
+def test_train_cli_pipeline_parallel(tiny_cfg, monkeypatch, capsys):
+    """--pp from the driver: dp x pp training over the layer-stack seam."""
+    import jax
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "2", "--batch", "8",
+        "--dp", "2", "--pp", "2", "--microbatches", "2", "--ops", "xla",
+        "--no-compile-cache",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pipeline: 2 stage(s), 2 microbatches" in out
+    assert "step    1" in out
+
+
+def test_train_cli_3d_parallel_fused(tiny_cfg, monkeypatch, capsys):
+    """--dp 2 --pp 2 --tp 2: full 3D training through the fused kernels
+    from the driver."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "2", "--batch", "4",
+        "--dp", "2", "--pp", "2", "--tp", "2", "--microbatches", "2",
+        "--ops", "fused_train", "--no-compile-cache",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mesh: {'dp': 2, 'pp': 2, 'tp': 2}" in out
+    assert "step    1" in out
+
+
+def test_train_cli_pp_validates(tiny_cfg, monkeypatch, capsys):
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    # pp x tp needs the tensor-parallel fused block
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "1", "--batch", "4",
+        "--dp", "2", "--pp", "2", "--tp", "2", "--ops", "xla",
+        "--no-compile-cache",
+    ])
+    assert rc == 2
+    assert "fused_train" in capsys.readouterr().err
+
+
 def test_cli_golden_compare_detects_mismatch(
     tiny_checkpoint, tiny_cfg, capsys, monkeypatch
 ):

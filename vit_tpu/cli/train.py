@@ -35,6 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--dp", type=int, default=None, help="data-parallel size")
+    p.add_argument(
+        "--pp", type=int, default=1,
+        help="pipeline-parallel stages over the layer stack; composes with "
+        "--dp/--tp into 3D parallelism (parallel/pipeline.py). Requires "
+        "--ops xla (dp x pp) or fused_train (dp x pp x tp)",
+    )
+    p.add_argument(
+        "--microbatches", type=int, default=None,
+        help="pipeline microbatches per step (default: 2 x pp)",
+    )
     p.add_argument("--input", help="input-100.bin-format images (else synthetic)")
     p.add_argument("--labels", help="raw int32 label file matching --input")
     p.add_argument(
@@ -160,15 +170,47 @@ def main(argv=None) -> int:
             print(f"error: global --batch {args.batch} must divide across "
                   f"{procs} hosts", file=sys.stderr)
             return 2
-    mesh_axes = mesh_shape_for(
-        args.dp * args.tp if args.dp else n_dev, tp=args.tp, dp=args.dp
-    )
-    mesh = make_mesh(mesh_axes, jax.devices()[: mesh_axes["dp"] * mesh_axes["tp"]])
+    if args.pp > 1:
+        if args.multihost:
+            print("error: --pp with --multihost is not supported",
+                  file=sys.stderr)
+            return 2
+        if args.mixed_precision or args.optimizer == "fused_adamw":
+            print("error: --pp supports the plain optax optimizer at the "
+                  "params' dtype (no --mixed-precision/--optimizer "
+                  "fused_adamw)", file=sys.stderr)
+            return 2
+        dp = args.dp or max(n_dev // (args.pp * args.tp), 1)
+        mesh_axes = {"dp": dp, "pp": args.pp}
+        if args.tp > 1:
+            mesh_axes["tp"] = args.tp
+        need = dp * args.pp * args.tp
+        if need > n_dev:
+            print(f"error: mesh {mesh_axes} needs {need} devices, have "
+                  f"{n_dev}", file=sys.stderr)
+            return 2
+        mesh = make_mesh(mesh_axes, jax.devices()[:need])
+    else:
+        mesh_axes = mesh_shape_for(
+            args.dp * args.tp if args.dp else n_dev, tp=args.tp, dp=args.dp
+        )
+        mesh = make_mesh(
+            mesh_axes, jax.devices()[: mesh_axes["dp"] * mesh_axes["tp"]]
+        )
     print(f"mesh: {mesh_axes} over {n_dev} device(s), backend={jax.default_backend()}")
 
     ops_name = args.ops
     if ops_name == "auto":
         ops_name = "fused_train" if jax.default_backend() == "tpu" else "xla"
+    if args.pp > 1:
+        if args.tp > 1 and ops_name != "fused_train":
+            print("error: --pp with --tp requires --ops fused_train "
+                  "(the tensor-parallel fused block)", file=sys.stderr)
+            return 2
+        if cfg.depth % args.pp:
+            print(f"error: --pp {args.pp} must divide depth {cfg.depth}",
+                  file=sys.stderr)
+            return 2
     from vit_tpu.ops.dispatch import get_ops
 
     ops = get_ops(ops_name)
@@ -202,7 +244,7 @@ def main(argv=None) -> int:
             jax.random.key(args.seed), cfg, optimizer
         )
     if args.optimizer == "fused_adamw" and (
-        ops_name != "fused_train" or mesh_axes["tp"] != 1
+        ops_name != "fused_train" or mesh_axes.get("tp", 1) != 1
     ):
         print(
             "error: --optimizer fused_adamw requires --ops fused_train "
@@ -210,7 +252,37 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 2
-    if ops_name == "fused_train" and mesh_axes["tp"] != 1:
+    if args.pp > 1:
+        # Pipeline (optionally 3D: dp x pp x tp) training over the
+        # stacked-layer seam (parallel/pipeline.py).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from vit_tpu.parallel.pipeline import make_pp_train_step, pp_param_pspecs
+
+        m = args.microbatches or 2 * args.pp
+        local_b = args.batch // mesh_axes["dp"]
+        if args.batch % mesh_axes["dp"] or local_b % m:
+            print(
+                f"error: --batch {args.batch} must divide dp="
+                f"{mesh_axes['dp']} and the per-shard batch {local_b} must "
+                f"divide --microbatches {m}",
+                file=sys.stderr,
+            )
+            return 2
+        params = jax.device_put(
+            params,
+            jax.tree.map(
+                lambda s: NamedSharding(mesh, s),
+                pp_param_pspecs(params, mesh.axis_names),
+                is_leaf=lambda x: isinstance(x, PartitionSpec),
+            ),
+        )
+        opt_state = optimizer.init(params)  # inherits the pp placement
+        step = make_pp_train_step(
+            cfg, optimizer, mesh, num_microbatches=m, ops_name=ops_name
+        )
+        print(f"pipeline: {args.pp} stage(s), {m} microbatches")
+    elif ops_name == "fused_train" and mesh_axes["tp"] != 1:
         # Tensor-parallel training through the fused kernels: shard_map
         # forward with custom-VJP pallas calls (trainer.jit_train_step_kernel_tp).
         params = shard_params(params, mesh)
