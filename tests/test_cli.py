@@ -196,6 +196,26 @@ def test_train_cli_3d_parallel_fused(tiny_cfg, monkeypatch, capsys):
     assert "step    1" in out
 
 
+def test_train_cli_log_jsonl(tiny_cfg, monkeypatch, tmp_path, capsys):
+    import json
+
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    log = tmp_path / "metrics.jsonl"
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "3", "--batch", "4",
+        "--dp", "1", "--ops", "xla", "--no-compile-cache",
+        "--log-jsonl", str(log),
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in log.read_text().splitlines()]
+    assert [l["step"] for l in lines] == [0, 1, 2]
+    assert all(np.isfinite(l["loss"]) and l["images_per_sec"] > 0
+               for l in lines)
+
+
 def test_train_cli_pp_validates(tiny_cfg, monkeypatch, capsys):
     import vit_tpu.config as config_mod
     from vit_tpu.cli.train import main as train_main

@@ -104,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="disable the persistent XLA compilation cache",
     )
     p.add_argument(
+        "--log-jsonl", metavar="PATH",
+        help="append one JSON line per step (step, loss, ms, images/sec) — "
+        "machine-readable training metrics",
+    )
+    p.add_argument(
         "--multihost", action="store_true",
         help="pod mode: initialize jax.distributed and train data-parallel "
         "over every host's devices; --batch is the GLOBAL batch, each host "
@@ -440,7 +445,17 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, xb, yb)
         loss = float(loss)
-        print(f"step {s:4d}  loss {loss:.4f}  {time.perf_counter()-t0:.2f}s")
+        dt = time.perf_counter() - t0
+        print(f"step {s:4d}  loss {loss:.4f}  {dt:.2f}s")
+        if args.log_jsonl and jax.process_index() == 0:
+            import json
+
+            with open(args.log_jsonl, "a") as fh:
+                fh.write(json.dumps({
+                    "step": s, "loss": round(loss, 6),
+                    "ms": round(dt * 1e3, 2),
+                    "images_per_sec": round(args.batch / dt, 2),
+                }) + "\n")
         if not np.isfinite(loss):
             if args.skip_nonfinite:
                 print(f"step {s}: non-finite loss; update skipped", file=sys.stderr)
