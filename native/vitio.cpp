@@ -104,8 +104,14 @@ VITIO_EXPORT long long vitio_gather_read(const char* const* paths,
         cur_path = p;
       }
       if (!f) continue;
-      if (std::fseek(f, static_cast<long>(sample_offset[i]), SEEK_SET) != 0)
+      // 64-bit seek: plain fseek takes a long, which truncates offsets
+      // >2 GiB on LLP64 (Windows) / 32-bit platforms into WRONG records.
+#if defined(_WIN32)
+      if (_fseeki64(f, sample_offset[i], SEEK_SET) != 0) continue;
+#else
+      if (fseeko(f, static_cast<off_t>(sample_offset[i]), SEEK_SET) != 0)
         continue;
+#endif
       size_t got = std::fread(out + i * sample_bytes, 1,
                               static_cast<size_t>(sample_bytes), f);
       if (got == static_cast<size_t>(sample_bytes)) ++done;

@@ -110,6 +110,24 @@ def test_shard_split_partitions_each_epoch(tmp_path):
         next(ds.batches(2, shard=(2, 2)))
 
 
+def test_shard_split_equal_lengths_with_ragged_count(tmp_path):
+    """With len(ds) % n != 0, every host must see the SAME number of
+    batches per epoch (slices truncate to len//n) or the hosts' epoch
+    streams drift apart."""
+    imgs = np.random.default_rng(4).normal(size=(7, 3, 8, 8)).astype(np.float32)
+    save_image_bin(imgs, tmp_path / "s.bin")
+    np.arange(7, dtype="<i4").tofile(tmp_path / "s.labels.bin")  # unique ids
+    ds = BinShardDataset(tmp_path)
+    per_host = [
+        list(ds.batches(3, seed=2, epochs=2, shard=(pid, 2)))
+        for pid in range(2)
+    ]
+    assert len(per_host[0]) == len(per_host[1]) == 2  # 1 batch/epoch each
+    # within one epoch the two hosts' samples are disjoint
+    e0 = np.concatenate([per_host[0][0][1], per_host[1][0][1]])
+    assert len(set(e0.tolist())) == len(e0)
+
+
 def test_train_cli_multihost_single_process(tiny_cfg, tmp_path, monkeypatch,
                                             capsys):
     """--multihost degenerates to single-process: the make_array global

@@ -58,7 +58,9 @@ def test_lockstep_fixed_tick_batches(mesh_engine, tiny_cfg):
         futures = [srv.submit(r) for r in reqs]
         for f in futures:
             f.result(timeout=120)
-    assert srv.stats.images == 12
+    # 12 request images + 1 warmup image (warmup on a running server routes
+    # through the tick loop to preserve cross-host program order)
+    assert srv.stats.images == 13
     assert srv.stats.batches >= 2  # 12 images can't fit one 8-image tick
 
 
@@ -71,6 +73,21 @@ def test_lockstep_validates_request_size(mesh_engine, tiny_cfg):
 def test_lockstep_requires_dp_mesh(plain_engine):
     with pytest.raises(ValueError, match="'dp' mesh"):
         LockstepServer(plain_engine, local_batch=4)
+
+
+def test_lockstep_device_staged_payloads(mesh_engine, plain_engine, tiny_cfg):
+    """jax.Array payloads take the on-device assembly path (no host
+    round-trip) and still produce correct results."""
+    import jax.numpy as jnp
+
+    imgs = iio.synth_images(5, tiny_cfg, seed=42)
+    staged = jax.device_put(jnp.asarray(imgs, mesh_engine.compute_dtype))
+    with LockstepServer(mesh_engine, local_batch=8) as srv:
+        srv.warmup()
+        labels, top, _ = srv.classify(staged, timeout=120)
+    want_labels, want_top = plain_engine.classify(imgs)
+    np.testing.assert_array_equal(labels, want_labels)
+    np.testing.assert_allclose(top, want_top, atol=1e-5)
 
 
 def test_lockstep_kernel_path(tiny_cfg, tiny_params):

@@ -73,13 +73,17 @@ def main(argv=None) -> int:
     if ops == "auto":
         ops = "fused" if jax.default_backend() == "tpu" else "xla"
 
+    ds = None
     if args.data_dir:
         from vit_tpu.io.dataset import BinShardDataset
 
         ds = BinShardDataset(args.data_dir, require_labels=True)
-        n = min(args.limit, len(ds)) if args.limit else len(ds)
-        images = ds.read(range(n))
-        labels = ds.labels()[:n]
+        n_total = min(args.limit, len(ds)) if args.limit else len(ds)
+        bs = min(args.batch, n_total)
+        # first batch materialized for engine batch_pad sizing; the rest
+        # stream (never the whole dataset in host RAM)
+        images = ds.read(range(min(bs, n_total)))
+        labels = ds.labels()[: len(images)]
     else:
         from vit_tpu.io.images import load_image_bin
 
@@ -111,9 +115,19 @@ def main(argv=None) -> int:
         batch_pad=min(args.batch, len(images)), gelu_variant=args.gelu,
     )
     t0 = time.perf_counter()
-    report = accuracy.evaluate(
-        engine, images, labels, batch_size=min(args.batch, len(images))
-    )
+    if ds is not None:
+        def _stream():
+            yield images, labels  # already read
+            all_labels = ds.labels()
+            for i in range(len(images), n_total, args.batch):
+                take = range(i, min(i + args.batch, n_total))
+                yield ds.read(take), all_labels[take.start : take.stop]
+
+        report = accuracy.evaluate_batches(engine, _stream())
+    else:
+        report = accuracy.evaluate(
+            engine, images, labels, batch_size=min(args.batch, len(images))
+        )
     dt = time.perf_counter() - t0
     payload = {
         **report.as_dict(),

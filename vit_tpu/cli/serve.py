@@ -88,19 +88,23 @@ def _build_server(args):
         enable_compilation_cache()
 
     cfg = get_config(args.config)
-    ops = args.ops
-    if ops == "auto":
-        ops = "fused" if jax.default_backend() == "tpu" else "xla"
     if args.multihost:
         from vit_tpu.parallel import make_mesh
         from vit_tpu.runtime import distributed
         from vit_tpu.runtime.multihost_serving import LockstepServer
 
+        # MUST precede any backend-touching call (jax.default_backend,
+        # jax.devices, ...): an initialized backend makes the pod
+        # auto-discovery degrade silently to single-process.
         distributed.initialize(
             coordinator_address=args.coordinator,
             num_processes=args.num_processes,
             process_id=args.process_id,
         )
+    ops = args.ops
+    if ops == "auto":
+        ops = "fused" if jax.default_backend() == "tpu" else "xla"
+    if args.multihost:
         mesh = make_mesh({"dp": jax.device_count()}, jax.devices())
         print(
             f"multihost: {jax.process_count()} host(s), global dp="

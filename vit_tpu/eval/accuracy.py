@@ -38,14 +38,34 @@ def evaluate(
     """Run ``engine`` over ``images`` and score against ``labels``."""
     labels = np.asarray(labels)
     n = len(labels)
-    probs_all = []
     bs = batch_size or len(images)
-    for i in range(0, n, bs):
-        probs_all.append(np.asarray(engine.probabilities(images[i : i + bs])))
-    probs = np.concatenate(probs_all, axis=0)[:n]
-    top5_idx = np.argsort(probs, axis=-1)[:, -5:]
-    top1_idx = top5_idx[:, -1]
-    top1 = float((top1_idx == labels).mean())
-    top5 = float((top5_idx == labels[:, None]).any(axis=-1).mean())
-    mean_top = float(probs[np.arange(n), top1_idx].mean())
-    return AccuracyReport(n=n, top1=top1, top5=top5, mean_top_prob=mean_top)
+    return evaluate_batches(
+        engine,
+        ((images[i : i + bs], labels[i : i + bs]) for i in range(0, n, bs)),
+    )
+
+
+def evaluate_batches(engine, batches) -> AccuracyReport:
+    """Streaming form of :func:`evaluate`: consume an iterator of
+    ``(images, labels)`` minibatches, accumulating counts — evaluation over
+    datasets far larger than host RAM (pair with
+    io.dataset.BinShardDataset.batches)."""
+    n = 0
+    top1_hits = 0
+    top5_hits = 0
+    top_prob_sum = 0.0
+    for imgs, labels in batches:
+        labels = np.asarray(labels)
+        probs = np.asarray(engine.probabilities(imgs))[: len(labels)]
+        top5_idx = np.argsort(probs, axis=-1)[:, -5:]
+        top1_idx = top5_idx[:, -1]
+        n += len(labels)
+        top1_hits += int((top1_idx == labels).sum())
+        top5_hits += int((top5_idx == labels[:, None]).any(axis=-1).sum())
+        top_prob_sum += float(probs[np.arange(len(labels)), top1_idx].sum())
+    if n == 0:
+        raise ValueError("no batches to evaluate")
+    return AccuracyReport(
+        n=n, top1=top1_hits / n, top5=top5_hits / n,
+        mean_top_prob=top_prob_sum / n,
+    )

@@ -175,16 +175,20 @@ class BinShardDataset:
 
         ``shard=(i, n)`` keeps every n-th sample of each epoch's (shared,
         seed-determined) permutation starting at i — the multi-host split:
-        every host draws from the SAME permutation, so the union over hosts
-        covers each epoch exactly once with no overlap, and ``batch_size``
-        is the PER-HOST batch."""
+        every host draws from the SAME permutation, so the union over
+        hosts covers each epoch with no overlap, and ``batch_size`` is the
+        PER-HOST batch.  Every host's slice is truncated to
+        ``len(ds) // n`` samples so all hosts see the same number of
+        batches per epoch and stay on the same epoch forever (the up-to
+        n-1 dropped tail samples rotate with the shuffle); without equal
+        lengths the hosts' epoch streams would drift apart."""
         if shard is not None:
             sid, nsh = shard
             if not (0 <= sid < nsh):
                 raise ValueError(f"shard {shard}: need 0 <= i < n")
         else:
             sid, nsh = 0, 1
-        local_n = len(range(sid, len(self), nsh))
+        local_n = len(self) // nsh
         if batch_size < 1 or batch_size > local_n:
             raise ValueError(
                 f"batch_size {batch_size} not in [1, {local_n}]"
@@ -197,7 +201,7 @@ class BinShardDataset:
                 ).permutation(len(self))
             else:
                 perm = np.arange(len(self))
-            perm = perm[sid::nsh]
+            perm = perm[sid::nsh][:local_n]
             end = len(perm) - (len(perm) % batch_size) if drop_remainder else len(perm)
             for i in range(0, end, batch_size):
                 take = perm[i : i + batch_size]

@@ -12,11 +12,15 @@ pads locally, reads back only its own addressable output shard, and the
 collective compute itself is the synchronization barrier.
 
 Idle ticks: dispatching the full forward on all-zero batches would burn
-the pod while no traffic flows, so each tick first runs a scalar
-``psum(local_queue_depth)`` — one tiny collective — and skips the forward
-when no host has work.  With one process (this environment), the server
-degenerates to blocking on the local queue, and the whole flow is
-exercised on the virtual CPU mesh in tests.
+the pod while no traffic flows, so each tick first runs one tiny
+collective over per-host (work, stopping) counters and skips the forward
+when no host has work.  The same collective is the shutdown rendezvous: a
+host whose ``stop()`` was called keeps ticking (contributing zero work and
+a stop flag, still joining any forward another host triggers) until EVERY
+host has flagged stop — without this, the first host to exit would leave
+the others blocked forever inside a collective.  With one process (this
+environment), the server degenerates to blocking on the local queue, and
+the whole flow is exercised on the virtual CPU mesh in tests.
 
 The reference has no serving at all (its driver is a one-shot loop,
 Main.c:45-72); this is the pod-scale extension of runtime/serving.py.
@@ -25,16 +29,21 @@ Main.c:45-72); this is the pod-scale extension of runtime/serving.py.
 from __future__ import annotations
 
 import queue
-import threading
-from concurrent.futures import Future
+import time
 from typing import List, Optional
 
 import numpy as np
 
-from vit_tpu.runtime.serving import ServerStats, _Request, _STOP
+from vit_tpu.runtime.serving import (
+    _STOP,
+    _Request,
+    _ServerBase,
+    make_serve_fn,
+    start_async_readback,
+)
 
 
-class LockstepServer:
+class LockstepServer(_ServerBase):
     """Fixed-tick, fixed-local-batch server over a global (possibly
     multi-host) mesh.
 
@@ -57,120 +66,71 @@ class LockstepServer:
         pipeline_depth: int = 2,
     ):
         import jax
-        import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from vit_tpu.ops import reference
-
-        if local_batch < 1 or pipeline_depth < 1:
+        if local_batch < 1:
             raise ValueError("local_batch and pipeline_depth must be >= 1")
         if engine.mesh is None or "dp" not in engine.mesh.axis_names:
             raise ValueError("LockstepServer needs an engine with a 'dp' mesh")
-        self.engine = engine
+        super().__init__(engine, pipeline_depth)
         self.local_batch = local_batch
         self.tick = tick_ms / 1e3
-        self.stats = ServerStats()
         self._procs = jax.process_count()
         self.global_batch = local_batch * self._procs
-        dp = engine.mesh.shape["dp"]
+        mesh = engine.mesh
+        dp = mesh.shape["dp"]
         if self.global_batch % dp:
             raise ValueError(
                 f"global batch {self.global_batch} (local {local_batch} x "
                 f"{self._procs} hosts) must divide dp={dp}"
             )
-        self._q: "queue.Queue" = queue.Queue()
-        self._inflight: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
-        self._carry: Optional[_Request] = None
-        self._running = False
-        self._dispatcher: Optional[threading.Thread] = None
-        self._completer: Optional[threading.Thread] = None
 
-        mesh = engine.mesh
         self._batch_sharding = NamedSharding(mesh, P("dp"))
-        out_shard = NamedSharding(mesh, P("dp"))
-
-        def _postprocess(logits):
-            probs = reference.softmax(logits)
-            labels = jnp.argmax(probs, axis=-1)
-            top = jnp.take_along_axis(probs, labels[:, None], axis=-1)[:, 0]
-            return labels, top, probs
-
-        # one dispatch per tick; dp-sharded outputs so each host's readback
-        # touches only its locally-addressable shard (no cross-host gather)
-        self._serve_fn = jax.jit(
-            lambda params, x: _postprocess(engine._forward(params, x)),
-            out_shardings=(out_shard, out_shard, out_shard),
+        # dp-sharded outputs: each host's readback touches only its
+        # locally-addressable shard (no cross-host gather)
+        self._serve_fn = make_serve_fn(
+            engine, out_shardings=NamedSharding(mesh, P("dp"))
         )
 
         if self._procs > 1:
-            # tiny any-work collective: a replicated scalar sum over the
-            # per-host queue depths, so idle ticks skip the full forward.
-            # The counts vector lays out over the full 'dp' axis (one entry
-            # per dp shard, each host filling its dp/procs slots) — pods
-            # have uniform devices-per-host, so dp % procs == 0.
+            # per-tick control collective: (dp_total, 2) int32 of
+            # [queued-work, stopping] rows, one row per dp shard (each host
+            # filling its dp/procs rows) — pods have uniform
+            # devices-per-host, so dp % procs == 0.  column sums are tiny
+            # and replicated; they drive idle-skip and shutdown rendezvous.
             if dp % self._procs:
                 raise ValueError(f"dp={dp} must divide across {self._procs} hosts")
-            self._depth_local = dp // self._procs
-            self._any_work = jax.jit(
-                lambda counts: counts.sum(),
+            self._ctrl_rows = dp // self._procs
+            self._dp_total = dp
+            self._ctrl_sum = jax.jit(
+                lambda c: c.sum(axis=0),
                 out_shardings=NamedSharding(mesh, P()),
             )
-            self._depth_sharding = NamedSharding(mesh, P("dp"))
-
-    # -- lifecycle ------------------------------------------------------------
-
-    def start(self) -> "LockstepServer":
-        if self._running:
-            return self
-        self._running = True
-        self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
-        self._completer = threading.Thread(target=self._complete_loop, daemon=True)
-        self._dispatcher.start()
-        self._completer.start()
-        return self
-
-    def stop(self) -> None:
-        if not self._running:
-            return
-        self._running = False
-        self._q.put(_STOP)
-        self._dispatcher.join()
-        self._completer.join()
-
-    def __enter__(self):
-        return self.start()
-
-    def __exit__(self, *exc):
-        self.stop()
+            self._ctrl_sharding = NamedSharding(mesh, P("dp"))
 
     # -- request API ------------------------------------------------------------
 
-    def submit(self, images, return_probs: bool = False) -> Future:
-        """Enqueue an (n, C, H, W) request from THIS host; n must fit one
-        tick (n <= local_batch).  Resolves to (labels, top_probs, probs)
-        for those n images."""
-        images = np.asarray(images)
-        if images.ndim != 4:
-            raise ValueError(f"expected (n, C, H, W), got {images.shape}")
+    def _validate(self, images) -> None:
         if len(images) > self.local_batch:
             raise ValueError(
                 f"request of {len(images)} exceeds local_batch={self.local_batch}"
             )
-        if not self._running:
-            raise RuntimeError("server not started")
-        req = _Request(images, return_probs)
-        self._q.put(req)
-        return req.future
-
-    def classify(self, images, timeout: Optional[float] = None,
-                 return_probs: bool = False):
-        return self.submit(images, return_probs).result(timeout)
 
     def warmup(self) -> None:
         """Compile the (single) tick program before traffic.  Every host
-        must call this together — it dispatches the global forward once."""
+        must call this together.  If the server is already running, the
+        warmup is routed through the tick loop itself — dispatching
+        directly from another thread would interleave collectives in
+        different orders on different hosts (lockstep violation)."""
+        cfg = self.engine.cfg
+        if self._running:
+            self.classify(
+                np.zeros((1, cfg.in_channels, cfg.image_size, cfg.image_size),
+                         np.float32)
+            )
+            return
         labels, top, _ = self._dispatch(
-            np.zeros(self._local_shape(), np.float32)
+            [_Request(np.zeros(self._local_shape(), np.float32), False)]
         )
         float(self._local_rows(top).sum())  # host sync (tunnel-safe)
 
@@ -215,51 +175,89 @@ class LockstepServer:
             total += len(nxt.images)
         return reqs
 
-    def _dispatch(self, local: np.ndarray):
-        """Join the global batch and run one tick's forward."""
+    def _dispatch(self, reqs: List[_Request]):
+        """Assemble this host's padded slice of the global batch and run
+        one tick's forward."""
         import jax
+        import jax.numpy as jnp
 
         engine = self.engine
-        x = jax.make_array_from_process_local_data(
-            self._batch_sharding,
-            local.astype(engine.compute_dtype),
-            (self.global_batch,) + local.shape[1:],
-        )
+        if self._procs == 1 and any(
+            isinstance(r.images, jax.Array) for r in reqs
+        ):
+            # device-resident payloads stay on device (mirrors
+            # InferenceServer.submit's contract; keeps --staged selftests
+            # off this environment's ~13 MB/s tunnel wire)
+            parts = [jnp.asarray(r.images, engine.compute_dtype) for r in reqs]
+            pad = self.local_batch - sum(len(p) for p in parts)
+            if pad:
+                parts.append(
+                    jnp.zeros((pad,) + self._local_shape()[1:], engine.compute_dtype)
+                )
+            x = jax.device_put(
+                jnp.concatenate(parts, axis=0), self._batch_sharding
+            )
+        else:
+            local = np.zeros(self._local_shape(), np.float32)
+            off = 0
+            for r in reqs:
+                local[off : off + len(r.images)] = np.asarray(r.images)
+                off += len(r.images)
+            x = jax.make_array_from_process_local_data(
+                self._batch_sharding,
+                local.astype(engine.compute_dtype),
+                (self.global_batch,) + local.shape[1:],
+            )
         return self._serve_fn(engine.params, x)
 
-    def _dispatch_loop(self) -> None:
-        while True:
-            reqs = self._gather_tick()
-            if reqs is None:
-                break
-            if self._procs > 1:
-                # lockstep any-work scalar: every host dispatches this each
-                # tick; skip the forward when the pod is idle
-                import jax
+    def _tick_control(self, n_work: int, stopping: bool):
+        """One control collective: -> (global work, hosts-all-stopped)."""
+        import jax
 
-                counts = jax.make_array_from_process_local_data(
-                    self._depth_sharding,
-                    np.full((self._depth_local,), len(reqs), np.int32),
-                    (self._depth_local * self._procs,),
+        row = np.array([[n_work, 1 if stopping else 0]], np.int32)
+        counts = jax.make_array_from_process_local_data(
+            self._ctrl_sharding,
+            np.repeat(row, self._ctrl_rows, axis=0),
+            (self._dp_total, 2),
+        )
+        work, stopped = (int(v) for v in np.asarray(self._ctrl_sum(counts)))
+        return work, stopped == self._dp_total
+
+    def _dispatch_loop(self) -> None:
+        stopping = False
+        while True:
+            if stopping:
+                reqs: List[_Request] = []
+                time.sleep(self.tick)
+            else:
+                got = self._gather_tick()
+                if got is None:  # local stop requested
+                    stopping = True
+                    reqs = []
+                    if self._procs == 1:
+                        break  # no peers to rendezvous with
+                else:
+                    reqs = got
+            if self._procs > 1:
+                # lockstep control tick: skip the forward when the pod is
+                # idle; exit only when EVERY host has flagged stop (a
+                # stopping host keeps joining forwards others trigger)
+                work, all_stopped = self._tick_control(
+                    sum(len(r.images) for r in reqs), stopping
                 )
-                if int(self._any_work(counts)) == 0:
+                if all_stopped:
+                    break
+                if work == 0:
                     continue
             elif not reqs:
                 continue
             try:
-                local = np.zeros(self._local_shape(), np.float32)
-                off = 0
-                for r in reqs:
-                    local[off : off + len(r.images)] = r.images
-                    off += len(r.images)
-                labels, top, probs = self._dispatch(local)
+                labels, top, probs = self._dispatch(reqs)
+                if not reqs:
+                    continue  # joined the collective for other hosts' work
                 if not any(r.return_probs for r in reqs):
                     probs = None
-                for arr in (labels, top) + ((probs,) if probs is not None else ()):
-                    try:
-                        arr.copy_to_host_async()
-                    except AttributeError:
-                        pass
+                start_async_readback(labels, top, probs)
                 self._inflight.put((labels, top, probs, reqs))
             except Exception as e:
                 for r in reqs:
@@ -273,34 +271,5 @@ class LockstepServer:
         )
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
-    def _complete_loop(self) -> None:
-        while True:
-            item = self._inflight.get()
-            if item is _STOP:
-                break
-            labels_dev, top_dev, probs_dev, reqs = item
-            try:
-                labels = self._local_rows(labels_dev)
-                top = self._local_rows(top_dev)
-                probs = (
-                    self._local_rows(probs_dev) if probs_dev is not None else None
-                )
-            except Exception as e:
-                for r in reqs:
-                    r.future.set_exception(e)
-                continue
-            self.stats.batches += 1
-            off = 0
-            for r in reqs:
-                n = len(r.images)
-                p = (
-                    probs[off : off + n]
-                    if (probs is not None and r.return_probs)
-                    else None
-                )
-                r.future.set_result(
-                    (labels[off : off + n], top[off : off + n], p)
-                )
-                off += n
-                self.stats.requests += 1
-                self.stats.images += n
+    def _to_host(self, arr) -> np.ndarray:
+        return self._local_rows(arr)

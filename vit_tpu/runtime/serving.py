@@ -51,25 +51,54 @@ class _Request:
 _STOP = object()
 
 
-class InferenceServer:
-    """Dynamic-batching server around an InferenceEngine.
+def make_serve_fn(engine, out_shardings=None):
+    """forward + device-side softmax/argmax/top-prob as ONE jitted program.
 
-    ``submit(images) -> Future[(labels, top_probs, probs)]`` is thread-safe;
-    ``classify`` is the blocking convenience wrapper.
-    """
+    Eager softmax/argmax would be one dispatch RPC each (20-50 ms through
+    this environment's tunnel, serializing the dispatcher); one program =
+    one dispatch per batch.  ``out_shardings`` (applied to all three
+    outputs) lets multi-host servers keep outputs dp-sharded so each host
+    reads back only its own rows."""
+    import jax
+    import jax.numpy as jnp
 
-    def __init__(
-        self,
-        engine,
-        max_batch: int = 64,
-        max_delay_ms: float = 5.0,
-        pipeline_depth: int = 2,
-    ):
-        if max_batch < 1 or pipeline_depth < 1:
-            raise ValueError("max_batch and pipeline_depth must be >= 1")
+    from vit_tpu.ops import reference
+
+    def _postprocess(logits):
+        probs = reference.softmax(logits)
+        labels = jnp.argmax(probs, axis=-1)
+        top = jnp.take_along_axis(probs, labels[:, None], axis=-1)[:, 0]
+        return labels, top, probs
+
+    kw = {}
+    if out_shardings is not None:
+        kw["out_shardings"] = (out_shardings,) * 3
+    return jax.jit(
+        lambda params, x: _postprocess(engine._forward(params, x)), **kw
+    )
+
+
+def start_async_readback(*arrs) -> None:
+    """Begin device->host copies now so the transfer RTT overlaps the next
+    batches' compute instead of serializing the completer."""
+    for arr in arrs:
+        if arr is None:
+            continue
+        try:
+            arr.copy_to_host_async()
+        except AttributeError:
+            pass
+
+
+class _ServerBase:
+    """Lifecycle + request API + completer shared by the single-host
+    dynamic-batching server and the multi-host lockstep server.  Subclasses
+    provide ``_dispatch_loop`` (and may override ``_validate``/``_to_host``)."""
+
+    def __init__(self, engine, pipeline_depth: int):
+        if pipeline_depth < 1:
+            raise ValueError("pipeline_depth must be >= 1")
         self.engine = engine
-        self.max_batch = max_batch
-        self.max_delay = max_delay_ms / 1e3
         self.stats = ServerStats()
         self._q: "queue.Queue" = queue.Queue()
         self._inflight: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
@@ -78,30 +107,9 @@ class InferenceServer:
         self._carry: Optional[_Request] = None  # request that overflowed a batch
         self._running = False
 
-        import jax
-        import jax.numpy as jnp
-
-        from vit_tpu.ops import reference
-
-        # One jitted program for the whole post-processing chain — eager
-        # softmax/argmax would be one dispatch RPC each (20-50 ms through
-        # this environment's tunnel, serializing the dispatcher).
-        def _postprocess(logits):
-            probs = reference.softmax(logits)
-            labels = jnp.argmax(probs, axis=-1)
-            top = jnp.take_along_axis(probs, labels[:, None], axis=-1)[:, 0]
-            return labels, top, probs
-
-        # forward + postprocess as ONE dispatch: each dispatch costs an RPC
-        # round-trip through this environment's TPU tunnel (~18 ms), so the
-        # dispatcher issues exactly one per batch
-        self._serve_fn = jax.jit(
-            lambda params, x: _postprocess(engine._forward(params, x))
-        )
-
     # -- lifecycle ----------------------------------------------------------
 
-    def start(self) -> "InferenceServer":
+    def start(self):
         if self._running:
             return self
         self._running = True
@@ -139,6 +147,7 @@ class InferenceServer:
             images = np.asarray(images)
         if images.ndim != 4:
             raise ValueError(f"expected (n, C, H, W), got {images.shape}")
+        self._validate(images)
         if not self._running:
             raise RuntimeError("server not started")
         req = _Request(images, return_probs)
@@ -148,6 +157,71 @@ class InferenceServer:
     def classify(self, images, timeout: Optional[float] = None,
                  return_probs: bool = False):
         return self.submit(images, return_probs).result(timeout)
+
+    # -- hooks ---------------------------------------------------------------
+
+    def _validate(self, images) -> None:
+        pass
+
+    def _to_host(self, arr) -> np.ndarray:
+        return np.asarray(arr)  # host sync for this batch
+
+    def _dispatch_loop(self) -> None:
+        raise NotImplementedError
+
+    # -- completer -----------------------------------------------------------
+
+    def _complete_loop(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is _STOP:
+                break
+            labels_dev, top_dev, probs_dev, reqs = item
+            try:
+                labels = self._to_host(labels_dev)
+                top = self._to_host(top_dev)
+                probs = self._to_host(probs_dev) if probs_dev is not None else None
+            except Exception as e:
+                for r in reqs:
+                    r.future.set_exception(e)
+                continue
+            self.stats.batches += 1
+            off = 0
+            for r in reqs:
+                n = len(r.images)
+                p = (
+                    probs[off : off + n]
+                    if (probs is not None and r.return_probs)
+                    else None
+                )
+                r.future.set_result(
+                    (labels[off : off + n], top[off : off + n], p)
+                )
+                off += n
+                self.stats.requests += 1
+                self.stats.images += n
+
+
+class InferenceServer(_ServerBase):
+    """Dynamic-batching server around an InferenceEngine.
+
+    ``submit(images) -> Future[(labels, top_probs, probs)]`` is thread-safe;
+    ``classify`` is the blocking convenience wrapper.
+    """
+
+    def __init__(
+        self,
+        engine,
+        max_batch: int = 64,
+        max_delay_ms: float = 5.0,
+        pipeline_depth: int = 2,
+    ):
+        if max_batch < 1:
+            raise ValueError("max_batch and pipeline_depth must be >= 1")
+        super().__init__(engine, pipeline_depth)
+        self.max_batch = max_batch
+        self.max_delay = max_delay_ms / 1e3
+        self._serve_fn = make_serve_fn(engine)
 
     # -- internals ----------------------------------------------------------
 
@@ -231,43 +305,12 @@ class InferenceServer:
                 want_probs = any(r.return_probs for r in reqs)
                 if not want_probs:
                     probs = None
-                # start the device->host copies now: the transfer RTT then
-                # overlaps the next batches' compute instead of serializing
-                # the completer (arrival spacing becomes compute-bound)
-                for arr in (labels, top) + ((probs,) if probs is not None else ()):
-                    try:
-                        arr.copy_to_host_async()
-                    except AttributeError:
-                        pass
+                start_async_readback(labels, top, probs)
                 self._inflight.put((labels, top, probs, reqs))  # backpressure
             except Exception as e:  # config errors etc. -> fail the batch
                 for r in reqs:
                     r.future.set_exception(e)
         self._inflight.put(_STOP)
-
-    def _complete_loop(self) -> None:
-        while True:
-            item = self._inflight.get()
-            if item is _STOP:
-                break
-            labels_dev, top_dev, probs_dev, reqs = item
-            try:
-                labels = np.asarray(labels_dev)  # host sync for this batch
-                top = np.asarray(top_dev)
-                probs = np.asarray(probs_dev) if probs_dev is not None else None
-            except Exception as e:
-                for r in reqs:
-                    r.future.set_exception(e)
-                continue
-            self.stats.batches += 1
-            off = 0
-            for r in reqs:
-                n = len(r.images)
-                p = probs[off : off + n] if (probs is not None and r.return_probs) else None
-                r.future.set_result((labels[off : off + n], top[off : off + n], p))
-                off += n
-                self.stats.requests += 1
-                self.stats.images += n
 
 
 def measure_throughput(
