@@ -1,0 +1,112 @@
+"""Sequence parallelism / ring attention (parallel/sequence.py) on the
+virtual CPU mesh: tokens shard over 'sp', K/V blocks ride a ppermute ring,
+softmax combines online — results must match the unsharded reference."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from vit_tpu.config import VIT_B_16
+from vit_tpu.models import vit
+from vit_tpu.ops import reference
+from vit_tpu.parallel import make_mesh
+from vit_tpu.parallel.sequence import attention_sp, shard_forward_sp
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 4, reason="needs 4 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def cfg_sp():
+    # 5 tokens ((32/16)^2 + CLS) over sp=4 -> t_local=2, last shard ALL
+    # padding: exercises the mask + online-softmax guards
+    return dataclasses.replace(
+        VIT_B_16, depth=3, embed_dim=64, num_heads=4, image_size=32,
+        patch_size=16, num_classes=13, name="vit_tiny_sp",
+    )
+
+
+def test_ring_attention_matches_reference(cfg_sp):
+    """attention_sp under shard_map == reference.attention, token-sharded."""
+    d, h = 64, 4
+    t = 24  # divides sp=4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, t, d)), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(d, 3 * d)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * d,)) * 0.1, jnp.float32)
+    wo = jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+
+    want = np.asarray(reference.attention(x, wqkv, bqkv, wo, bo, h))
+
+    mesh = make_mesh({"sp": 4}, jax.devices()[:4])
+    valid = jnp.ones((4, t // 4), bool)
+
+    def local(xl):
+        return attention_sp(xl, wqkv, bqkv, wo, bo, h, valid, "sp")
+
+    got = np.asarray(
+        jax.jit(
+            jax.shard_map(
+                local, mesh=mesh, in_specs=P(None, "sp", None),
+                out_specs=P(None, "sp", None), check_vma=False,
+            )
+        )(x)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sp_forward_matches_single_device(cfg_sp):
+    """Full SP forward (LN/MLP local, ring attention, psum'd CLS) ==
+    unsharded xla forward — including the all-padding last shard."""
+    params = vit.init_params(jax.random.key(0), cfg_sp)
+    images = np.asarray(
+        jax.random.normal(jax.random.key(1), (4, 3, 32, 32), jnp.float32)
+    )
+    want = np.asarray(jax.jit(vit.logits_fn(cfg_sp))(params, images))
+    mesh = make_mesh({"sp": 4}, jax.devices()[:4])
+    got = np.asarray(
+        jax.jit(shard_forward_sp(cfg_sp, mesh))(params, jnp.asarray(images))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sp_forward_divisible_tokens(cfg_sp):
+    # 17 tokens ((64/16)^2 + CLS) over sp=4 -> partial padding on one shard
+    cfg = dataclasses.replace(cfg_sp, image_size=64, name="vit_tiny_sp64")
+    params = vit.init_params(jax.random.key(2), cfg)
+    images = np.asarray(
+        jax.random.normal(jax.random.key(3), (2, 3, 64, 64), jnp.float32)
+    )
+    want = np.asarray(jax.jit(vit.logits_fn(cfg))(params, images))
+    mesh = make_mesh({"sp": 4}, jax.devices()[:4])
+    got = np.asarray(
+        jax.jit(shard_forward_sp(cfg, mesh))(params, jnp.asarray(images))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sp_composes_with_dp(cfg_sp):
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    params = vit.init_params(jax.random.key(4), cfg_sp)
+    images = np.asarray(
+        jax.random.normal(jax.random.key(5), (4, 3, 32, 32), jnp.float32)
+    )
+    want = np.asarray(jax.jit(vit.logits_fn(cfg_sp))(params, images))
+    mesh = make_mesh({"dp": 2, "sp": 4}, jax.devices()[:8])
+    got = np.asarray(
+        jax.jit(shard_forward_sp(cfg_sp, mesh))(params, jnp.asarray(images))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sp_requires_axis(cfg_sp):
+    mesh = make_mesh({"dp": 4}, jax.devices()[:4])
+    with pytest.raises(ValueError, match="'sp' axis"):
+        shard_forward_sp(cfg_sp, mesh)

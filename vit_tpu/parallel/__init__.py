@@ -9,6 +9,7 @@ no hand-written communication (the scaling-book recipe).
 """
 
 from vit_tpu.parallel.mesh import make_mesh, mesh_shape_for
+from vit_tpu.parallel.sequence import shard_forward_sp
 from vit_tpu.parallel.sharding import (
     batch_sharding,
     param_pspecs,
@@ -20,6 +21,7 @@ from vit_tpu.parallel.sharding import (
 __all__ = [
     "make_mesh",
     "mesh_shape_for",
+    "shard_forward_sp",
     "param_pspecs",
     "param_shardings",
     "batch_sharding",

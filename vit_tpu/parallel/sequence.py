@@ -1,0 +1,180 @@
+"""Sequence parallelism: ring attention over an 'sp' mesh axis.
+
+The reference fixes T=197 and materializes per-head TxT score buffers
+(ViT_opencl.c:523-532); SURVEY.md §2.3 records sequence parallelism as
+absent.  This module adds it the TPU way: the TOKEN axis shards over 'sp'.
+Every encoder op except attention (LN, MLP, residuals — and the patch
+embed / pos add in front) is per-token and runs on local token blocks with
+zero communication.  Attention — the one cross-token op — runs as **ring
+attention**: each shard keeps its token block's Q and rotates the K/V
+blocks around the ring with ``ppermute``, folding each incoming block into
+a blockwise online softmax (the flash-attention recurrence, here across
+chips instead of VMEM tiles).  No chip ever holds TxT scores or the full
+K/V, so max sequence length scales linearly with the ring size.
+
+Token counts that don't divide the ring (197 = 14^2 + CLS) zero-pad to the
+next multiple; padded KEYS are masked to -inf before the softmax (garbage
+keys would otherwise poison every query) and padded QUERY rows are
+discarded on exit.
+
+Composes with 'dp' (batch sharding) on the same mesh.  Pointless for the
+reference's 197 tokens on one chip — flash attention covers that — but it
+is the scaling path past single-chip HBM for long-token variants.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vit_tpu.config import ViTConfig
+from vit_tpu.ops import reference
+
+
+def _ring_attention(q, k, v, valid_q_keys, axis: str):
+    """Blockwise-online-softmax attention across an ``axis`` ring.
+
+    Args:
+      q, k, v: (B, H, T_local, Dh) — this shard's token block.
+      valid_q_keys: (n_shards, T_local) bool — for each ring SOURCE shard,
+        which of its key rows are real tokens (False = zero padding).
+      axis: mesh axis name to ring over.
+
+    Returns (B, H, T_local, Dh) fp32 — softmax(QK^T/sqrt(Dh)) @ V over the
+    FULL (global) key range, computed without ever materializing it.
+    """
+    n = jax.lax.psum(1, axis)
+    me = jax.lax.axis_index(axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    prec = (
+        jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    )  # fp32 dots compute in bf16 at DEFAULT on this build
+
+    m0 = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)  # running row max
+    l0 = jnp.zeros(q.shape[:-1], jnp.float32)  # running denominator
+    acc0 = jnp.zeros(q.shape, jnp.float32)  # running weighted V sum
+
+    def step(carry, t):
+        k_blk, v_blk, m, l, acc = carry
+        # after t hops the block we hold originated at shard (me - t) mod n
+        src = (me - t) % n
+        s = (
+            jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k_blk,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            * scale
+        )
+        s = jnp.where(valid_q_keys[src][None, None, None, :], s, -jnp.inf)
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        # -inf - -inf = nan: guard the no-valid-key-seen-yet (m_new=-inf,
+        # all-padding block) and masked-entry cases explicitly
+        alpha = jnp.where(jnp.isinf(m_new), 0.0, jnp.exp(m - m_new))
+        p = jnp.where(jnp.isinf(s), 0.0, jnp.exp(s - m_new[..., None]))
+        l_new = l * alpha + p.sum(axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        k_nxt = jax.lax.ppermute(k_blk, axis, perm)
+        v_nxt = jax.lax.ppermute(v_blk, axis, perm)
+        return (k_nxt, v_nxt, m_new, l_new, acc_new), None
+
+    (_, _, _, l, acc), _ = jax.lax.scan(
+        step, (k, v, m0, l0, acc0), jnp.arange(n)
+    )
+    return acc / l[..., None]
+
+
+def attention_sp(x_local, wqkv, bqkv, wo, bo, num_heads, valid_q_keys,
+                 axis: str = "sp"):
+    """Drop-in for ops.reference.attention on an sp-sharded token block:
+    local QKV projection, ring attention, local out_proj (same packed
+    (head, {q,k,v}, head_dim) column order — io/weights.py)."""
+    *lead, t, d = x_local.shape
+    head_dim = d // num_heads
+    qkv = reference.linear(x_local, wqkv, bqkv)
+    qkv = qkv.reshape(*lead, t, num_heads, 3, head_dim)
+    q = jnp.moveaxis(qkv[..., 0, :], -2, -3)  # (B, H, Tl, Dh)
+    k = jnp.moveaxis(qkv[..., 1, :], -2, -3)
+    v = jnp.moveaxis(qkv[..., 2, :], -2, -3)
+    ctx = _ring_attention(q, k, v, valid_q_keys, axis)
+    ctx = jnp.moveaxis(ctx.astype(x_local.dtype), -3, -2).reshape(*lead, t, d)
+    return reference.linear(ctx, wo, bo)
+
+
+def shard_forward_sp(cfg: ViTConfig, mesh: Mesh, gelu_variant: str = "exact"):
+    """Build ``forward(params, images) -> logits`` with tokens sharded over
+    'sp' (and the batch over 'dp' when the mesh has it).  Params replicate;
+    each shard runs LN/MLP on its token block and ring attention across the
+    ring; the CLS row (global token 0, on shard 0) is psum-gathered for the
+    replicated head."""
+    if "sp" not in mesh.axis_names:
+        raise ValueError(f"mesh {mesh.axis_names} has no 'sp' axis")
+    n = mesh.shape["sp"]
+    batch_spec = P("dp") if "dp" in mesh.axis_names else P()
+
+    def local_fn(params, images):
+        compute_dtype = params["pos_embed"].dtype
+        x = images.astype(compute_dtype)
+        x = reference.patch_embed(
+            x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
+            cfg.patch_size,
+        )
+        x = reference.add_cls_and_pos(x, params["cls_token"], params["pos_embed"])
+        b, t, d = x.shape
+        t_local = -(-t // n)  # ceil: zero-pad the token axis to the ring
+        x = jnp.pad(x, ((0, 0), (0, t_local * n - t), (0, 0)))
+        sp_i = jax.lax.axis_index("sp")
+        xl = jax.lax.dynamic_slice_in_dim(x, sp_i * t_local, t_local, axis=1)
+        # which key rows of each SOURCE shard are real tokens
+        valid = (
+            jnp.arange(n)[:, None] * t_local + jnp.arange(t_local)[None, :]
+        ) < t
+
+        def body(carry, blk):
+            h = reference.layer_norm(
+                carry, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps
+            )
+            h = attention_sp(
+                h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"],
+                cfg.num_heads, valid, "sp",
+            )
+            c = carry + h
+            h = reference.layer_norm(
+                c, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps
+            )
+            h = reference.mlp(
+                h, blk["w1"], blk["b1"], blk["w2"], blk["b2"], gelu_variant
+            )
+            return c + h, None
+
+        xl, _ = jax.lax.scan(body, xl, params["blocks"])
+        xl = reference.layer_norm(
+            xl, params["ln_final"]["scale"], params["ln_final"]["bias"],
+            cfg.layernorm_eps,
+        )
+        # CLS = global token 0: lives in shard 0's block; broadcast it
+        cls = jax.lax.psum(
+            jnp.where(sp_i == 0, xl[:, 0, :], jnp.zeros_like(xl[:, 0, :])),
+            "sp",
+        )
+        logits = reference.linear(
+            cls, params["head"]["kernel"], params["head"]["bias"]
+        )
+        return logits.astype(jnp.float32)
+
+    def fn(params, images):
+        return jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), batch_spec),
+            out_specs=batch_spec,
+            check_vma=False,
+        )(params, images)
+
+    return fn
