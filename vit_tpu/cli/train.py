@@ -79,6 +79,40 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip optimizer updates when grads are non-finite "
         "(optax.apply_if_finite) instead of aborting on a bad loss",
     )
+    p.add_argument(
+        "--augment", metavar="LIST", default=None,
+        help="comma-separated on-device augmentations applied inside the "
+        "jitted train step (runtime/augment.py): any of flip,crop,mixup,"
+        "cutmix (e.g. --augment crop,flip,mixup). mixup+cutmix alternate "
+        "50/50 per step. Not supported with --pp or --tp>1",
+    )
+    p.add_argument(
+        "--label-smoothing", type=float, default=0.0, metavar="EPS",
+        help="label-smoothing epsilon for the cross-entropy loss",
+    )
+    p.add_argument(
+        "--mixup-alpha", type=float, default=0.2,
+        help="Beta(a,a) parameter for --augment mixup",
+    )
+    p.add_argument(
+        "--cutmix-alpha", type=float, default=1.0,
+        help="Beta(a,a) parameter for --augment cutmix",
+    )
+    p.add_argument(
+        "--grad-accum", type=int, default=1, metavar="K",
+        help="accumulate gradients over K scanned microbatches per step "
+        "(K x less activation memory, one optimizer update). --batch (per "
+        "dp shard) must divide K. Not supported with --pp or --tp>1",
+    )
+    p.add_argument(
+        "--ema-decay", type=float, default=0.0, metavar="D",
+        help="track an exponential moving average of the params "
+        "(ema = D*ema + (1-D)*params per step); saved via --save-ema",
+    )
+    p.add_argument(
+        "--save-ema", metavar="PATH",
+        help="with --ema-decay: save the EMA params to this .npz at the end",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-remat", action="store_true")
     p.add_argument(
@@ -225,6 +259,29 @@ def main(argv=None) -> int:
         f"remat: {not args.no_remat}"
     )
 
+    augment_fn = None
+    if args.augment or args.grad_accum > 1:
+        if args.pp > 1 or args.tp > 1:
+            print("error: --augment/--grad-accum support the dp paths only "
+                  "(no --pp/--tp)", file=sys.stderr)
+            return 2
+    if args.augment:
+        from vit_tpu.runtime.augment import make_augment_fn
+
+        augment_fn = make_augment_fn(
+            [a.strip() for a in args.augment.split(",") if a.strip()],
+            cfg.num_classes,
+            label_smoothing=args.label_smoothing,
+            mixup_alpha=args.mixup_alpha,
+            cutmix_alpha=args.cutmix_alpha,
+        )
+        print(f"augment: {args.augment} (on-device, inside the step jit)")
+    if args.grad_accum > 1:
+        print(f"grad-accum: {args.grad_accum} microbatches/step")
+    if args.save_ema and not args.ema_decay:
+        print("error: --save-ema requires --ema-decay", file=sys.stderr)
+        return 2
+
     if args.schedule == "warmup_cosine":
         lr = optax.warmup_cosine_decay_schedule(
             0.0, args.lr, max(args.steps // 10, 1), args.steps
@@ -284,7 +341,8 @@ def main(argv=None) -> int:
         )
         opt_state = optimizer.init(params)  # inherits the pp placement
         step = make_pp_train_step(
-            cfg, optimizer, mesh, num_microbatches=m, ops_name=ops_name
+            cfg, optimizer, mesh, num_microbatches=m, ops_name=ops_name,
+            label_smoothing=args.label_smoothing,
         )
         print(f"pipeline: {args.pp} stage(s), {m} microbatches")
     elif ops_name == "fused_train" and mesh_axes["tp"] != 1:
@@ -300,6 +358,7 @@ def main(argv=None) -> int:
         step = trainer.jit_train_step_kernel_tp(
             cfg, optimizer, mesh, params, opt_state,
             remat=not args.no_remat, compute_dtype=compute_dtype,
+            label_smoothing=args.label_smoothing,
         )
     elif ops_name == "fused_train":
         # dp-only: params/optimizer replicated, batch over dp, per-shard
@@ -316,6 +375,8 @@ def main(argv=None) -> int:
             cfg, optimizer, mesh, ops,
             remat=not args.no_remat, compute_dtype=compute_dtype,
             fused_adamw=fused_adamw,
+            label_smoothing=args.label_smoothing,
+            augment_fn=augment_fn, grad_accum=args.grad_accum,
         )
     else:
         params = shard_params(params, mesh)
@@ -328,6 +389,8 @@ def main(argv=None) -> int:
         step = trainer.jit_train_step_for_mesh(
             cfg, optimizer, mesh, params, opt_state, ops=ops,
             remat=not args.no_remat, compute_dtype=compute_dtype,
+            label_smoothing=args.label_smoothing,
+            augment_fn=augment_fn, grad_accum=args.grad_accum,
         )
 
     start_step = 0
@@ -431,6 +494,14 @@ def main(argv=None) -> int:
         )
         print(f"saved training state (step {s}) to {args.save_state}")
 
+    ema = ema_update = None
+    if args.ema_decay:
+        ema = jax.tree.map(jnp.copy, params)
+        ema_update = trainer.make_ema_update(args.ema_decay)
+        print(f"ema: decay {args.ema_decay}")
+
+    aug_key = jax.random.key(args.seed ^ 0xA46) if augment_fn else None
+
     for s in range(start_step, start_step + args.steps):
         if stream is not None:
             xb, yb = next(stream)
@@ -443,7 +514,14 @@ def main(argv=None) -> int:
                 jnp.asarray(labels[i0 : i0 + args.batch]), batch_sharding(mesh, 1)
             )
         t0 = time.perf_counter()
-        params, opt_state, loss = step(params, opt_state, xb, yb)
+        if augment_fn is not None:
+            params, opt_state, loss = step(
+                params, opt_state, xb, yb, jax.random.fold_in(aug_key, s)
+            )
+        else:
+            params, opt_state, loss = step(params, opt_state, xb, yb)
+        if ema_update is not None:
+            ema = ema_update(ema, params)
         loss = float(loss)
         dt = time.perf_counter() - t0
         print(f"step {s:4d}  loss {loss:.4f}  {dt:.2f}s")
@@ -472,6 +550,9 @@ def main(argv=None) -> int:
     if args.save and jax.process_index() == 0:
         ckpt.save_npz(jax.device_get(params), args.save)
         print(f"saved params to {args.save}")
+    if args.save_ema and ema is not None and jax.process_index() == 0:
+        ckpt.save_npz(jax.device_get(ema), args.save_ema)
+        print(f"saved EMA params to {args.save_ema}")
     return 0
 
 

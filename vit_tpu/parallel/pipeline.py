@@ -238,6 +238,7 @@ def make_pp_train_step(
     num_microbatches: int,
     gelu_variant: str = "exact",
     ops_name: str = "xla",
+    label_smoothing: float = 0.0,
 ):
     """Pipeline-parallel training step: grads flow backward through the
     microbatched schedule (the scan's transpose runs the stages in reverse
@@ -261,7 +262,7 @@ def make_pp_train_step(
     fwd = shard_forward_pp(cfg, mesh, num_microbatches, gelu_variant, ops_name)
 
     def loss_fn(params, images, labels):
-        return cross_entropy_loss(fwd(params, images), labels)
+        return cross_entropy_loss(fwd(params, images), labels, label_smoothing)
 
     def train_step(params, opt_state, images, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)

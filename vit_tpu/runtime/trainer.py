@@ -21,8 +21,21 @@ from vit_tpu.ops.dispatch import REFERENCE_OPS, OpsImpl
 from vit_tpu.parallel import batch_sharding, param_shardings, replicate
 
 
-def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def cross_entropy_loss(
+    logits: jax.Array, labels: jax.Array, label_smoothing: float = 0.0
+) -> jax.Array:
+    """CE over int labels (B,) or soft target rows (B, K) — soft rows come
+    from the augmentation layer (mixup/cutmix, runtime/augment.py).
+    ``label_smoothing`` applies to int labels only; soft rows are assumed
+    already smoothed by their producer."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if labels.ndim == logits.ndim:  # soft targets
+        return -(labels.astype(jnp.float32) * logp).sum(axis=-1).mean()
+    if label_smoothing:
+        from vit_tpu.runtime.augment import soft_targets
+
+        y = soft_targets(labels, logits.shape[-1], label_smoothing)
+        return -(y * logp).sum(axis=-1).mean()
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     return nll.mean()
 
@@ -40,7 +53,7 @@ def kernel_backward_compiler_options():
     return None
 
 
-def _make_loss_fn(cfg, ops, remat, compute_dtype):
+def _make_loss_fn(cfg, ops, remat, compute_dtype, label_smoothing=0.0):
     def loss_fn(params, images, labels, rng=None):
         def fwd(p, x):
             if compute_dtype is not None:
@@ -51,9 +64,54 @@ def _make_loss_fn(cfg, ops, remat, compute_dtype):
         if remat:
             fwd = jax.checkpoint(fwd)
         logits = fwd(params, images)
-        return cross_entropy_loss(logits, labels)
+        return cross_entropy_loss(logits, labels, label_smoothing)
 
     return loss_fn
+
+
+def _value_and_grad_accum(loss_fn, params, images, labels, k, rng=None):
+    """(loss, grads) with the batch split into ``k`` microbatches whose
+    gradients accumulate under ``lax.scan`` — k× less activation memory at
+    one optimizer update per step.  Equal microbatches make the mean of
+    per-microbatch means exactly the full-batch mean."""
+    if k <= 1:
+        return jax.value_and_grad(loss_fn)(params, images, labels, rng)
+    b = images.shape[0]
+    if b % k:
+        raise ValueError(f"batch {b} must divide grad_accum {k}")
+    xs = images.reshape(k, b // k, *images.shape[1:])
+    ys = labels.reshape(k, b // k, *labels.shape[1:])
+    rngs = jax.random.split(rng, k) if rng is not None else jnp.zeros((k, 1))
+
+    def body(carry, xyr):
+        loss_acc, g_acc = carry
+        x, y, r = xyr
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, x, y, r if rng is not None else None
+        )
+        g_acc = jax.tree.map(jnp.add, g_acc, grads)
+        return (loss_acc + loss, g_acc), None
+
+    init = (
+        jnp.zeros((), jnp.float32),
+        jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype), params),
+    )
+    (loss, grads), _ = jax.lax.scan(body, init, (xs, ys, rngs))
+    return loss / k, jax.tree.map(lambda g: g / k, grads)
+
+
+def make_ema_update(decay: float = 0.999):
+    """Jitted exponential-moving-average tracker for eval-time weights:
+    ``ema = decay * ema + (1-decay) * params`` per leaf, one fused HBM
+    pass (old ema buffers donated)."""
+
+    def update(ema, params):
+        return jax.tree.map(
+            lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+            ema, params,
+        )
+
+    return jax.jit(update, donate_argnums=(0,))
 
 
 def make_train_step(
@@ -63,6 +121,9 @@ def make_train_step(
     remat: bool = True,
     use_dropout: bool = False,
     compute_dtype=None,
+    label_smoothing: float = 0.0,
+    augment_fn=None,
+    grad_accum: int = 1,
 ):
     """Build ``(params, opt_state, images, labels[, rng]) -> (params,
     opt_state, loss)``.
@@ -74,14 +135,37 @@ def make_train_step(
     ``compute_dtype`` (e.g. jnp.bfloat16) enables mixed precision: fp32
     master weights and optimizer state, casts to the compute dtype inside
     the loss (gradients land back in fp32 through the cast).
+    ``label_smoothing`` smooths int labels inside the loss.
+    ``augment_fn`` (runtime/augment.make_augment_fn) runs on-device inside
+    the step — it consumes the rng argument and emits soft targets, so it
+    owns any smoothing itself (the loss then gets soft rows).
+    ``grad_accum`` k > 1 splits the batch into k scanned microbatches whose
+    gradients accumulate before the single optimizer update (k× less
+    activation memory at the same numerics).
     """
 
-    loss_fn = _make_loss_fn(cfg, ops, remat, compute_dtype)
+    loss_fn = _make_loss_fn(
+        cfg, ops, remat, compute_dtype,
+        0.0 if augment_fn is not None else label_smoothing,
+    )
+    needs_rng = use_dropout or augment_fn is not None
 
-    if use_dropout:
+    def compute(params, images, labels, rng):
+        if augment_fn is not None:
+            if use_dropout:
+                k_aug, rng = jax.random.split(rng)
+            else:
+                k_aug, rng = rng, None
+            images, labels = augment_fn(k_aug, images, labels)
+        return _value_and_grad_accum(
+            loss_fn, params, images, labels, grad_accum,
+            rng if use_dropout else None,
+        )
+
+    if needs_rng:
 
         def train_step(params, opt_state, images, labels, rng):
-            loss, grads = jax.value_and_grad(loss_fn)(params, images, labels, rng)
+            loss, grads = compute(params, images, labels, rng)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
@@ -89,7 +173,7 @@ def make_train_step(
     else:
 
         def train_step(params, opt_state, images, labels):
-            loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+            loss, grads = compute(params, images, labels, None)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
@@ -106,22 +190,34 @@ def jit_train_step_for_mesh(
     ops: OpsImpl = REFERENCE_OPS,
     remat: bool = True,
     compute_dtype=None,
+    label_smoothing: float = 0.0,
+    augment_fn=None,
+    grad_accum: int = 1,
 ):
     """jit the train step with explicit mesh shardings.
 
     Params + optimizer state follow the TP rules (optimizer moments shard
     like their params); images/labels shard over dp; loss is replicated.
     ``compute_dtype`` enables mixed precision exactly as in make_train_step
-    (fp32 master weights/optimizer state, casts inside the loss).
+    (fp32 master weights/optimizer state, casts inside the loss);
+    ``label_smoothing``/``augment_fn``/``grad_accum`` forward too (an
+    augment_fn adds a replicated rng argument to the jitted step).
     """
     p_shard = param_shardings(mesh, params_like)
     # optax states are pytrees whose array leaves mirror param shapes (mu/nu)
     # or are scalars (count); map matching-structure leaves to param rules.
     o_shard = _opt_state_shardings(opt_state_like, params_like, p_shard, mesh)
-    step = make_train_step(cfg, optimizer, ops, remat, compute_dtype=compute_dtype)
+    step = make_train_step(
+        cfg, optimizer, ops, remat, compute_dtype=compute_dtype,
+        label_smoothing=label_smoothing, augment_fn=augment_fn,
+        grad_accum=grad_accum,
+    )
+    data_sh = (batch_sharding(mesh, 4), batch_sharding(mesh, 1))
+    if augment_fn is not None:
+        data_sh = data_sh + (replicate(mesh),)  # the rng key
     return jax.jit(
         step,
-        in_shardings=(p_shard, o_shard, batch_sharding(mesh, 4), batch_sharding(mesh, 1)),
+        in_shardings=(p_shard, o_shard) + data_sh,
         out_shardings=(p_shard, o_shard, replicate(mesh)),
         donate_argnums=(0, 1),
     )
@@ -180,6 +276,9 @@ def jit_train_step_dp_shard_map(
     remat: bool = True,
     compute_dtype=None,
     fused_adamw: dict = None,
+    label_smoothing: float = 0.0,
+    augment_fn=None,
+    grad_accum: int = 1,
 ):
     """Data-parallel train step for Pallas-kernel op paths (e.g.
     'fused_train'), which GSPMD cannot partition: per-shard value_and_grad
@@ -190,21 +289,36 @@ def jit_train_step_dp_shard_map(
     ``fused_adamw`` (dict with lr/b1/b2/eps/weight_decay) swaps optax for
     the in-place Pallas AdamW kernel; state is then ``(count, mu, nu)``
     from :func:`init_fused_adamw_state`.
+
+    ``augment_fn`` runs per shard on the local batch (rng decorrelated
+    across shards via the dp index; mixup/cutmix partners therefore come
+    from the same shard) and adds an rng argument to the step.
+    ``grad_accum`` accumulates over microbatches of the LOCAL batch.
     """
     from jax.sharding import PartitionSpec as P
 
-    loss_fn = _make_loss_fn(cfg, ops, remat, compute_dtype)
+    loss_fn = _make_loss_fn(
+        cfg, ops, remat, compute_dtype,
+        0.0 if augment_fn is not None else label_smoothing,
+    )
+    needs_rng = augment_fn is not None
 
-    def local(params, images, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+    def local(params, images, labels, rng=None):
+        if augment_fn is not None:
+            k_aug = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+            images, labels = augment_fn(k_aug, images, labels)
+        loss, grads = _value_and_grad_accum(
+            loss_fn, params, images, labels, grad_accum
+        )
         loss = jax.lax.pmean(loss, "dp")
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), grads)
         return loss, grads
 
+    in_specs = (P(), P("dp"), P("dp")) + ((P(),) if needs_rng else ())
     grad_fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P("dp"), P("dp")),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -214,8 +328,8 @@ def jit_train_step_dp_shard_map(
 
         lr = fused_adamw["lr"]
 
-        def step(params, opt_state, images, labels):
-            loss, grads = grad_fn(params, images, labels)
+        def step(params, opt_state, images, labels, *rng):
+            loss, grads = grad_fn(params, images, labels, *rng)
             count, mu, nu = opt_state
             step_no = count + 1
             lr_t = lr(step_no) if callable(lr) else lr
@@ -230,8 +344,8 @@ def jit_train_step_dp_shard_map(
 
     else:
 
-        def step(params, opt_state, images, labels):
-            loss, grads = grad_fn(params, images, labels)
+        def step(params, opt_state, images, labels, *rng):
+            loss, grads = grad_fn(params, images, labels, *rng)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
@@ -252,6 +366,7 @@ def jit_train_step_kernel_tp(
     remat: bool = False,
     compute_dtype=None,
     gelu_variant: str = "exact",
+    label_smoothing: float = 0.0,
 ):
     """Tensor-parallel training THROUGH the fused Pallas kernels: the
     forward is parallel/tp_forward's shard_map (local-head attention
@@ -273,7 +388,7 @@ def jit_train_step_kernel_tp(
 
         if remat:
             run = jax.checkpoint(run)
-        return cross_entropy_loss(run(params, images), labels)
+        return cross_entropy_loss(run(params, images), labels, label_smoothing)
 
     def step(params, opt_state, images, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
