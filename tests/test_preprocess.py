@@ -1,0 +1,115 @@
+"""Real-image preprocessing (io/preprocess.py): torchvision eval-transform
+semantics (resize shorter side -> center crop -> ImageNet normalize) and the
+CLI --images path.  The reference consumes only pre-preprocessed blobs
+(Network.c:24-97); this layer is what produced them."""
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+from vit_tpu.io.preprocess import (  # noqa: E402
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    PreprocessError,
+    collect_image_paths,
+    load_and_preprocess,
+    preprocess_image,
+)
+
+
+def test_constant_image_normalizes_exactly():
+    arr = np.full((100, 100, 3), 128, np.uint8)
+    out = preprocess_image(arr, image_size=64)
+    assert out.shape == (3, 64, 64) and out.dtype == np.float32
+    want = (128 / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    for c in range(3):
+        np.testing.assert_allclose(out[c], want[c], atol=1e-6)
+
+
+def test_shorter_side_resize_and_center_crop():
+    # 200x100 (w x h): shorter side is h -> resized to resize_size; the
+    # center crop must come from the horizontal middle.  Paint the middle
+    # half white, the flanks black: the crop sees only white.
+    arr = np.zeros((100, 200, 3), np.uint8)
+    arr[:, 50:150] = 255
+    out = preprocess_image(arr, image_size=64, resize_size=72)
+    white = (1.0 - IMAGENET_MEAN) / IMAGENET_STD
+    for c in range(3):
+        np.testing.assert_allclose(out[c], white[c], atol=1e-5)
+
+
+def test_identity_size_is_pure_crop():
+    # already resize_size x resize_size: resize is identity, crop is the
+    # exact center window
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (72, 72, 3), np.uint8).astype(np.uint8)
+    out = preprocess_image(arr, image_size=64, resize_size=72)
+    manual = arr[4:68, 4:68].astype(np.float32) / 255.0
+    manual = (manual - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(out, manual.transpose(2, 0, 1), atol=1e-6)
+
+
+def test_grayscale_and_rgba_convert():
+    g = Image.fromarray(np.full((80, 80), 200, np.uint8), "L")
+    out = preprocess_image(g, image_size=64)
+    assert out.shape == (3, 64, 64)
+    rgba = Image.fromarray(
+        np.full((80, 80, 4), 200, np.uint8), "RGBA"
+    )
+    out2 = preprocess_image(rgba, image_size=64)
+    np.testing.assert_allclose(out, out2, atol=1e-6)
+
+
+def test_collect_paths_dir_and_files(tmp_path):
+    for name in ("b.png", "a.jpg", "notes.txt"):
+        (tmp_path / name).write_bytes(b"x")
+    paths = collect_image_paths([str(tmp_path)])
+    assert [p.name for p in paths] == ["a.jpg", "b.png"]  # sorted, filtered
+    # explicit file args pass through even with odd extensions
+    paths2 = collect_image_paths([str(tmp_path / "notes.txt")])
+    assert paths2[0].name == "notes.txt"
+    with pytest.raises(FileNotFoundError):
+        collect_image_paths([str(tmp_path / "missing.png")])
+    with pytest.raises(PreprocessError, match="no image files"):
+        collect_image_paths([])
+
+
+def test_load_and_preprocess_batch(tmp_path, tiny_cfg):
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        Image.fromarray(
+            rng.integers(0, 256, (50, 40, 3), np.uint8).astype(np.uint8)
+        ).save(tmp_path / f"img{i}.png")
+    batch, names = load_and_preprocess([str(tmp_path)], tiny_cfg)
+    assert batch.shape == (3, 3, tiny_cfg.image_size, tiny_cfg.image_size)
+    assert batch.dtype == np.float32 and np.isfinite(batch).all()
+    assert all(n.endswith(f"img{i}.png") for i, n in enumerate(names))
+
+
+def test_cli_images_flag(tmp_path, tiny_cfg, capsys, monkeypatch):
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.main import main
+    from vit_tpu.io import weights as wio
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    wio.save_reference_weights(
+        wio.synth_reference_tensors(tiny_cfg, seed=1),
+        tmp_path / "Network", tiny_cfg,
+    )
+    rng = np.random.default_rng(2)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 256, (48, 48, 3), np.uint8).astype(np.uint8)
+        ).save(tmp_path / f"photo{i}.jpg")
+    rc = main([
+        "--config", "vit_tiny_test", "--weights", str(tmp_path / "Network"),
+        "--images", str(tmp_path / "photo0.jpg"), str(tmp_path / "photo1.jpg"),
+        "--dtype", "float32", "--ops", "xla", "--batch-pad", "2",
+        "--no-compile-cache",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "photo0.jpg" in out and "photo1.jpg" in out
+    assert "label:" in out

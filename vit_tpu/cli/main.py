@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="input-100.bin-format image batch")
     src.add_argument("--synth", type=int, help="use N synthetic images")
+    src.add_argument(
+        "--images", nargs="+", metavar="PATH",
+        help="raw image files or directories (JPEG/PNG/...), preprocessed "
+        "with the torchvision eval transform (resize shorter side, center "
+        "crop, ImageNet-normalize — io/preprocess.py)",
+    )
     p.add_argument("--output", help="write results here (reference text format)")
     p.add_argument("--golden", help="golden answer_result.txt to compare against")
     p.add_argument(
@@ -128,8 +134,13 @@ def main(argv=None) -> int:
         print(f"mesh: {shape} over {jax.device_count()} device(s)")
 
     t_load0 = time.perf_counter()
+    source_names = None
     if args.input:
         images = iio.load_image_bin(args.input)
+    elif args.images:
+        from vit_tpu.io.preprocess import load_and_preprocess
+
+        images, source_names = load_and_preprocess(args.images, cfg)
     else:
         images = iio.synth_images(args.synth, cfg, seed=0)
     load_cfg = cfg
@@ -168,6 +179,8 @@ def main(argv=None) -> int:
             line += f"   [{extra}]"
         else:
             line += f"   ({label_names[pred[i]]})"
+        if source_names is not None:
+            line += f"   {source_names[i]}"
         print(line)
 
     if args.output:
