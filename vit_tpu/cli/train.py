@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--microbatches", type=int, default=None,
         help="pipeline microbatches per step (default: 2 x pp)",
     )
+    p.add_argument(
+        "--sp", type=int, default=1,
+        help="sequence-parallel size: tokens shard over an 'sp' ring, "
+        "attention runs as ring attention (parallel/sequence.py). Composes "
+        "with --dp; requires --ops xla; excludes --pp/--tp",
+    )
     p.add_argument("--input", help="input-100.bin-format images (else synthetic)")
     p.add_argument("--labels", help="raw int32 label file matching --input")
     p.add_argument(
@@ -209,7 +215,29 @@ def main(argv=None) -> int:
             print(f"error: global --batch {args.batch} must divide across "
                   f"{procs} hosts", file=sys.stderr)
             return 2
-    if args.pp > 1:
+    if args.sp > 1:
+        if args.pp > 1 or args.tp > 1 or args.multihost:
+            print("error: --sp composes with --dp only (no --pp/--tp/"
+                  "--multihost)", file=sys.stderr)
+            return 2
+        if args.mixed_precision or args.optimizer == "fused_adamw":
+            print("error: --sp supports the plain optax optimizer at the "
+                  "params' dtype", file=sys.stderr)
+            return 2
+        if args.ops not in ("auto", "xla"):
+            print("error: --sp requires --ops xla (the ring runs the jnp "
+                  "ops)", file=sys.stderr)
+            return 2
+        args.ops = "xla"
+        dp = args.dp or max(n_dev // args.sp, 1)
+        mesh_axes = {"dp": dp, "sp": args.sp} if dp > 1 else {"sp": args.sp}
+        need = dp * args.sp
+        if need > n_dev:
+            print(f"error: mesh {mesh_axes} needs {need} devices, have "
+                  f"{n_dev}", file=sys.stderr)
+            return 2
+        mesh = make_mesh(mesh_axes, jax.devices()[:need])
+    elif args.pp > 1:
         if args.multihost:
             print("error: --pp with --multihost is not supported",
                   file=sys.stderr)
@@ -261,9 +289,9 @@ def main(argv=None) -> int:
 
     augment_fn = None
     if args.augment or args.grad_accum > 1:
-        if args.pp > 1 or args.tp > 1:
+        if args.pp > 1 or args.tp > 1 or args.sp > 1:
             print("error: --augment/--grad-accum support the dp paths only "
-                  "(no --pp/--tp)", file=sys.stderr)
+                  "(no --pp/--tp/--sp)", file=sys.stderr)
             return 2
     if args.augment:
         from vit_tpu.runtime.augment import make_augment_fn
@@ -314,7 +342,22 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 2
-    if args.pp > 1:
+    if args.sp > 1:
+        # Sequence-parallel training: tokens over the 'sp' ring, grads
+        # through the transposed ppermute hops (parallel/sequence.py).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from vit_tpu.parallel.sequence import make_sp_train_step
+
+        params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+        opt_state = jax.device_put(
+            opt_state, NamedSharding(mesh, PartitionSpec())
+        )
+        step = make_sp_train_step(
+            cfg, optimizer, mesh, label_smoothing=args.label_smoothing
+        )
+        print(f"sequence parallel: ring size {args.sp}")
+    elif args.pp > 1:
         # Pipeline (optionally 3D: dp x pp x tp) training over the
         # stacked-layer seam (parallel/pipeline.py).
         from jax.sharding import NamedSharding, PartitionSpec

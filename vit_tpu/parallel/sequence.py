@@ -178,3 +178,38 @@ def shard_forward_sp(cfg: ViTConfig, mesh: Mesh, gelu_variant: str = "exact"):
         )(params, images)
 
     return fn
+
+
+def make_sp_train_step(
+    cfg: ViTConfig,
+    optimizer,
+    mesh: Mesh,
+    gelu_variant: str = "exact",
+    label_smoothing: float = 0.0,
+):
+    """Sequence-parallel TRAINING: grads flow backward through the ring —
+    ``jax.grad`` transposes the shard_map, turning each forward ``ppermute``
+    hop into the reverse-direction hop carrying K/V cotangents (the ring-
+    attention backward), and psums the replicated params' cotangents.
+    This is the long-sequence training strategy: per-chip activation memory
+    stays O(T/n) while the loss matches the unsharded step exactly.
+
+    Returns jitted ``(params, opt_state, images, labels) -> (params,
+    opt_state, loss)`` with params/optimizer state replicated and the batch
+    over 'dp' when the mesh has it."""
+    import optax
+
+    fwd = shard_forward_sp(cfg, mesh, gelu_variant)
+
+    from vit_tpu.runtime.trainer import cross_entropy_loss
+
+    def loss_fn(params, images, labels):
+        return cross_entropy_loss(fwd(params, images), labels, label_smoothing)
+
+    def step(params, opt_state, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
