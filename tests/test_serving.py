@@ -163,6 +163,28 @@ def test_serve_http_endpoint(tiny_cfg, tiny_params, tmp_path, monkeypatch):
     assert [r["label"] for r in resp["results"]] == [int(x) for x in want]
     assert all(isinstance(r["name"], str) for r in resp["results"])
 
+    # raw image upload: Content-Type image/* routes through the
+    # torchvision eval preprocessing (io/preprocess.py)
+    try:
+        from PIL import Image
+    except ImportError:
+        Image = None
+    if Image is not None:
+        import io as _io
+
+        buf = _io.BytesIO()
+        rgb = (np.random.default_rng(9).random((48, 48, 3)) * 255).astype(
+            np.uint8
+        )
+        Image.fromarray(rgb).save(buf, format="PNG")
+        conn.request(
+            "POST", "/classify", body=buf.getvalue(),
+            headers={"Content-Type": "image/png"},
+        )
+        raw_resp = json.loads(conn.getresponse().read())
+        assert len(raw_resp["results"]) == 1
+        assert isinstance(raw_resp["results"][0]["name"], str)
+
     conn.request("GET", "/healthz")
     health = json.loads(conn.getresponse().read())
     assert health["ok"] and health["images"] >= 3

@@ -9,7 +9,9 @@ dynamic-batching InferenceServer (runtime/serving.py).
 Usage::
 
     vit-tpu-serve --weights ./Network --port 8117
-    # POST /classify with an input-100.bin-format body -> JSON results
+    # POST /classify with an input-100.bin-format body -> JSON results;
+    # Content-Type: image/* bodies (one raw JPEG/PNG) are preprocessed
+    # with the torchvision eval transform (io/preprocess.py)
     # GET  /healthz -> liveness + batching stats
 
     vit-tpu-serve --weights ./Network --allow-synth-weights --selftest 200
@@ -220,7 +222,22 @@ def _http_daemon(args, cfg, ops, server) -> int:
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                images = parse_image_bytes(self.rfile.read(n))
+                body = self.rfile.read(n)
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("image/"):
+                    # one raw JPEG/PNG/... : torchvision eval preprocessing
+                    # (io/preprocess.py) instead of the bin wire format
+                    import io as _io
+
+                    from PIL import Image
+
+                    from vit_tpu.io.preprocess import preprocess_image
+
+                    images = preprocess_image(
+                        Image.open(_io.BytesIO(body)), cfg.image_size
+                    )[None]
+                else:
+                    images = parse_image_bytes(body)
                 labels, top_probs, _ = server.classify(images)
                 self._send(200, {
                     "results": [
