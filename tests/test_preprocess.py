@@ -88,6 +88,55 @@ def test_load_and_preprocess_batch(tmp_path, tiny_cfg):
     assert all(n.endswith(f"img{i}.png") for i, n in enumerate(names))
 
 
+def test_folder_dataset_layout(tmp_path):
+    from vit_tpu.io.preprocess import folder_dataset
+
+    rng = np.random.default_rng(3)
+    for cls in ("dog", "cat"):  # sorted -> cat=0, dog=1
+        (tmp_path / cls).mkdir()
+        for i in range(2):
+            Image.fromarray(
+                rng.integers(0, 256, (40, 40, 3), np.uint8).astype(np.uint8)
+            ).save(tmp_path / cls / f"{i}.png")
+    paths, labels, names = folder_dataset(tmp_path)
+    assert names == ["cat", "dog"]
+    assert [p.parent.name for p in paths] == ["cat", "cat", "dog", "dog"]
+    np.testing.assert_array_equal(labels, [0, 0, 1, 1])
+    with pytest.raises(PreprocessError, match="class subdirectories"):
+        folder_dataset(tmp_path / "cat")  # no subdirs inside
+
+
+def test_eval_cli_image_dir(tmp_path, tiny_cfg, capsys, monkeypatch):
+    import json
+
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.eval import main as eval_main
+    from vit_tpu.io import weights as wio
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    wio.save_reference_weights(
+        wio.synth_reference_tensors(tiny_cfg, seed=1),
+        tmp_path / "Network", tiny_cfg,
+    )
+    rng = np.random.default_rng(4)
+    root = tmp_path / "val"
+    for cls in ("a", "b", "c"):
+        (root / cls).mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(
+                rng.integers(0, 256, (40, 40, 3), np.uint8).astype(np.uint8)
+            ).save(root / cls / f"{i}.png")
+    rc = eval_main([
+        "--config", "vit_tiny_test", "--weights", str(tmp_path / "Network"),
+        "--image-dir", str(root), "--batch", "4", "--dtype", "float32",
+        "--ops", "xla", "--json", "--no-compile-cache",
+    ])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["n"] == 6
+    assert 0.0 <= payload["top1"] <= 1.0
+
+
 def test_cli_images_flag(tmp_path, tiny_cfg, capsys, monkeypatch):
     import vit_tpu.config as config_mod
     from vit_tpu.cli.main import main

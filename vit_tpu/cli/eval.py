@@ -11,6 +11,7 @@ Usage::
 
     vit-tpu-eval --weights ./Network --data-dir ./val_shards --ops fused
     vit-tpu-eval --weights ./Network --input input-100.bin --labels y.bin
+    vit-tpu-eval --weights ./Network --image-dir ./imagenet_val  # raw files
 """
 
 from __future__ import annotations
@@ -32,6 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--data-dir", help="dir of labeled .bin shards")
     src.add_argument("--input", help="input-100.bin-format image batch")
+    src.add_argument(
+        "--image-dir",
+        help="ImageNet-style folder-per-class dataset of raw image files "
+        "(root/<class>/*.jpg, classes = sorted subdir names); preprocessed "
+        "with the torchvision eval transform (io/preprocess.py)",
+    )
     p.add_argument("--labels", help="raw int32 labels matching --input")
     p.add_argument("--batch", type=int, default=64, help="eval batch size")
     p.add_argument("--limit", type=int, default=None,
@@ -74,7 +81,22 @@ def main(argv=None) -> int:
         ops = "fused" if jax.default_backend() == "tpu" else "xla"
 
     ds = None
-    if args.data_dir:
+    folder = None
+    if args.image_dir:
+        from vit_tpu.io.preprocess import folder_dataset, preprocess_image
+
+        paths, flabels, class_names = folder_dataset(args.image_dir)
+        if args.limit:
+            paths, flabels = paths[: args.limit], flabels[: args.limit]
+        print(f"{len(paths)} images, {len(class_names)} classes",
+              file=sys.stderr)
+        folder = (paths, flabels)
+        bs = min(args.batch, len(paths))
+        images = np.stack(
+            [preprocess_image(p, cfg.image_size) for p in paths[:bs]]
+        )
+        labels = flabels[:bs]
+    elif args.data_dir:
         from vit_tpu.io.dataset import BinShardDataset
 
         ds = BinShardDataset(args.data_dir, require_labels=True)
@@ -115,7 +137,24 @@ def main(argv=None) -> int:
         batch_pad=min(args.batch, len(images)), gelu_variant=args.gelu,
     )
     t0 = time.perf_counter()
-    if ds is not None:
+    if folder is not None:
+        from vit_tpu.io.preprocess import preprocess_image
+
+        paths, flabels = folder
+
+        def _fstream():
+            yield images, labels  # already preprocessed
+            for i in range(len(images), len(paths), args.batch):
+                chunk = paths[i : i + args.batch]
+                yield (
+                    np.stack(
+                        [preprocess_image(p, cfg.image_size) for p in chunk]
+                    ),
+                    flabels[i : i + len(chunk)],
+                )
+
+        report = accuracy.evaluate_batches(engine, _fstream())
+    elif ds is not None:
         def _stream():
             yield images, labels  # already read
             all_labels = ds.labels()

@@ -122,3 +122,25 @@ def load_and_preprocess(
         [preprocess_image(p, cfg.image_size, resize_size) for p in paths]
     )
     return batch, [str(p) for p in paths]
+
+
+def folder_dataset(root) -> tuple[list[Path], np.ndarray, list[str]]:
+    """ImageNet-style folder-per-class layout (the torchvision ImageFolder
+    convention): ``root/<class>/<image>``, classes indexed by the sorted
+    subdirectory names.  Returns (paths, int32 labels, class names)."""
+    root = Path(root)
+    classes = sorted(d.name for d in root.iterdir() if d.is_dir())
+    if not classes:
+        raise PreprocessError(f"no class subdirectories under {root}")
+    paths: list[Path] = []
+    labels: list[int] = []
+    for idx, name in enumerate(classes):
+        files = sorted(
+            q for q in (root / name).iterdir()
+            if q.suffix.lower() in IMAGE_EXTENSIONS
+        )
+        paths.extend(files)
+        labels.extend([idx] * len(files))
+    if not paths:
+        raise PreprocessError(f"no image files under {root}/<class>/")
+    return paths, np.asarray(labels, np.int32), classes
