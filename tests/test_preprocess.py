@@ -137,6 +137,56 @@ def test_eval_cli_image_dir(tmp_path, tiny_cfg, capsys, monkeypatch):
     assert 0.0 <= payload["top1"] <= 1.0
 
 
+def test_image_folder_dataset_stream(tmp_path):
+    from vit_tpu.io.dataset import ImageFolderDataset
+
+    rng = np.random.default_rng(6)
+    for cls in ("x", "y"):
+        (tmp_path / cls).mkdir()
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 256, (40, 40, 3), np.uint8).astype(np.uint8)
+            ).save(tmp_path / cls / f"{i}.png")
+    ds = ImageFolderDataset(tmp_path, image_size=32, threads=2)
+    assert len(ds) == 6 and ds.has_labels
+    np.testing.assert_array_equal(ds.labels(), [0, 0, 0, 1, 1, 1])
+    batch = ds.read([0, 5])
+    assert batch.shape == (2, 3, 32, 32) and batch.dtype == np.float32
+    # epoch stream: one epoch covers every sample exactly once
+    seen = []
+    for imgs, labs in ds.batches(2, shuffle=True, seed=0, epochs=1):
+        assert imgs.shape == (2, 3, 32, 32) and labs.shape == (2,)
+        seen.extend(labs.tolist())
+    assert sorted(seen) == [0, 0, 0, 1, 1, 1]
+
+
+def test_train_cli_image_dir(tmp_path, tiny_cfg, capsys, monkeypatch):
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    rng = np.random.default_rng(7)
+    root = tmp_path / "train"
+    for cls in ("a", "b"):
+        (root / cls).mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 256, (40, 40, 3), np.uint8).astype(np.uint8)
+            ).save(root / cls / f"{i}.png")
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "2", "--batch", "4",
+        "--dp", "2", "--ops", "xla", "--image-dir", str(root),
+        "--augment", "flip", "--no-compile-cache",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "raw images in 2 class folders" in out and "step    1" in out
+
+
 def test_cli_images_flag(tmp_path, tiny_cfg, capsys, monkeypatch):
     import vit_tpu.config as config_mod
     from vit_tpu.cli.main import main

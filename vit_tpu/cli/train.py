@@ -61,8 +61,16 @@ def build_parser() -> argparse.ArgumentParser:
         "host->HBM prefetch); overrides --input/--labels",
     )
     p.add_argument(
+        "--image-dir", metavar="DIR",
+        help="train from an ImageNet-style folder-per-class tree of raw "
+        "image files (root/<class>/*.jpg, classes = sorted subdir names); "
+        "decode + torchvision eval preprocessing stream through the same "
+        "prefetch pipeline as --data-dir",
+    )
+    p.add_argument(
         "--data-threads", type=int, default=8,
-        help="reader threads for the native gather loader (--data-dir)",
+        help="reader threads for the native gather loader (--data-dir) or "
+        "the image decoder pool (--image-dir)",
     )
     p.add_argument("--init-weights", help="warm-start from Weight_*.bin dir")
     p.add_argument("--allow-synth-weights", action="store_true")
@@ -449,17 +457,38 @@ def main(argv=None) -> int:
 
     rng = np.random.default_rng(args.seed)
     stream = None
-    if args.data_dir:
-        # Streaming pipeline: shard-indexed dataset, native threaded gather
-        # reads, shuffled per epoch, double-buffered host->HBM prefetch so
-        # host IO and transfer overlap device compute.
+    if args.data_dir or args.image_dir:
+        # Streaming pipeline: shard-indexed dataset (native threaded gather
+        # reads) or raw-image folder (threaded decode + preprocessing),
+        # shuffled per epoch, double-buffered host->HBM prefetch so host IO
+        # and transfer overlap device compute.
         from vit_tpu.io import native
-        from vit_tpu.io.dataset import BinShardDataset
+        from vit_tpu.io.dataset import BinShardDataset, ImageFolderDataset
         from vit_tpu.runtime.prefetch import prefetch_to_device
 
-        ds = BinShardDataset(
-            args.data_dir, require_labels=True, threads=args.data_threads
-        )
+        if args.data_dir:
+            ds = BinShardDataset(
+                args.data_dir, require_labels=True, threads=args.data_threads
+            )
+            data_desc = (
+                f"{len(ds)} images in {len(ds.paths)} shard(s), "
+                f"{'native' if native.gather_available() else 'numpy'} reader"
+            )
+        else:
+            ds = ImageFolderDataset(
+                args.image_dir, cfg.image_size, threads=args.data_threads
+            )
+            if len(ds.class_names) > cfg.num_classes:
+                print(
+                    f"error: {len(ds.class_names)} class folders > "
+                    f"{cfg.num_classes} model classes ({cfg.name})",
+                    file=sys.stderr,
+                )
+                return 2
+            data_desc = (
+                f"{len(ds)} raw images in {len(ds.class_names)} class "
+                "folders, PIL decoder"
+            )
         local_batch = args.batch // procs if args.multihost else args.batch
         if len(ds) < args.batch:
             print(
@@ -469,8 +498,7 @@ def main(argv=None) -> int:
             )
             return 2
         print(
-            f"data: {len(ds)} images in {len(ds.paths)} shard(s), "
-            f"{'native' if native.gather_available() else 'numpy'} reader, "
+            f"data: {data_desc}, "
             f"{args.data_threads} threads"
         )
         img_sh, lab_sh = batch_sharding(mesh, 4), batch_sharding(mesh, 1)

@@ -14,11 +14,12 @@ from vit_tpu.io.weights import (
     save_reference_weights,
     synth_reference_tensors,
 )
-from vit_tpu.io.dataset import BinShardDataset
+from vit_tpu.io.dataset import BinShardDataset, ImageFolderDataset
 from vit_tpu.io.images import load_image_bin, save_image_bin, synth_images
 
 __all__ = [
     "BinShardDataset",
+    "ImageFolderDataset",
     "WEIGHTS_PER_LAYER",
     "load_reference_weights",
     "params_from_tensors",

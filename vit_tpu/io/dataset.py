@@ -28,7 +28,63 @@ from vit_tpu.io import native
 _HEADER_BYTES = 16  # 4 x int32: n, c, h, w (Network.c:36-44)
 
 
-class BinShardDataset:
+class EpochStream:
+    """Shared epoch-stream iterator for datasets exposing ``__len__``,
+    ``read(indices)`` and ``_labels`` — the shuffled/sharded minibatch
+    semantics live here once, identical for .bin shards and image folders."""
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        epochs: Optional[int] = None,
+        drop_remainder: bool = True,
+        shard: Optional[Tuple[int, int]] = None,
+    ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
+        """Yield ``(images, labels_or_None)`` minibatches; reshuffled each
+        epoch (epoch-indexed RNG streams, so resume at epoch e is
+        reproducible).  ``epochs=None`` streams forever.
+
+        ``shard=(i, n)`` keeps every n-th sample of each epoch's (shared,
+        seed-determined) permutation starting at i — the multi-host split:
+        every host draws from the SAME permutation, so the union over
+        hosts covers each epoch with no overlap, and ``batch_size`` is the
+        PER-HOST batch.  Every host's slice is truncated to
+        ``len(ds) // n`` samples so all hosts see the same number of
+        batches per epoch and stay on the same epoch forever (the up-to
+        n-1 dropped tail samples rotate with the shuffle); without equal
+        lengths the hosts' epoch streams would drift apart."""
+        if shard is not None:
+            sid, nsh = shard
+            if not (0 <= sid < nsh):
+                raise ValueError(f"shard {shard}: need 0 <= i < n")
+        else:
+            sid, nsh = 0, 1
+        local_n = len(self) // nsh
+        if batch_size < 1 or batch_size > local_n:
+            raise ValueError(
+                f"batch_size {batch_size} not in [1, {local_n}]"
+            )
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            if shuffle:
+                perm = np.random.default_rng(
+                    np.random.SeedSequence([seed, epoch])
+                ).permutation(len(self))
+            else:
+                perm = np.arange(len(self))
+            perm = perm[sid::nsh][:local_n]
+            end = len(perm) - (len(perm) % batch_size) if drop_remainder else len(perm)
+            for i in range(0, end, batch_size):
+                take = perm[i : i + batch_size]
+                imgs = self.read(take)
+                labs = self._labels[take] if self._labels is not None else None
+                yield imgs, labs
+            epoch += 1
+
+
+class BinShardDataset(EpochStream):
     """Index over one or more ``input-100.bin``-format shards.
 
     Args:
@@ -158,54 +214,52 @@ class BinShardDataset:
             )
         return self._mmaps[shard]
 
-    # -- training iterator ----------------------------------------------------
+    # -- training iterator: EpochStream.batches --------------------------------
 
-    def batches(
-        self,
-        batch_size: int,
-        shuffle: bool = True,
-        seed: int = 0,
-        epochs: Optional[int] = None,
-        drop_remainder: bool = True,
-        shard: Optional[Tuple[int, int]] = None,
-    ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
-        """Yield ``(images, labels_or_None)`` minibatches; reshuffled each
-        epoch (epoch-indexed RNG streams, so resume at epoch e is
-        reproducible).  ``epochs=None`` streams forever.
 
-        ``shard=(i, n)`` keeps every n-th sample of each epoch's (shared,
-        seed-determined) permutation starting at i — the multi-host split:
-        every host draws from the SAME permutation, so the union over
-        hosts covers each epoch with no overlap, and ``batch_size`` is the
-        PER-HOST batch.  Every host's slice is truncated to
-        ``len(ds) // n`` samples so all hosts see the same number of
-        batches per epoch and stay on the same epoch forever (the up-to
-        n-1 dropped tail samples rotate with the shuffle); without equal
-        lengths the hosts' epoch streams would drift apart."""
-        if shard is not None:
-            sid, nsh = shard
-            if not (0 <= sid < nsh):
-                raise ValueError(f"shard {shard}: need 0 <= i < n")
-        else:
-            sid, nsh = 0, 1
-        local_n = len(self) // nsh
-        if batch_size < 1 or batch_size > local_n:
-            raise ValueError(
-                f"batch_size {batch_size} not in [1, {local_n}]"
+class ImageFolderDataset(EpochStream):
+    """Train/eval directly from an ImageNet-style folder-per-class tree of
+    raw image files (``root/<class>/<image>``, classes = sorted subdir
+    names — the ImageFolder convention).  Decode + torchvision eval
+    preprocessing (io/preprocess.py) run in a thread pool inside ``read``;
+    feed ``batches(...)`` through ``prefetch_to_device`` and the decoding
+    overlaps device compute exactly like the .bin shard pipeline."""
+
+    def __init__(self, root, image_size: int, threads: int = 8,
+                 resize_size: Optional[int] = None):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from vit_tpu.io.preprocess import folder_dataset
+
+        self.paths, self._labels, self.class_names = folder_dataset(root)
+        self.image_size = image_size
+        self.resize_size = resize_size
+        self.sample_shape = (3, image_size, image_size)
+        self._pool = ThreadPoolExecutor(max(threads, 1))
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    @property
+    def has_labels(self) -> bool:
+        return True
+
+    def labels(self) -> np.ndarray:
+        return self._labels
+
+    def read(self, indices: Sequence[int]) -> np.ndarray:
+        from vit_tpu.io.preprocess import preprocess_image
+
+        idx = np.asarray(indices, dtype=np.int64)
+        if idx.size and (idx.min() < 0 or idx.max() >= len(self)):
+            raise IndexError(f"index out of range 0..{len(self) - 1}")
+        return np.stack(
+            list(
+                self._pool.map(
+                    lambda i: preprocess_image(
+                        self.paths[i], self.image_size, self.resize_size
+                    ),
+                    idx,
+                )
             )
-        epoch = 0
-        while epochs is None or epoch < epochs:
-            if shuffle:
-                perm = np.random.default_rng(
-                    np.random.SeedSequence([seed, epoch])
-                ).permutation(len(self))
-            else:
-                perm = np.arange(len(self))
-            perm = perm[sid::nsh][:local_n]
-            end = len(perm) - (len(perm) % batch_size) if drop_remainder else len(perm)
-            for i in range(0, end, batch_size):
-                take = perm[i : i + batch_size]
-                imgs = self.read(take)
-                labs = self._labels[take] if self._labels is not None else None
-                yield imgs, labs
-            epoch += 1
+        )
