@@ -248,7 +248,7 @@ class InferenceEngine:
                 )
             for l in range(cfg.depth):
                 blk = jax.tree.map(lambda a: a[l], p["blocks"])
-                with timer.phase("layer_norm x2"):
+                with timer.phase("layer_norm_1"):
                     ln1 = sync(R.layer_norm(h, blk["ln1_scale"], blk["ln1_bias"],
                                             cfg.layernorm_eps))
                 with timer.phase("attention"):
@@ -257,7 +257,7 @@ class InferenceEngine:
                         cfg.num_heads,
                     ))
                 h = h + a
-                with timer.phase("layer_norm x2"):
+                with timer.phase("layer_norm_2"):
                     ln2 = sync(R.layer_norm(h, blk["ln2_scale"], blk["ln2_bias"],
                                             cfg.layernorm_eps))
                 with timer.phase("mlp"):
