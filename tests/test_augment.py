@@ -271,6 +271,34 @@ def test_train_cli_augment_ema(tiny_cfg, monkeypatch, capsys, tmp_path):
     assert (tmp_path / "ema.npz").exists()
 
 
+def test_train_cli_save_reference_roundtrip(tiny_cfg, monkeypatch, capsys,
+                                            tmp_path):
+    """--save-reference exports trained params as Weight_*.bin files that
+    load back into an identical pytree."""
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+    from vit_tpu.io import weights as wio
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    out = tmp_path / "exported"
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "1", "--batch", "4",
+        "--dp", "1", "--ops", "xla", "--save", str(tmp_path / "p.npz"),
+        "--save-reference", str(out), "--no-compile-cache",
+    ])
+    assert rc == 0
+    n_files = len(list(out.glob("Weight_*.bin")))
+    assert n_files == 4 + 12 * tiny_cfg.depth + 4
+    from vit_tpu.io import checkpoint as ckpt
+
+    saved = ckpt.load_npz(tmp_path / "p.npz")
+    reloaded = wio.load_reference_weights(out, tiny_cfg, round_to_6dp=False)
+    for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(reloaded)):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)
+        )
+
+
 def test_train_cli_rejects_augment_with_tp(tiny_cfg, monkeypatch, capsys):
     import vit_tpu.config as config_mod
     from vit_tpu.cli.train import main as train_main

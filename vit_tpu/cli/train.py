@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--allow-synth-weights", action="store_true")
     p.add_argument("--save", help="save final params to this .npz")
     p.add_argument(
+        "--save-reference", metavar="DIR",
+        help="export final params as reference-format Weight_{idx}_{name}"
+        ".bin files (torchvision layout; loadable by the reference C "
+        "engine and by --init-weights)",
+    )
+    p.add_argument(
         "--save-state", metavar="PATH",
         help="checkpoint the FULL training state (params+optimizer+step) "
         "to this .npz at the end and every --save-every steps",
@@ -624,6 +630,12 @@ def main(argv=None) -> int:
     if args.save_ema and ema is not None and jax.process_index() == 0:
         ckpt.save_npz(jax.device_get(ema), args.save_ema)
         print(f"saved EMA params to {args.save_ema}")
+    if args.save_reference and jax.process_index() == 0:
+        wio.save_reference_weights(
+            wio.tensors_from_params(jax.device_get(params), cfg),
+            args.save_reference, cfg,
+        )
+        print(f"exported reference-format weights to {args.save_reference}")
     return 0
 
 
