@@ -51,6 +51,21 @@ def test_identity_size_is_pure_crop():
     np.testing.assert_allclose(out, manual.transpose(2, 0, 1), atol=1e-6)
 
 
+def test_train_mode_keeps_full_frame():
+    """mode='train' must preserve border content the eval center crop
+    discards (the on-device RandomResizedCrop samples from the whole
+    frame)."""
+    arr = np.zeros((200, 400, 3), np.uint8)  # wide: eval crops the flanks
+    arr[:, :40] = 255  # white left border
+    ev = preprocess_image(arr, image_size=64, mode="eval")
+    tr = preprocess_image(arr, image_size=64, mode="train")
+    white = ((1.0 - IMAGENET_MEAN) / IMAGENET_STD)[0]
+    assert abs(float(ev[0].max()) - white) > 0.1  # border gone in eval
+    assert abs(float(tr[0, :, 0].mean()) - white) < 0.1  # kept in train
+    with pytest.raises(ValueError, match="mode"):
+        preprocess_image(arr, 64, mode="banana")
+
+
 def test_grayscale_and_rgba_convert():
     g = Image.fromarray(np.full((80, 80), 200, np.uint8), "L")
     out = preprocess_image(g, image_size=64)

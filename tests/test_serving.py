@@ -185,6 +185,15 @@ def test_serve_http_endpoint(tiny_cfg, tiny_params, tmp_path, monkeypatch):
         assert len(raw_resp["results"]) == 1
         assert isinstance(raw_resp["results"][0]["name"], str)
 
+        # garbage image body is a CLIENT error (400), not a 500
+        conn.request(
+            "POST", "/classify", body=b"not an image at all",
+            headers={"Content-Type": "image/jpeg"},
+        )
+        bad = conn.getresponse()
+        assert bad.status == 400, bad.status
+        assert "undecodable" in json.loads(bad.read())["error"]
+
     conn.request("GET", "/healthz")
     health = json.loads(conn.getresponse().read())
     assert health["ok"] and health["images"] >= 3

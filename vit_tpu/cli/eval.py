@@ -81,21 +81,19 @@ def main(argv=None) -> int:
         ops = "fused" if jax.default_backend() == "tpu" else "xla"
 
     ds = None
-    folder = None
+    folder_ds = None
     if args.image_dir:
-        from vit_tpu.io.preprocess import folder_dataset, preprocess_image
+        from vit_tpu.io.dataset import ImageFolderDataset
 
-        paths, flabels, class_names = folder_dataset(args.image_dir)
-        if args.limit:
-            paths, flabels = paths[: args.limit], flabels[: args.limit]
-        print(f"{len(paths)} images, {len(class_names)} classes",
-              file=sys.stderr)
-        folder = (paths, flabels)
-        bs = min(args.batch, len(paths))
-        images = np.stack(
-            [preprocess_image(p, cfg.image_size) for p in paths[:bs]]
+        folder_ds = ImageFolderDataset(args.image_dir, cfg.image_size)
+        n_total = (
+            min(args.limit, len(folder_ds)) if args.limit else len(folder_ds)
         )
-        labels = flabels[:bs]
+        print(f"{n_total} images, {len(folder_ds.class_names)} classes",
+              file=sys.stderr)
+        bs = min(args.batch, n_total)
+        images = folder_ds.read(range(bs))  # threaded decode + preprocess
+        labels = folder_ds.labels()[:bs]
     elif args.data_dir:
         from vit_tpu.io.dataset import BinShardDataset
 
@@ -137,21 +135,14 @@ def main(argv=None) -> int:
         batch_pad=min(args.batch, len(images)), gelu_variant=args.gelu,
     )
     t0 = time.perf_counter()
-    if folder is not None:
-        from vit_tpu.io.preprocess import preprocess_image
-
-        paths, flabels = folder
+    if folder_ds is not None:
+        all_labels = folder_ds.labels()
 
         def _fstream():
-            yield images, labels  # already preprocessed
-            for i in range(len(images), len(paths), args.batch):
-                chunk = paths[i : i + args.batch]
-                yield (
-                    np.stack(
-                        [preprocess_image(p, cfg.image_size) for p in chunk]
-                    ),
-                    flabels[i : i + len(chunk)],
-                )
+            yield images, labels  # already read (threaded pool)
+            for i in range(len(images), n_total, args.batch):
+                take = range(i, min(i + args.batch, n_total))
+                yield folder_ds.read(take), all_labels[take.start : take.stop]
 
         report = accuracy.evaluate_batches(engine, _fstream())
     elif ds is not None:

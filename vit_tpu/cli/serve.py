@@ -229,13 +229,17 @@ def _http_daemon(args, cfg, ops, server) -> int:
                     # (io/preprocess.py) instead of the bin wire format
                     import io as _io
 
-                    from PIL import Image
+                    from PIL import Image, UnidentifiedImageError
 
                     from vit_tpu.io.preprocess import preprocess_image
 
-                    images = preprocess_image(
-                        Image.open(_io.BytesIO(body)), cfg.image_size
-                    )[None]
+                    try:
+                        decoded = Image.open(_io.BytesIO(body))
+                        decoded.load()
+                    except (UnidentifiedImageError, OSError) as e:
+                        # client error (bad/truncated image), not a 500
+                        raise ValueError(f"undecodable image body: {e}")
+                    images = preprocess_image(decoded, cfg.image_size)[None]
                 else:
                     images = parse_image_bytes(body)
                 labels, top_probs, _ = server.classify(images)

@@ -121,8 +121,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--grad-accum", type=int, default=1, metavar="K",
         help="accumulate gradients over K scanned microbatches per step "
-        "(K x less activation memory, one optimizer update). --batch (per "
-        "dp shard) must divide K. Not supported with --pp or --tp>1",
+        "(K x less activation memory, one optimizer update). K must divide "
+        "the per-dp-shard batch. Not supported with --pp or --tp>1",
     )
     p.add_argument(
         "--ema-decay", type=float, default=0.0, metavar="D",
@@ -249,6 +249,10 @@ def main(argv=None) -> int:
         if need > n_dev:
             print(f"error: mesh {mesh_axes} needs {need} devices, have "
                   f"{n_dev}", file=sys.stderr)
+            return 2
+        if args.batch % dp:
+            print(f"error: --batch {args.batch} must be divisible by "
+                  f"dp={dp}", file=sys.stderr)
             return 2
         mesh = make_mesh(mesh_axes, jax.devices()[:need])
     elif args.pp > 1:
@@ -481,8 +485,11 @@ def main(argv=None) -> int:
                 f"{'native' if native.gather_available() else 'numpy'} reader"
             )
         else:
+            # mode='train': keep the full frame on host (no center crop) so
+            # the on-device RandomResizedCrop samples from the whole image
             ds = ImageFolderDataset(
-                args.image_dir, cfg.image_size, threads=args.data_threads
+                args.image_dir, cfg.image_size, threads=args.data_threads,
+                mode="train",
             )
             if len(ds.class_names) > cfg.num_classes:
                 print(
@@ -562,6 +569,11 @@ def main(argv=None) -> int:
         n = (len(images) // args.batch) * args.batch  # drop ragged remainder
         images, labels = images[:n], labels[:n]
 
+    def _ema_sidecar(state_path):
+        from pathlib import Path
+
+        return Path(state_path).with_suffix(".ema.npz")
+
     def save_state(s):
         if jax.process_index() != 0:
             return  # params are host-replicated; one writer suffices
@@ -569,11 +581,20 @@ def main(argv=None) -> int:
             jax.device_get(params), jax.device_get(opt_state), s,
             args.save_state,
         )
+        if ema is not None:
+            # the EMA is part of the training state: without it a resume
+            # would restart the average from the current params
+            ckpt.save_npz(jax.device_get(ema), _ema_sidecar(args.save_state))
         print(f"saved training state (step {s}) to {args.save_state}")
 
     ema = ema_update = None
     if args.ema_decay:
         ema = jax.tree.map(jnp.copy, params)
+        if args.resume and _ema_sidecar(args.resume).exists():
+            ema_r = ckpt.load_npz(_ema_sidecar(args.resume))
+            ema = jax.device_put(jax.tree.map(jnp.asarray, ema_r),
+                                 jax.tree.map(lambda a: a.sharding, ema))
+            print(f"resumed EMA from {_ema_sidecar(args.resume)}")
         ema_update = trainer.make_ema_update(args.ema_decay)
         print(f"ema: decay {args.ema_decay}")
 

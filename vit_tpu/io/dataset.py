@@ -226,7 +226,7 @@ class ImageFolderDataset(EpochStream):
     overlaps device compute exactly like the .bin shard pipeline."""
 
     def __init__(self, root, image_size: int, threads: int = 8,
-                 resize_size: Optional[int] = None):
+                 resize_size: Optional[int] = None, mode: str = "eval"):
         from concurrent.futures import ThreadPoolExecutor
 
         from vit_tpu.io.preprocess import folder_dataset
@@ -234,6 +234,7 @@ class ImageFolderDataset(EpochStream):
         self.paths, self._labels, self.class_names = folder_dataset(root)
         self.image_size = image_size
         self.resize_size = resize_size
+        self.mode = mode  # 'train' keeps the full frame for on-device crops
         self.sample_shape = (3, image_size, image_size)
         self._pool = ThreadPoolExecutor(max(threads, 1))
 
@@ -257,7 +258,8 @@ class ImageFolderDataset(EpochStream):
             list(
                 self._pool.map(
                     lambda i: preprocess_image(
-                        self.paths[i], self.image_size, self.resize_size
+                        self.paths[i], self.image_size, self.resize_size,
+                        mode=self.mode,
                     ),
                     idx,
                 )

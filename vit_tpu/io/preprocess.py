@@ -52,15 +52,24 @@ def preprocess_image(
     resize_size: int | None = None,
     mean: np.ndarray = IMAGENET_MEAN,
     std: np.ndarray = IMAGENET_STD,
+    mode: str = "eval",
 ) -> np.ndarray:
     """One image file / PIL image / HWC uint8 array -> (3, S, S) float32.
 
-    torchvision eval semantics: shorter side -> ``resize_size`` (default
-    ``image_size * 256 // 224``, i.e. 256 for the 224 models) with
-    bilinear resampling, center crop ``image_size``, scale to [0, 1],
-    channel-wise normalize.
+    ``mode='eval'`` (default) is torchvision eval semantics: shorter side
+    -> ``resize_size`` (default ``image_size * 256 // 224``, i.e. 256 for
+    the 224 models) with bilinear resampling, center crop ``image_size``,
+    scale to [0, 1], channel-wise normalize.
+
+    ``mode='train'`` resizes the FULL frame to (S, S) without cropping, so
+    no border content is discarded on host — the on-device
+    RandomResizedCrop (runtime/augment.py) then samples crop boxes from
+    the whole image, with the aspect squash folded into the crop's random
+    ratio range.
     """
     Image = _require_pil()
+    if mode not in ("eval", "train"):
+        raise ValueError(f"mode {mode!r}: need 'eval' or 'train'")
     if resize_size is None:
         resize_size = image_size * 256 // 224
     if isinstance(source, (str, os.PathLike)):
@@ -71,20 +80,23 @@ def preprocess_image(
         img = source
     img = img.convert("RGB")
 
-    w, h = img.size
-    if w <= h:
-        new_w, new_h = resize_size, max(round(h * resize_size / w), 1)
+    if mode == "train":
+        img = img.resize((image_size, image_size), Image.Resampling.BILINEAR)
     else:
-        new_w, new_h = max(round(w * resize_size / h), 1), resize_size
-    img = img.resize((new_w, new_h), Image.Resampling.BILINEAR)
+        w, h = img.size
+        if w <= h:
+            new_w, new_h = resize_size, max(round(h * resize_size / w), 1)
+        else:
+            new_w, new_h = max(round(w * resize_size / h), 1), resize_size
+        img = img.resize((new_w, new_h), Image.Resampling.BILINEAR)
 
-    left = (new_w - image_size) // 2
-    top = (new_h - image_size) // 2
-    if left < 0 or top < 0:
-        raise PreprocessError(
-            f"crop {image_size} exceeds resized image {new_w}x{new_h}"
-        )
-    img = img.crop((left, top, left + image_size, top + image_size))
+        left = (new_w - image_size) // 2
+        top = (new_h - image_size) // 2
+        if left < 0 or top < 0:
+            raise PreprocessError(
+                f"crop {image_size} exceeds resized image {new_w}x{new_h}"
+            )
+        img = img.crop((left, top, left + image_size, top + image_size))
 
     arr = np.asarray(img, np.float32) / 255.0  # (H, W, 3) in [0, 1]
     arr = (arr - mean) / std

@@ -5,7 +5,9 @@ The reference fixes T=197 and materializes per-head TxT score buffers
 absent.  This module adds it the TPU way: the TOKEN axis shards over 'sp'.
 Every encoder op except attention (LN, MLP, residuals — and the patch
 embed / pos add in front) is per-token and runs on local token blocks with
-zero communication.  Attention — the one cross-token op — runs as **ring
+zero communication; even the patch embed reads only the image-row window
+covering the shard's own tokens, so the full (B, T, D) sequence is never
+materialized and per-chip activations stay O(T/n) end to end.  Attention — the one cross-token op — runs as **ring
 attention**: each shard keeps its token block's Q and rotates the K/V
 blocks around the ring with ``ppermute``, folding each incoming block into
 a blockwise online softmax (the flash-attention recurrence, here across
@@ -54,14 +56,9 @@ def _ring_attention(q, k, v, valid_q_keys, axis: str):
         jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     )  # fp32 dots compute in bf16 at DEFAULT on this build
 
-    m0 = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)  # running row max
-    l0 = jnp.zeros(q.shape[:-1], jnp.float32)  # running denominator
-    acc0 = jnp.zeros(q.shape, jnp.float32)  # running weighted V sum
-
-    def step(carry, t):
-        k_blk, v_blk, m, l, acc = carry
-        # after t hops the block we hold originated at shard (me - t) mod n
-        src = (me - t) % n
+    def fold(carry, k_blk, v_blk, src):
+        """One online-softmax update with the key/value block from ``src``."""
+        m, l, acc = carry
         s = (
             jnp.einsum(
                 "bhqd,bhkd->bhqk", q, k_blk,
@@ -80,13 +77,31 @@ def _ring_attention(q, k, v, valid_q_keys, axis: str):
             "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32),
             preferred_element_type=jnp.float32, precision=prec,
         )
-        k_nxt = jax.lax.ppermute(k_blk, axis, perm)
-        v_nxt = jax.lax.ppermute(v_blk, axis, perm)
-        return (k_nxt, v_nxt, m_new, l_new, acc_new), None
+        return m_new, l_new, acc_new
 
-    (_, _, _, l, acc), _ = jax.lax.scan(
-        step, (k, v, m0, l0, acc0), jnp.arange(n)
+    init = (
+        jnp.full(q.shape[:-1], -jnp.inf, jnp.float32),  # running row max
+        jnp.zeros(q.shape[:-1], jnp.float32),  # running denominator
+        jnp.zeros(q.shape, jnp.float32),  # running weighted V sum
     )
+    # local block first, then n-1 permute-then-fold hops: the last hop's
+    # block is actually consumed, so no wasted trailing ppermute pair
+    carry0 = fold(init, k, v, me)
+
+    def step(carry, t):
+        k_blk, v_blk, m, l, acc = carry
+        k_blk = jax.lax.ppermute(k_blk, axis, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis, perm)
+        # after t hops the block we hold originated at shard (me - t) mod n
+        m, l, acc = fold((m, l, acc), k_blk, v_blk, (me - t) % n)
+        return (k_blk, v_blk, m, l, acc), None
+
+    if n > 1:
+        (_, _, _, l, acc), _ = jax.lax.scan(
+            step, (k, v) + carry0, jnp.arange(1, n)
+        )
+    else:
+        _, l, acc = carry0
     return acc / l[..., None]
 
 
@@ -118,19 +133,59 @@ def shard_forward_sp(cfg: ViTConfig, mesh: Mesh, gelu_variant: str = "exact"):
     n = mesh.shape["sp"]
     batch_spec = P("dp") if "dp" in mesh.axis_names else P()
 
+    p = cfg.patch_size
+    gh = gw = cfg.image_size // p
+    n_patches = gh * gw
+    t = n_patches + 1  # + CLS
+    t_local = -(-t // n)  # ceil: the ring pads the token axis
+    # Each shard embeds only the image rows covering its own token block —
+    # per-chip activation memory AND embed FLOPs stay O(T/n); the full
+    # (B, T, D) sequence is never materialized anywhere.  Window sizes are
+    # static; starts are traced (clamped) so everything stays jittable.
+    win_len = min(2 * t_local, n_patches)  # patch window (covers any shard)
+    rows = min(gh, (win_len - 1) // gw + 2)  # grid rows covering the window
+
     def local_fn(params, images):
         compute_dtype = params["pos_embed"].dtype
-        x = images.astype(compute_dtype)
-        x = reference.patch_embed(
-            x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
-            cfg.patch_size,
-        )
-        x = reference.add_cls_and_pos(x, params["cls_token"], params["pos_embed"])
-        b, t, d = x.shape
-        t_local = -(-t // n)  # ceil: zero-pad the token axis to the ring
-        x = jnp.pad(x, ((0, 0), (0, t_local * n - t), (0, 0)))
+        b, d = images.shape[0], cfg.embed_dim
         sp_i = jax.lax.axis_index("sp")
-        xl = jax.lax.dynamic_slice_in_dim(x, sp_i * t_local, t_local, axis=1)
+
+        first_patch = sp_i * t_local - 1  # global patch of local token 0
+        aw = jnp.clip(first_patch, 0, n_patches - win_len)  # window start
+        rw = jnp.clip(aw // gw, 0, gh - rows)  # grid-row window start
+        img_rows = jax.lax.dynamic_slice_in_dim(
+            images.astype(compute_dtype), rw * p, rows * p, axis=2
+        )
+        row_patches = reference.patch_embed(
+            img_rows, params["patch_embed"]["kernel"],
+            params["patch_embed"]["bias"], cfg.patch_size,
+        )  # (B, rows*gw, D), first entry = global patch rw*gw
+        win = jax.lax.dynamic_slice_in_dim(
+            row_patches, aw - rw * gw, win_len, axis=1
+        )
+        # zero tail = the ring's token padding (keys masked below, padded
+        # query rows discarded at exit); also absorbs the clamped slice of
+        # fully-padding shards
+        win_pad = jnp.concatenate(
+            [win, jnp.zeros((b, t_local, d), win.dtype)], axis=1
+        )
+        raw = jax.lax.dynamic_slice_in_dim(
+            win_pad, jnp.clip(first_patch - aw, 0, win_len), t_local, axis=1
+        )  # shard s>0: tokens are patches [first_patch, +t_local)
+        cls = jnp.broadcast_to(
+            params["cls_token"].astype(compute_dtype), (b, 1, d)
+        )
+        s0 = jnp.concatenate([cls, win_pad[:, : t_local - 1]], axis=1)
+        xl = jnp.where(sp_i == 0, s0, raw)
+        # zero-padded pos table: padded shards read zeros, never a clamped
+        # (wrong) slice that would shift valid rows' positions
+        pos_pad = jnp.pad(
+            params["pos_embed"].astype(compute_dtype),
+            ((0, t_local * n - t), (0, 0)),
+        )
+        xl = xl + jax.lax.dynamic_slice_in_dim(
+            pos_pad, sp_i * t_local, t_local, axis=0
+        )[None]
         # which key rows of each SOURCE shard are real tokens
         valid = (
             jnp.arange(n)[:, None] * t_local + jnp.arange(t_local)[None, :]

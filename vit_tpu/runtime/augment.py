@@ -93,10 +93,11 @@ def random_resized_crop(
 def mixup(rng: jax.Array, images: jax.Array, targets: jax.Array,
           alpha: float = 0.2):
     """Convex combination with a reversed batch, lam ~ Beta(alpha, alpha)
-    (one lam per batch, as in the mixup paper).  ``targets`` must be soft
-    rows; returns (images, targets) mixed with the same lam."""
+    (one lam per batch, unfolded — the mixup paper's recipe; the images
+    and label rows mix symmetrically, so dominance doesn't matter).
+    ``targets`` must be soft rows; returns (images, targets) mixed with
+    the same lam."""
     lam = jax.random.beta(rng, alpha, alpha)
-    lam = jnp.maximum(lam, 1.0 - lam)  # keep the original image dominant
     mixed_x = lam * images + (1.0 - lam) * images[::-1]
     mixed_y = lam * targets + (1.0 - lam) * targets[::-1]
     return mixed_x.astype(images.dtype), mixed_y

@@ -78,7 +78,9 @@ def _value_and_grad_accum(loss_fn, params, images, labels, k, rng=None):
         return jax.value_and_grad(loss_fn)(params, images, labels, rng)
     b = images.shape[0]
     if b % k:
-        raise ValueError(f"batch {b} must divide grad_accum {k}")
+        raise ValueError(
+            f"batch {b} must be divisible by grad_accum {k}"
+        )
     xs = images.reshape(k, b // k, *images.shape[1:])
     ys = labels.reshape(k, b // k, *labels.shape[1:])
     rngs = jax.random.split(rng, k) if rng is not None else jnp.zeros((k, 1))
