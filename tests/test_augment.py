@@ -241,6 +241,65 @@ def test_augmented_dp_shard_map_step(tiny_cfg):
     assert np.isfinite(float(loss))
 
 
+def test_drop_path_per_sample():
+    from vit_tpu.models.vit import _drop_path
+
+    x = jnp.ones((64, 5, 3))
+    out = np.asarray(_drop_path(x, 0.5, jax.random.key(0)))
+    # whole samples are either zeroed or rescaled by 1/(1-rate)
+    per_sample = out.reshape(64, -1)
+    zeroed = (per_sample == 0).all(axis=1)
+    scaled = np.isclose(per_sample, 2.0).all(axis=1)
+    assert (zeroed | scaled).all()
+    assert 5 < zeroed.sum() < 59  # both outcomes occur at rate .5
+
+
+def test_drop_path_training_deterministic_and_regularizing(tiny_cfg):
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg, drop_path=0.3, dropout=0.1)
+    from vit_tpu.models import vit
+
+    params = vit.init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 3, 32, 32)), jnp.float32
+    )
+    fwd = jax.jit(lambda p, x, k: vit.forward(p, x, cfg, dropout_rng=k))
+    a = np.asarray(fwd(params, x, jax.random.key(1)))
+    b = np.asarray(fwd(params, x, jax.random.key(1)))
+    c = np.asarray(fwd(params, x, jax.random.key(2)))
+    np.testing.assert_array_equal(a, b)  # same key -> same draw
+    assert not np.array_equal(a, c)  # different key -> different masks
+    # eval (no rng) is unaffected by the config fields
+    clean_cfg = dataclasses.replace(cfg, drop_path=0.0, dropout=0.0)
+    e1 = np.asarray(jax.jit(vit.logits_fn(cfg))(params, x))
+    e2 = np.asarray(jax.jit(vit.logits_fn(clean_cfg))(params, x))
+    np.testing.assert_array_equal(e1, e2)
+
+
+def test_train_cli_dropout_drop_path(tiny_cfg, monkeypatch, capsys):
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "2", "--batch", "4",
+        "--dp", "1", "--ops", "xla", "--dropout", "0.1",
+        "--drop-path", "0.2", "--no-compile-cache",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dropout: 0.1  drop_path: 0.2" in out and "step    1" in out
+    # kernel paths can't run the regularizers
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "1", "--batch", "4",
+        "--dp", "1", "--ops", "fused_train", "--drop-path", "0.2",
+        "--no-compile-cache",
+    ])
+    assert rc == 2
+    assert "require --ops xla" in capsys.readouterr().err
+
+
 def test_ema_update_formula(tiny_cfg):
     params = {"a": jnp.ones((4,)), "b": jnp.full((2, 2), 3.0)}
     ema = jax.tree.map(jnp.zeros_like, params)

@@ -125,6 +125,17 @@ def build_parser() -> argparse.ArgumentParser:
         "the per-dp-shard batch. Not supported with --pp or --tp>1",
     )
     p.add_argument(
+        "--dropout", type=float, default=0.0,
+        help="training dropout after the attention/MLP sublayers "
+        "(torchvision placement); requires --ops xla",
+    )
+    p.add_argument(
+        "--drop-path", type=float, default=0.0,
+        help="stochastic depth: per-sample residual-branch drop, rate "
+        "scaled linearly over layers (the standard ViT regularizer); "
+        "requires --ops xla",
+    )
+    p.add_argument(
         "--ema-decay", type=float, default=0.0, metavar="D",
         help="track an exponential moving average of the params "
         "(ema = D*ema + (1-D)*params per step); saved via --save-ema",
@@ -305,6 +316,20 @@ def main(argv=None) -> int:
         f"remat: {not args.no_remat}"
     )
 
+    use_dropout = bool(args.dropout or args.drop_path)
+    if use_dropout:
+        if ops_name != "xla" or args.pp > 1 or args.tp > 1 or args.sp > 1:
+            print("error: --dropout/--drop-path require --ops xla on a dp "
+                  "mesh (the regularizers run in the unfused blocks)",
+                  file=sys.stderr)
+            return 2
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, dropout=args.dropout, drop_path=args.drop_path
+        )
+        print(f"dropout: {args.dropout}  drop_path: {args.drop_path}")
+
     augment_fn = None
     if args.augment or args.grad_accum > 1:
         if args.pp > 1 or args.tp > 1 or args.sp > 1:
@@ -452,6 +477,7 @@ def main(argv=None) -> int:
             remat=not args.no_remat, compute_dtype=compute_dtype,
             label_smoothing=args.label_smoothing,
             augment_fn=augment_fn, grad_accum=args.grad_accum,
+            use_dropout=use_dropout,
         )
 
     start_step = 0
@@ -598,7 +624,8 @@ def main(argv=None) -> int:
         ema_update = trainer.make_ema_update(args.ema_decay)
         print(f"ema: decay {args.ema_decay}")
 
-    aug_key = jax.random.key(args.seed ^ 0xA46) if augment_fn else None
+    step_needs_rng = augment_fn is not None or use_dropout
+    aug_key = jax.random.key(args.seed ^ 0xA46) if step_needs_rng else None
 
     for s in range(start_step, start_step + args.steps):
         if stream is not None:
@@ -612,7 +639,7 @@ def main(argv=None) -> int:
                 jnp.asarray(labels[i0 : i0 + args.batch]), batch_sharding(mesh, 1)
             )
         t0 = time.perf_counter()
-        if augment_fn is not None:
+        if step_needs_rng:
             params, opt_state, loss = step(
                 params, opt_state, xb, yb, jax.random.fold_in(aug_key, s)
             )

@@ -30,6 +30,7 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     layernorm_eps: float = 1e-6  # ViT_seq.c:21 (CPU path; the GPU kernel omits it, kernel.cl:63)
     dropout: float = 0.0
+    drop_path: float = 0.0  # stochastic depth, linearly scaled over layers
     name: str = "vit_b_16"
 
     @property

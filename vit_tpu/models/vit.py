@@ -56,6 +56,7 @@ def encoder_block(
     ops: OpsImpl = REFERENCE_OPS,
     gelu_variant: str = "exact",
     dropout_rng: Optional[jax.Array] = None,
+    drop_path_rate=0.0,
 ) -> jax.Array:
     """One pre-LN encoder block: LN1→MHA→residual; LN2→MLP→residual
     (Encoder, ViT_seq.c:271-302).
@@ -63,24 +64,50 @@ def encoder_block(
     ``dropout_rng``: when given and cfg.dropout > 0, applies dropout after
     the attention and MLP sublayers (torchvision's training placement; the
     reference hard-codes all dropouts to 0, ViT_seq.c:10-21, so inference
-    parity is unaffected).
+    parity is unaffected).  When given and cfg.drop_path > 0, additionally
+    applies stochastic depth (per-SAMPLE residual-branch drop, the ViT
+    regularizer the reference never needed) at ``drop_path_rate`` — a
+    possibly-traced scalar, since the rate scales linearly with depth.
     """
+    use_rng = dropout_rng is not None
+    if use_rng:
+        k1, k2, k3, k4 = jax.random.split(dropout_rng, 4)
     h = ops.layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps)
     h = ops.attention(h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"], cfg.num_heads)
-    if dropout_rng is not None and cfg.dropout > 0:
-        k1, k2 = jax.random.split(dropout_rng)
+    if use_rng and cfg.dropout > 0:
         h = _dropout(h, cfg.dropout, k1)
+    if use_rng and cfg.drop_path > 0:
+        h = _drop_path(h, drop_path_rate, k3)
     x = x + h
     h = ops.layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps)
     h = ops.mlp(x=h, w1=blk["w1"], b1=blk["b1"], w2=blk["w2"], b2=blk["b2"],
                 gelu_variant=gelu_variant)
-    if dropout_rng is not None and cfg.dropout > 0:
+    if use_rng and cfg.dropout > 0:
         h = _dropout(h, cfg.dropout, k2)
+    if use_rng and cfg.drop_path > 0:
+        h = _drop_path(h, drop_path_rate, k4)
     return x + h
+
+
+def _dp_rates(cfg: ViTConfig):
+    """Per-layer stochastic-depth rates, scaled linearly from 0 at the
+    first block to cfg.drop_path at the last (the standard schedule)."""
+    if cfg.depth == 1:
+        return [float(cfg.drop_path)]
+    return [cfg.drop_path * l / (cfg.depth - 1) for l in range(cfg.depth)]
 
 
 def _dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
+
+
+def _drop_path(x: jax.Array, rate, rng: jax.Array) -> jax.Array:
+    """Stochastic depth: drop the whole residual branch per SAMPLE (leading
+    axis), rescaling survivors by 1/(1-rate)."""
+    keep = jax.random.bernoulli(
+        rng, 1.0 - rate, (x.shape[0],) + (1,) * (x.ndim - 1)
+    )
     return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
 
 
@@ -150,15 +177,20 @@ def forward(
             x = encoder_block(
                 x, blk, cfg, ops, gelu_variant,
                 keys[l] if keys is not None else None,
+                _dp_rates(cfg)[l],
             )
     elif dropout_rng is not None:
         keys = jax.random.split(dropout_rng, cfg.depth)
+        rates = jnp.asarray(_dp_rates(cfg), jnp.float32)
 
         def body(carry, xs):
-            blk, key = xs
-            return encoder_block(carry, blk, cfg, ops, gelu_variant, key), None
+            blk, key, rate = xs
+            return (
+                encoder_block(carry, blk, cfg, ops, gelu_variant, key, rate),
+                None,
+            )
 
-        x, _ = jax.lax.scan(body, x, (blocks, keys))
+        x, _ = jax.lax.scan(body, x, (blocks, keys, rates))
     else:
         def body(carry, blk):
             return encoder_block(carry, blk, cfg, ops, gelu_variant), None

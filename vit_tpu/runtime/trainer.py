@@ -195,6 +195,7 @@ def jit_train_step_for_mesh(
     label_smoothing: float = 0.0,
     augment_fn=None,
     grad_accum: int = 1,
+    use_dropout: bool = False,
 ):
     """jit the train step with explicit mesh shardings.
 
@@ -210,12 +211,13 @@ def jit_train_step_for_mesh(
     # or are scalars (count); map matching-structure leaves to param rules.
     o_shard = _opt_state_shardings(opt_state_like, params_like, p_shard, mesh)
     step = make_train_step(
-        cfg, optimizer, ops, remat, compute_dtype=compute_dtype,
+        cfg, optimizer, ops, remat, use_dropout=use_dropout,
+        compute_dtype=compute_dtype,
         label_smoothing=label_smoothing, augment_fn=augment_fn,
         grad_accum=grad_accum,
     )
     data_sh = (batch_sharding(mesh, 4), batch_sharding(mesh, 1))
-    if augment_fn is not None:
+    if augment_fn is not None or use_dropout:
         data_sh = data_sh + (replicate(mesh),)  # the rng key
     return jax.jit(
         step,
