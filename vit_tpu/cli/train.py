@@ -149,11 +149,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--ops",
         default="auto",
-        choices=["auto", "xla", "fused_train"],
-        help="forward path: xla (jnp, GSPMD-shardable) or fused_train "
+        choices=["auto", "xla", "fused_train", "qat"],
+        help="forward path: xla (jnp, GSPMD-shardable), fused_train "
         "(Pallas megakernel forward with custom-VJP backward; dp via "
-        "shard_map, tp via the kernel-TP step). auto = fused_train on a "
-        "TPU backend",
+        "shard_map, tp via the kernel-TP step), or qat (fake-int8 forward "
+        "with straight-through backward — trains weights for the int8 "
+        "deployment path). auto = fused_train on a TPU backend",
     )
     p.add_argument(
         "--mixed-precision", action="store_true",
@@ -318,10 +319,11 @@ def main(argv=None) -> int:
 
     use_dropout = bool(args.dropout or args.drop_path)
     if use_dropout:
-        if ops_name != "xla" or args.pp > 1 or args.tp > 1 or args.sp > 1:
-            print("error: --dropout/--drop-path require --ops xla on a dp "
-                  "mesh (the regularizers run in the unfused blocks)",
-                  file=sys.stderr)
+        if (ops_name not in ("xla", "qat") or args.pp > 1 or args.tp > 1
+                or args.sp > 1):
+            print("error: --dropout/--drop-path require --ops xla or qat "
+                  "on a dp mesh (the regularizers run in the unfused "
+                  "blocks)", file=sys.stderr)
             return 2
         import dataclasses
 

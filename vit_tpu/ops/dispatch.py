@@ -66,7 +66,11 @@ def get_ops(impl: str = "xla") -> OpsImpl:
         from vit_tpu.ops import pallas
 
         return pallas.TRAINABLE_FUSED_OPS
+    if impl == "qat":
+        from vit_tpu.ops import qat  # fake-int8 forward, STE backward
+
+        return qat.QAT_OPS
     raise ValueError(
         f"unknown ops impl {impl!r}; expected 'xla', 'pallas', 'fused', "
-        "'fused_train', or 'quant'"
+        "'fused_train', 'qat', or 'quant'"
     )
