@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--labels", help="label names: text file or C source array")
     p.add_argument("--top", type=int, default=1, help="print top-K classes per image")
+    p.add_argument(
+        "--attn-rollout", metavar="PATH",
+        help="save attention-rollout relevance heatmaps (Abnar & Zuidema) "
+        "for the batch to an .npz (maps: (B, grid, grid), labels); "
+        "needs fp ops (not quant)",
+    )
     p.add_argument("--json", action="store_true", help="machine-readable summary")
     p.add_argument(
         "--profile",
@@ -185,6 +191,11 @@ def main(argv=None) -> int:
 
     if args.output:
         comparator.write_result_file(pred, top_prob, args.output)
+
+    if args.attn_rollout:
+        maps = np.asarray(engine.attention_maps(images, rollout=True))
+        np.savez(args.attn_rollout, maps=maps, labels=pred)
+        print(f"saved attention-rollout maps {maps.shape} to {args.attn_rollout}")
 
     n_errors = 0
     if args.golden:

@@ -207,6 +207,70 @@ def forward(
     return logits.astype(jnp.float32)
 
 
+def attention_maps(
+    params: Params,
+    images: jax.Array,
+    cfg: ViTConfig,
+    gelu_variant: str = "exact",
+) -> jax.Array:
+    """Interpretability probe: (B, C, H, W) -> per-layer attention
+    probabilities (depth, B, H, T, T) in fp32.
+
+    Runs the jnp reference path (the probe is an oracle-grade tool, not a
+    throughput path) and stacks each layer's softmax rows — the tensors
+    the reference materializes per head (ViT_opencl.c:523-532) but never
+    exposes.
+    """
+    compute_dtype = params["pos_embed"].dtype
+    x = images.astype(compute_dtype)
+    x = reference.patch_embed(
+        x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
+        cfg.patch_size,
+    )
+    x = reference.add_cls_and_pos(x, params["cls_token"], params["pos_embed"])
+
+    def body(carry, blk):
+        h = reference.layer_norm(
+            carry, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps
+        )
+        h, probs = reference.attention(
+            h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"],
+            cfg.num_heads, return_probs=True,
+        )
+        c = carry + h
+        h = reference.layer_norm(
+            c, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps
+        )
+        h = reference.mlp(
+            h, blk["w1"], blk["b1"], blk["w2"], blk["b2"], gelu_variant
+        )
+        return c + h, probs.astype(jnp.float32)
+
+    _, probs = jax.lax.scan(body, x, params["blocks"])
+    return probs
+
+
+def attention_rollout(probs: jax.Array) -> jax.Array:
+    """Attention rollout (Abnar & Zuidema 2020): per-layer probabilities
+    (depth, B, H, T, T) -> CLS->patch relevance (B, T-1).
+
+    Heads average, each layer mixes with the identity (residual flow) and
+    renormalizes, layers compose by matrix product; the CLS row minus the
+    CLS column is the input-patch relevance map (reshape to the patch grid
+    for a heatmap)."""
+    a = probs.mean(axis=2)  # (depth, B, T, T)
+    t = a.shape[-1]
+    a = 0.5 * a + 0.5 * jnp.eye(t, dtype=a.dtype)
+    a = a / a.sum(axis=-1, keepdims=True)
+
+    def compose(carry, layer):
+        return jnp.einsum("bij,bjk->bik", layer, carry), None
+
+    init = jnp.broadcast_to(jnp.eye(t, dtype=a.dtype), a.shape[1:])
+    rollout, _ = jax.lax.scan(compose, init, a)
+    return rollout[:, 0, 1:]  # CLS attends-to-patches row
+
+
 def logits_fn(cfg: ViTConfig, ops: OpsImpl = REFERENCE_OPS, **kw):
     """Convenience closure: (params, images) -> logits."""
 

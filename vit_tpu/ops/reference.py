@@ -90,7 +90,9 @@ def attention(
     wo: jax.Array,
     bo: jax.Array,
     num_heads: int,
-) -> jax.Array:
+    *,
+    return_probs: bool = False,
+):
     """Multi-head self-attention (ViT_seq.c:123-229, vectorized).
 
     Args:
@@ -138,7 +140,13 @@ def attention(
         precision=_prec(x),
     ).astype(x.dtype)
     ctx = jnp.moveaxis(ctx, -3, -2).reshape(*lead, t, d)  # concat heads
-    return linear(ctx, wo, bo)
+    out = linear(ctx, wo, bo)
+    if return_probs:
+        # interpretability probe: the reference materializes exactly these
+        # per-head probability rows on device (ViT_opencl.c:523-532) but
+        # never exposes them; here they're an opt-in second output
+        return out, probs
+    return out
 
 
 def mlp(

@@ -175,6 +175,31 @@ class InferenceEngine:
         x, n = self._stage(images)
         return self._features_fn(self.params, x)[:n]
 
+    def attention_maps(self, images, rollout: bool = False) -> jax.Array:
+        """Interpretability probe: per-layer attention probabilities
+        (depth, B, H, T, T) — or, with ``rollout``, the Abnar & Zuidema
+        CLS->patch relevance (B, grid, grid).  Runs the jnp reference path
+        unpadded (oracle-grade tool, not a throughput path)."""
+        if self._ops.name == "quant":
+            raise ValueError(
+                "attention_maps needs fp weights; build the engine with "
+                "ops='xla'/'pallas'/'fused'"
+            )
+        if not hasattr(self, "_attn_fn"):
+            def probe(params, x):
+                probs = vit.attention_maps(
+                    params, x, self.cfg, self._gelu_variant
+                )
+                return (vit.attention_rollout(probs), probs)
+
+            self._attn_fn = jax.jit(probe)
+        x = jnp.asarray(np.asarray(images)).astype(self.compute_dtype)
+        roll, probs = self._attn_fn(self.params, x)
+        if rollout:
+            g = self.cfg.grid_size
+            return roll.reshape(len(x), g, g)
+        return probs
+
     def classify(self, images) -> Tuple[np.ndarray, np.ndarray]:
         """-> (labels, top_probs), the reference driver's output quantities
         (argmax over probabilities, Main.c:62-69)."""
