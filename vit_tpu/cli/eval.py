@@ -68,6 +68,7 @@ def main(argv=None) -> int:
     from vit_tpu.config import get_config
     from vit_tpu.eval import accuracy
     from vit_tpu.io import weights as wio
+    from vit_tpu.io.load_any import load_params_any
     from vit_tpu.runtime import InferenceEngine
 
     if not args.no_compile_cache:
@@ -127,7 +128,7 @@ def main(argv=None) -> int:
         mesh = make_mesh(shape, jax.devices()[: shape["dp"] * shape["tp"]])
         print(f"mesh: {shape}", file=sys.stderr)
 
-    params = wio.load_reference_weights(
+    params = load_params_any(
         args.weights, cfg, allow_synth=args.allow_synth_weights
     )
     engine = InferenceEngine(

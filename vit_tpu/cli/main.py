@@ -30,7 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
         prog="vit-tpu", description="TPU-native ViT ImageNet classifier"
     )
     p.add_argument("--config", default="vit_b_16", help="model variant name")
-    p.add_argument("--weights", required=True, help="dir of Weight_{idx}_{name}.bin")
+    p.add_argument("--weights", required=True, help="weight source: Weight_*.bin dir, .npz checkpoint, torchvision .pth, or Orbax dir")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="input-100.bin-format image batch")
     src.add_argument("--synth", type=int, help="use N synthetic images")
@@ -152,7 +152,9 @@ def main(argv=None) -> int:
     load_cfg = cfg
     if args.interpolate_pos_from:
         load_cfg = get_config(args.interpolate_pos_from)
-    params = wio.load_reference_weights(
+    from vit_tpu.io.load_any import load_params_any
+
+    params = load_params_any(
         args.weights,
         load_cfg,
         round_to_6dp=not args.no_round6,

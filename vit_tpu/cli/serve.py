@@ -81,6 +81,7 @@ def _build_server(args):
 
     from vit_tpu.config import get_config
     from vit_tpu.io import weights as wio
+    from vit_tpu.io.load_any import load_params_any
     from vit_tpu.runtime import InferenceEngine
     from vit_tpu.runtime.serving import InferenceServer
 
@@ -112,7 +113,7 @@ def _build_server(args):
             f"multihost: {jax.process_count()} host(s), global dp="
             f"{jax.device_count()}, local_batch={args.local_batch}"
         )
-        params = wio.load_reference_weights(
+        params = load_params_any(
             args.weights, cfg, allow_synth=args.allow_synth_weights
         )
         engine = InferenceEngine(
@@ -133,7 +134,7 @@ def _build_server(args):
         )
         mesh = make_mesh(shape, jax.devices()[: shape["dp"] * shape["tp"]])
         print(f"mesh: {shape} over {jax.device_count()} device(s)")
-    params = wio.load_reference_weights(
+    params = load_params_any(
         args.weights, cfg, allow_synth=args.allow_synth_weights
     )
     engine = InferenceEngine(

@@ -72,7 +72,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="reader threads for the native gather loader (--data-dir) or "
         "the image decoder pool (--image-dir)",
     )
-    p.add_argument("--init-weights", help="warm-start from Weight_*.bin dir")
+    p.add_argument("--init-weights", help="warm-start from a Weight_*.bin dir, .npz, .pth, or Orbax checkpoint")
     p.add_argument("--allow-synth-weights", action="store_true")
     p.add_argument("--save", help="save final params to this .npz")
     p.add_argument(
@@ -200,6 +200,7 @@ def main(argv=None) -> int:
     from vit_tpu.io import checkpoint as ckpt
     from vit_tpu.io import images as iio
     from vit_tpu.io import weights as wio
+    from vit_tpu.io.load_any import load_params_any
     from vit_tpu.parallel import (
         batch_sharding,
         make_mesh,
@@ -369,7 +370,7 @@ def main(argv=None) -> int:
             return 2
         optimizer = optax.apply_if_finite(optimizer, max_consecutive_errors=8)
     if args.init_weights:
-        params = wio.load_reference_weights(
+        params = load_params_any(
             args.init_weights, cfg, allow_synth=args.allow_synth_weights
         )
         params = jax.tree.map(jnp.asarray, params)

@@ -1,0 +1,53 @@
+"""Universal weight-source resolver for the CLIs.
+
+The reference loads exactly one thing: a directory of ``Weight_*.bin``
+(Network.c:119-194).  This framework produces and consumes more formats —
+trained ``.npz`` checkpoints (``vit-tpu-train --save``), torchvision
+``.pth`` state dicts, Orbax checkpoint directories — so every driver
+accepts any of them through one entry point, dispatched on what the path
+actually is:
+
+  - directory containing ``Weight_*.bin``  -> reference loader
+    (6-decimal rounding parity, synth fill for stripped blobs)
+  - ``*.npz``                              -> io/checkpoint.load_npz
+  - ``*.pth`` / ``*.pt``                   -> io/torch_convert.load_pth
+  - other directory                        -> Orbax checkpoint
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from vit_tpu.config import VIT_B_16, ViTConfig
+
+
+def load_params_any(
+    source,
+    cfg: ViTConfig = VIT_B_16,
+    round_to_6dp: bool = True,
+    allow_synth: bool = False,
+):
+    """Resolve ``source`` (see module docstring) to a params pytree."""
+    p = Path(source)
+    if p.is_dir():
+        if any(p.glob("Weight_*.bin")):
+            from vit_tpu.io import weights as wio
+
+            return wio.load_reference_weights(
+                p, cfg, round_to_6dp=round_to_6dp, allow_synth=allow_synth
+            )
+        from vit_tpu.io import checkpoint as ckpt
+
+        return ckpt.load_orbax(p)
+    if p.suffix == ".npz":
+        from vit_tpu.io import checkpoint as ckpt
+
+        return ckpt.load_npz(p)
+    if p.suffix in (".pth", ".pt"):
+        from vit_tpu.io.torch_convert import load_pth
+
+        return load_pth(p, cfg)
+    raise ValueError(
+        f"unrecognized weight source {source!r}: expected a Weight_*.bin "
+        "directory, an Orbax checkpoint directory, a .npz, or a .pth/.pt"
+    )
