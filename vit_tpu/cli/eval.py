@@ -67,7 +67,6 @@ def main(argv=None) -> int:
 
     from vit_tpu.config import get_config
     from vit_tpu.eval import accuracy
-    from vit_tpu.io import weights as wio
     from vit_tpu.io.load_any import load_params_any
     from vit_tpu.runtime import InferenceEngine
 

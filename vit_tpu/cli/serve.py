@@ -80,7 +80,6 @@ def _build_server(args):
     import jax
 
     from vit_tpu.config import get_config
-    from vit_tpu.io import weights as wio
     from vit_tpu.io.load_any import load_params_any
     from vit_tpu.runtime import InferenceEngine
     from vit_tpu.runtime.serving import InferenceServer
