@@ -394,6 +394,54 @@ def test_train_cli_save_reference_roundtrip(tiny_cfg, monkeypatch, capsys,
         )
 
 
+def test_train_cli_sigterm_checkpoints_and_exits(tiny_cfg, monkeypatch,
+                                                 capsys, tmp_path):
+    """Preemption safety: SIGTERM mid-run checkpoints the current step and
+    exits 0 so --resume can continue."""
+    import os
+    import signal
+
+    import vit_tpu.config as config_mod
+    import vit_tpu.runtime.trainer as tr
+    from vit_tpu.cli.train import main as train_main
+    from vit_tpu.io import checkpoint as ckpt
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    orig_builder = tr.jit_train_step_for_mesh
+
+    def wrapped_builder(*a, **k):
+        step = orig_builder(*a, **k)
+        calls = {"n": 0}
+
+        def stepw(*sa, **sk):
+            calls["n"] += 1
+            if calls["n"] == 2:  # "evicted" during the second step
+                os.kill(os.getpid(), signal.SIGTERM)
+            return step(*sa, **sk)
+
+        return stepw
+
+    monkeypatch.setattr(tr, "jit_train_step_for_mesh", wrapped_builder)
+    state = tmp_path / "state.npz"
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "10", "--batch", "4",
+        "--dp", "1", "--ops", "xla", "--save-state", str(state),
+        "--no-compile-cache",
+    ])
+    assert rc == 0
+    assert "SIGTERM: checkpointing at step 2" in capsys.readouterr().err
+    import optax
+
+    optimizer = optax.adamw(1e-3)
+    _, _, step_no = ckpt.load_train_state(
+        state,
+        optimizer.init(tr.init_train_state(
+            __import__("jax").random.key(0), tiny_cfg, optimizer
+        )[0]),
+    )
+    assert step_no == 2  # not 10: the run stopped at the eviction
+
+
 def test_train_cli_rejects_augment_with_tp(tiny_cfg, monkeypatch, capsys):
     import vit_tpu.config as config_mod
     from vit_tpu.cli.train import main as train_main

@@ -112,6 +112,32 @@ def test_sp_requires_axis(cfg_sp):
         shard_forward_sp(cfg_sp, mesh)
 
 
+def test_sp_train_mixed_precision(cfg_sp):
+    """bf16-compute SP step: fp32 masters, finite decreasing loss."""
+    import optax
+
+    from vit_tpu.parallel.sequence import make_sp_train_step
+    from vit_tpu.runtime import trainer
+
+    optimizer = optax.adamw(1e-3)
+    params, opt_state = trainer.init_train_state(
+        jax.random.key(8), cfg_sp, optimizer
+    )
+    mesh = make_mesh({"sp": 4}, jax.devices()[:4])
+    step = make_sp_train_step(cfg_sp, optimizer, mesh,
+                              compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(4, 3, 32, 32)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, cfg_sp.num_classes, 4), jnp.int32)
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, x, y)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses) and losses[-1] < losses[0]
+    # masters stay fp32
+    assert params["pos_embed"].dtype == jnp.float32
+
+
 def test_train_cli_sp(cfg_sp, monkeypatch, capsys):
     if jax.device_count() < 8:
         pytest.skip("needs 8 virtual devices")

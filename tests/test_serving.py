@@ -198,6 +198,11 @@ def test_serve_http_endpoint(tiny_cfg, tiny_params, tmp_path, monkeypatch):
     health = json.loads(conn.getresponse().read())
     assert health["ok"] and health["images"] >= 3
 
+    conn.request("GET", "/metrics")
+    metrics = conn.getresponse().read().decode()
+    assert "vit_tpu_requests_total" in metrics
+    assert "vit_tpu_images_per_batch" in metrics
+
     bound["httpd"].shutdown()
     t.join(timeout=10)
     assert not t.is_alive()

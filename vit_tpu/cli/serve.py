@@ -213,6 +213,26 @@ def _http_daemon(args, cfg, ops, server) -> int:
                     "batches": s.batches,
                     "images_per_batch": round(s.images_per_batch, 2),
                 })
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the batching stats
+                s = server.stats
+                lines = [
+                    "# TYPE vit_tpu_requests_total counter",
+                    f"vit_tpu_requests_total {s.requests}",
+                    "# TYPE vit_tpu_images_total counter",
+                    f"vit_tpu_images_total {s.images}",
+                    "# TYPE vit_tpu_batches_total counter",
+                    f"vit_tpu_batches_total {s.batches}",
+                    "# TYPE vit_tpu_images_per_batch gauge",
+                    f"vit_tpu_images_per_batch {s.images_per_batch:.4f}",
+                ]
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "unknown path"})
 

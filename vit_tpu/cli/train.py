@@ -247,9 +247,9 @@ def main(argv=None) -> int:
             print("error: --sp composes with --dp only (no --pp/--tp/"
                   "--multihost)", file=sys.stderr)
             return 2
-        if args.mixed_precision or args.optimizer == "fused_adamw":
-            print("error: --sp supports the plain optax optimizer at the "
-                  "params' dtype", file=sys.stderr)
+        if args.optimizer == "fused_adamw":
+            print("error: --sp supports the plain optax optimizer",
+                  file=sys.stderr)
             return 2
         if args.ops not in ("auto", "xla"):
             print("error: --sp requires --ops xla (the ring runs the jnp "
@@ -400,7 +400,8 @@ def main(argv=None) -> int:
             opt_state, NamedSharding(mesh, PartitionSpec())
         )
         step = make_sp_train_step(
-            cfg, optimizer, mesh, label_smoothing=args.label_smoothing
+            cfg, optimizer, mesh, label_smoothing=args.label_smoothing,
+            compute_dtype=compute_dtype,
         )
         print(f"sequence parallel: ring size {args.sp}")
     elif args.pp > 1:
@@ -630,6 +631,21 @@ def main(argv=None) -> int:
     step_needs_rng = augment_fn is not None or use_dropout
     aug_key = jax.random.key(args.seed ^ 0xA46) if step_needs_rng else None
 
+    # Preemption safety: TPU VMs get SIGTERM on eviction; checkpoint the
+    # full training state and exit cleanly so --resume continues the run.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_term(signum, frame):
+        preempted["flag"] = True
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:  # not the main thread (embedded use) — skip
+        prev_handler = None
+
+    last_step = start_step
     for s in range(start_step, start_step + args.steps):
         if stream is not None:
             xb, yb = next(stream)
@@ -670,11 +686,20 @@ def main(argv=None) -> int:
                 return 1
         if args.save_state and args.save_every and (s + 1) % args.save_every == 0:
             save_state(s + 1)
+        last_step = s + 1
+        if preempted["flag"]:
+            print(
+                f"SIGTERM: checkpointing at step {last_step} and exiting "
+                "(resume with --resume)", file=sys.stderr,
+            )
+            break
 
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
     if stream is not None:
         stream.close()  # stop the prefetch producer thread
     if args.save_state:
-        save_state(start_step + args.steps)
+        save_state(last_step)
     if args.save and jax.process_index() == 0:
         ckpt.save_npz(jax.device_get(params), args.save)
         print(f"saved params to {args.save}")

@@ -241,6 +241,7 @@ def make_sp_train_step(
     mesh: Mesh,
     gelu_variant: str = "exact",
     label_smoothing: float = 0.0,
+    compute_dtype=None,
 ):
     """Sequence-parallel TRAINING: grads flow backward through the ring —
     ``jax.grad`` transposes the shard_map, turning each forward ``ppermute``
@@ -256,9 +257,13 @@ def make_sp_train_step(
 
     fwd = shard_forward_sp(cfg, mesh, gelu_variant)
 
+    from vit_tpu.models import vit as vit_mod
     from vit_tpu.runtime.trainer import cross_entropy_loss
 
     def loss_fn(params, images, labels):
+        if compute_dtype is not None:  # mixed precision: fp32 masters
+            params = vit_mod.cast_params(params, compute_dtype)
+            images = images.astype(compute_dtype)
         return cross_entropy_loss(fwd(params, images), labels, label_smoothing)
 
     def step(params, opt_state, images, labels):
