@@ -76,12 +76,29 @@ def test_sp_forward_matches_single_device(cfg_sp):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-def test_sp_forward_divisible_tokens(cfg_sp):
+def test_sp_forward_partial_padding_shard(cfg_sp):
     # 17 tokens ((64/16)^2 + CLS) over sp=4 -> partial padding on one shard
     cfg = dataclasses.replace(cfg_sp, image_size=64, name="vit_tiny_sp64")
     params = vit.init_params(jax.random.key(2), cfg)
     images = np.asarray(
         jax.random.normal(jax.random.key(3), (2, 3, 64, 64), jnp.float32)
+    )
+    want = np.asarray(jax.jit(vit.logits_fn(cfg))(params, images))
+    mesh = make_mesh({"sp": 4}, jax.devices()[:4])
+    got = np.asarray(
+        jax.jit(shard_forward_sp(cfg, mesh))(params, jnp.asarray(images))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sp_forward_row_window_clamp(cfg_sp):
+    """image_size=96: gh=6, 37 tokens over sp=4 -> the patch-embed row
+    window is rows=5 < gh=6, exercising the rw clamp and window-offset
+    arithmetic no smaller grid reaches."""
+    cfg = dataclasses.replace(cfg_sp, image_size=96, name="vit_tiny_sp96")
+    params = vit.init_params(jax.random.key(10), cfg)
+    images = np.asarray(
+        jax.random.normal(jax.random.key(11), (2, 3, 96, 96), jnp.float32)
     )
     want = np.asarray(jax.jit(vit.logits_fn(cfg))(params, images))
     mesh = make_mesh({"sp": 4}, jax.devices()[:4])

@@ -401,7 +401,7 @@ def main(argv=None) -> int:
         )
         step = make_sp_train_step(
             cfg, optimizer, mesh, label_smoothing=args.label_smoothing,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, remat=not args.no_remat,
         )
         print(f"sequence parallel: ring size {args.sp}")
     elif args.pp > 1:

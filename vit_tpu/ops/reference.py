@@ -83,6 +83,28 @@ def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Arr
     return y.astype(x.dtype)
 
 
+def split_packed_qkv(qkv: jax.Array, num_heads: int):
+    """Unpack a (..., T, 3D) projection with (head, {q,k,v}, head_dim)
+    column order — THE packing contract (io/weights.py) — into per-head
+    (..., H, T, Dh) q, k, v.  One source of truth for every attention
+    implementation (XLA, ring-SP); the Pallas kernels slice the same
+    columns in-kernel."""
+    *lead, t, d3 = qkv.shape
+    head_dim = d3 // (3 * num_heads)
+    qkv = qkv.reshape(*lead, t, num_heads, 3, head_dim)
+    q = jnp.moveaxis(qkv[..., 0, :], -2, -3)
+    k = jnp.moveaxis(qkv[..., 1, :], -2, -3)
+    v = jnp.moveaxis(qkv[..., 2, :], -2, -3)
+    return q, k, v
+
+
+def merge_heads(ctx: jax.Array) -> jax.Array:
+    """(..., H, T, Dh) -> (..., T, H*Dh): inverse of split_packed_qkv's
+    head split (the concat at ViT_seq.c:216-223)."""
+    *lead, h, t, dh = ctx.shape
+    return jnp.moveaxis(ctx, -3, -2).reshape(*lead, t, h * dh)
+
+
 def attention(
     x: jax.Array,
     wqkv: jax.Array,
@@ -113,12 +135,9 @@ def attention(
     and computed in float32.
     """
     *lead, t, d = x.shape
-    head_dim = d // num_heads
     qkv = linear(x, wqkv, bqkv)  # (..., T, 3D), columns (H, 3, Dh)-ordered
-    qkv = qkv.reshape(*lead, t, num_heads, 3, head_dim)
-    q = jnp.moveaxis(qkv[..., 0, :], -2, -3)  # (..., H, T, Dh)
-    k = jnp.moveaxis(qkv[..., 1, :], -2, -3)
-    v = jnp.moveaxis(qkv[..., 2, :], -2, -3)
+    q, k, v = split_packed_qkv(qkv, num_heads)
+    head_dim = q.shape[-1]
 
     scale = 1.0 / math.sqrt(head_dim)  # 1/sqrt(64), ViT_seq.c:160
     scores = (
@@ -139,7 +158,7 @@ def attention(
         preferred_element_type=jnp.float32,
         precision=_prec(x),
     ).astype(x.dtype)
-    ctx = jnp.moveaxis(ctx, -3, -2).reshape(*lead, t, d)  # concat heads
+    ctx = merge_heads(ctx)  # (..., T, D)
     out = linear(ctx, wo, bo)
     if return_probs:
         # interpretability probe: the reference materializes exactly these

@@ -73,8 +73,11 @@ def _ring_attention(q, k, v, valid_q_keys, axis: str):
         alpha = jnp.where(jnp.isinf(m_new), 0.0, jnp.exp(m - m_new))
         p = jnp.where(jnp.isinf(s), 0.0, jnp.exp(s - m_new[..., None]))
         l_new = l * alpha + p.sum(axis=-1)
+        # probs cast down to the compute dtype, fp32 accumulation — same
+        # as reference.attention; upcasting v_blk instead would double
+        # the per-hop bandwidth in bf16 mode
         acc_new = acc * alpha[..., None] + jnp.einsum(
-            "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32),
+            "bhqk,bhkd->bhqd", p.astype(v_blk.dtype), v_blk,
             preferred_element_type=jnp.float32, precision=prec,
         )
         return m_new, l_new, acc_new
@@ -110,15 +113,10 @@ def attention_sp(x_local, wqkv, bqkv, wo, bo, num_heads, valid_q_keys,
     """Drop-in for ops.reference.attention on an sp-sharded token block:
     local QKV projection, ring attention, local out_proj (same packed
     (head, {q,k,v}, head_dim) column order — io/weights.py)."""
-    *lead, t, d = x_local.shape
-    head_dim = d // num_heads
     qkv = reference.linear(x_local, wqkv, bqkv)
-    qkv = qkv.reshape(*lead, t, num_heads, 3, head_dim)
-    q = jnp.moveaxis(qkv[..., 0, :], -2, -3)  # (B, H, Tl, Dh)
-    k = jnp.moveaxis(qkv[..., 1, :], -2, -3)
-    v = jnp.moveaxis(qkv[..., 2, :], -2, -3)
+    q, k, v = reference.split_packed_qkv(qkv, num_heads)  # (B, H, Tl, Dh)
     ctx = _ring_attention(q, k, v, valid_q_keys, axis)
-    ctx = jnp.moveaxis(ctx.astype(x_local.dtype), -3, -2).reshape(*lead, t, d)
+    ctx = reference.merge_heads(ctx.astype(x_local.dtype))
     return reference.linear(ctx, wo, bo)
 
 
@@ -191,22 +189,26 @@ def shard_forward_sp(cfg: ViTConfig, mesh: Mesh, gelu_variant: str = "exact"):
             jnp.arange(n)[:, None] * t_local + jnp.arange(t_local)[None, :]
         ) < t
 
+        # the block structure itself is vit.encoder_block with attention
+        # swapped for the ring — one source of truth for LN/MLP/residuals
+        import dataclasses as _dc
+
+        from vit_tpu.models import vit as vit_mod
+        from vit_tpu.ops.dispatch import REFERENCE_OPS
+
+        sp_ops = _dc.replace(
+            REFERENCE_OPS,
+            name="sp",
+            attention=lambda h, wqkv, bqkv, wo, bo, nh: attention_sp(
+                h, wqkv, bqkv, wo, bo, nh, valid, "sp"
+            ),
+        )
+
         def body(carry, blk):
-            h = reference.layer_norm(
-                carry, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps
+            return (
+                vit_mod.encoder_block(carry, blk, cfg, sp_ops, gelu_variant),
+                None,
             )
-            h = attention_sp(
-                h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"],
-                cfg.num_heads, valid, "sp",
-            )
-            c = carry + h
-            h = reference.layer_norm(
-                c, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps
-            )
-            h = reference.mlp(
-                h, blk["w1"], blk["b1"], blk["w2"], blk["b2"], gelu_variant
-            )
-            return c + h, None
 
         xl, _ = jax.lax.scan(body, xl, params["blocks"])
         xl = reference.layer_norm(
@@ -242,6 +244,7 @@ def make_sp_train_step(
     gelu_variant: str = "exact",
     label_smoothing: float = 0.0,
     compute_dtype=None,
+    remat: bool = True,
 ):
     """Sequence-parallel TRAINING: grads flow backward through the ring —
     ``jax.grad`` transposes the shard_map, turning each forward ``ppermute``
@@ -261,10 +264,17 @@ def make_sp_train_step(
     from vit_tpu.runtime.trainer import cross_entropy_loss
 
     def loss_fn(params, images, labels):
-        if compute_dtype is not None:  # mixed precision: fp32 masters
-            params = vit_mod.cast_params(params, compute_dtype)
-            images = images.astype(compute_dtype)
-        return cross_entropy_loss(fwd(params, images), labels, label_smoothing)
+        def run(p, x):
+            if compute_dtype is not None:  # mixed precision: fp32 masters
+                p = vit_mod.cast_params(p, compute_dtype)
+                x = x.astype(compute_dtype)
+            return fwd(p, x)
+
+        if remat:
+            # rematerialize in the backward — at long T this is the whole
+            # point of SP (activation memory O(T/n) without depth blowup)
+            run = jax.checkpoint(run)
+        return cross_entropy_loss(run(params, images), labels, label_smoothing)
 
     def step(params, opt_state, images, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
