@@ -1,0 +1,94 @@
+"""vit-tpu-convert: one command between every weight format
+(cli/convert.py over io/load_any.py + the writers)."""
+
+import jax
+import numpy as np
+import pytest
+
+from vit_tpu.cli.convert import main as convert_main
+from vit_tpu.io import checkpoint as ckpt
+from vit_tpu.io import weights as wio
+from vit_tpu.io.load_any import load_params_any
+
+
+@pytest.fixture()
+def ref_dir(tmp_path, tiny_cfg, monkeypatch):
+    import vit_tpu.config as config_mod
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    d = tmp_path / "Network"
+    wio.save_reference_weights(
+        wio.synth_reference_tensors(tiny_cfg, seed=3), d, tiny_cfg
+    )
+    return d
+
+
+def test_reference_to_npz_and_back(ref_dir, tiny_cfg, tmp_path, capsys):
+    npz = tmp_path / "p.npz"
+    rc = convert_main([
+        "--config", "vit_tiny_test", "--from", str(ref_dir), "--to",
+        str(npz), "--no-round6",
+    ])
+    assert rc == 0 and npz.exists()
+    assert "npz" in capsys.readouterr().out
+
+    back = tmp_path / "Network2"
+    rc = convert_main([
+        "--config", "vit_tiny_test", "--from", str(npz), "--to", str(back),
+    ])
+    assert rc == 0
+    n_files = len(list(back.glob("Weight_*.bin")))
+    assert n_files == 4 + 12 * tiny_cfg.depth + 4
+    # bit-exact full circle
+    a = load_params_any(ref_dir, tiny_cfg, round_to_6dp=False)
+    b = load_params_any(back, tiny_cfg, round_to_6dp=False)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pth_to_reference(ref_dir, tiny_cfg, tmp_path):
+    torch = pytest.importorskip("torch")
+    from vit_tpu.io.torch_convert import state_dict_key
+
+    tensors = wio.synth_reference_tensors(tiny_cfg, seed=4)
+    sd = {
+        state_dict_key(name): torch.from_numpy(np.asarray(tensors[idx]))
+        for idx, name, _ in wio.reference_tensor_specs(tiny_cfg)
+    }
+    torch.save(sd, tmp_path / "m.pth")
+    out = tmp_path / "FromTorch"
+    rc = convert_main([
+        "--config", "vit_tiny_test", "--from", str(tmp_path / "m.pth"),
+        "--to", str(out), "--format", "reference",
+    ])
+    assert rc == 0
+    p = load_params_any(out, tiny_cfg, round_to_6dp=False)
+    want = wio.params_from_tensors(tensors, tiny_cfg)
+    for x, y in zip(jax.tree.leaves(want), jax.tree.leaves(p)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_orbax_output(ref_dir, tiny_cfg, tmp_path):
+    out = tmp_path / "orbax_out"
+    rc = convert_main([
+        "--config", "vit_tiny_test", "--from", str(ref_dir), "--to",
+        str(out), "--format", "orbax", "--no-round6",
+    ])
+    assert rc == 0
+    a = load_params_any(ref_dir, tiny_cfg, round_to_6dp=False)
+    b = ckpt.load_orbax(out)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_bad_source(tiny_cfg, tmp_path, capsys, monkeypatch):
+    import vit_tpu.config as config_mod
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    (tmp_path / "x.txt").write_text("nope")
+    rc = convert_main([
+        "--config", "vit_tiny_test", "--from", str(tmp_path / "x.txt"),
+        "--to", str(tmp_path / "o.npz"),
+    ])
+    assert rc == 2
+    assert "error:" in capsys.readouterr().err

@@ -1,0 +1,109 @@
+"""Checkpoint conversion CLI.
+
+One command between every weight format the framework speaks
+(io/load_any.py resolves the input; the output format is chosen by
+--to's shape):
+
+  - IN : reference ``Weight_*.bin`` dir / trained ``.npz`` / torchvision
+         ``.pth`` / Orbax checkpoint dir / HuggingFace model dir
+  - OUT: ``.npz`` | reference-format dir (``--format reference``) |
+         Orbax dir (``--format orbax``)
+
+The reference's checkpoint story is one hard-coded directory read
+(Network.c:119-194); this closes the loop in both directions — e.g. pull
+a torchvision ``.pth`` and emit the exact ``Weight_{idx}_{name}.bin``
+files the reference C engine loads, or flatten any source into one
+``.npz`` for the serving/eval drivers.
+
+Usage::
+
+    vit-tpu-convert --from model.pth --to ./Network --format reference
+    vit-tpu-convert --from ./Network --to params.npz
+    vit-tpu-convert --from hf_dir --hf --to params.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vit-tpu-convert")
+    p.add_argument("--config", default="vit_b_16")
+    p.add_argument("--from", dest="src", required=True,
+                   help="source: Weight_*.bin dir, .npz, .pth/.pt, Orbax "
+                   "dir, or (with --hf) a HuggingFace ViT model dir")
+    p.add_argument("--to", dest="dst", required=True,
+                   help="destination path (.npz file, or a directory for "
+                   "--format reference/orbax)")
+    p.add_argument(
+        "--format", default=None, choices=["npz", "reference", "orbax"],
+        help="output format (default: npz for a *.npz destination, "
+        "reference otherwise)",
+    )
+    p.add_argument(
+        "--hf", action="store_true",
+        help="treat --from as a HuggingFace ViTForImageClassification "
+        "checkpoint directory (io/hf_convert.py)",
+    )
+    p.add_argument("--allow-synth-weights", action="store_true")
+    p.add_argument(
+        "--no-round6", action="store_true",
+        help="skip the reference loader's 6-decimal rounding on read",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from vit_tpu.config import get_config
+    from vit_tpu.io import checkpoint as ckpt
+    from vit_tpu.io import weights as wio
+
+    cfg = get_config(args.config)
+
+    if args.hf:
+        try:
+            from transformers import ViTForImageClassification
+        except ImportError:
+            print("error: --hf needs the transformers package",
+                  file=sys.stderr)
+            return 2
+        from vit_tpu.io.hf_convert import params_from_hf_state_dict
+
+        model = ViTForImageClassification.from_pretrained(args.src)
+        params = params_from_hf_state_dict(model.state_dict(), cfg)
+    else:
+        from vit_tpu.io.load_any import load_params_any
+
+        try:
+            params = load_params_any(
+                args.src, cfg, round_to_6dp=not args.no_round6,
+                allow_synth=args.allow_synth_weights,
+            )
+        except (ValueError, FileNotFoundError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+
+    fmt = args.format
+    if fmt is None:
+        fmt = "npz" if str(args.dst).endswith(".npz") else "reference"
+
+    if fmt == "npz":
+        ckpt.save_npz(params, args.dst)
+    elif fmt == "orbax":
+        ckpt.save_orbax(params, args.dst)
+    else:
+        wio.save_reference_weights(
+            wio.tensors_from_params(params, cfg), args.dst, cfg
+        )
+    n = len([None for _ in __import__("jax").tree.leaves(params)])
+    print(f"converted {args.src} -> {args.dst} ({fmt}, {n} tensors, "
+          f"{cfg.name})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
