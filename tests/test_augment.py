@@ -300,6 +300,36 @@ def test_train_cli_dropout_drop_path(tiny_cfg, monkeypatch, capsys):
     assert "require --ops xla" in capsys.readouterr().err
 
 
+def test_augmented_accum_through_fused_kernels(tiny_cfg):
+    """Augment + grad-accum compose with the fused_train custom-VJP
+    kernels (interpret mode off-TPU): the scan of value_and_grad wraps
+    pallas calls."""
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    from vit_tpu.parallel import make_mesh, replicate
+
+    mesh = make_mesh({"dp": 2}, jax.devices()[:2])
+    optimizer = optax.adamw(1e-3)
+    params, opt_state = trainer.init_train_state(
+        jax.random.key(3), tiny_cfg, optimizer
+    )
+    params = jax.device_put(params, replicate(mesh))
+    opt_state = jax.device_put(opt_state, replicate(mesh))
+    aug = make_augment_fn(["flip", "cutmix"], tiny_cfg.num_classes)
+    step = trainer.jit_train_step_dp_shard_map(
+        tiny_cfg, optimizer, mesh, get_ops("fused_train"), remat=False,
+        augment_fn=aug, grad_accum=2,
+    )
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(
+        rng.normal(size=(8, 3, tiny_cfg.image_size, tiny_cfg.image_size)),
+        jnp.float32,
+    )
+    y = jnp.asarray(rng.integers(0, tiny_cfg.num_classes, 8), jnp.int32)
+    _, _, loss = step(params, opt_state, x, y, jax.random.key(2))
+    assert np.isfinite(float(loss))
+
+
 def test_ema_update_formula(tiny_cfg):
     params = {"a": jnp.ones((4,)), "b": jnp.full((2, 2), 3.0)}
     ema = jax.tree.map(jnp.zeros_like, params)
