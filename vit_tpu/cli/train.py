@@ -313,9 +313,13 @@ def main(argv=None) -> int:
 
     ops = get_ops(ops_name)
     compute_dtype = jnp.bfloat16 if args.mixed_precision else None
+    # fused_train's hand-written backward kernels already recompute their
+    # intermediates in VMEM; jax.checkpoint on top would redo the whole
+    # forward a second time (~+24% measured, docs/performance.md)
+    remat = not args.no_remat and ops_name != "fused_train"
     print(
         f"ops: {ops_name}  mixed_precision: {bool(args.mixed_precision)}  "
-        f"remat: {not args.no_remat}"
+        f"remat: {remat}"
     )
 
     use_dropout = bool(args.dropout or args.drop_path)
@@ -401,7 +405,7 @@ def main(argv=None) -> int:
         )
         step = make_sp_train_step(
             cfg, optimizer, mesh, label_smoothing=args.label_smoothing,
-            compute_dtype=compute_dtype, remat=not args.no_remat,
+            compute_dtype=compute_dtype, remat=remat,
         )
         print(f"sequence parallel: ring size {args.sp}")
     elif args.pp > 1:
@@ -447,7 +451,7 @@ def main(argv=None) -> int:
         )
         step = trainer.jit_train_step_kernel_tp(
             cfg, optimizer, mesh, params, opt_state,
-            remat=not args.no_remat, compute_dtype=compute_dtype,
+            remat=remat, compute_dtype=compute_dtype,
             label_smoothing=args.label_smoothing,
         )
     elif ops_name == "fused_train":
@@ -463,7 +467,7 @@ def main(argv=None) -> int:
         opt_state = jax.device_put(opt_state, replicate(mesh))
         step = trainer.jit_train_step_dp_shard_map(
             cfg, optimizer, mesh, ops,
-            remat=not args.no_remat, compute_dtype=compute_dtype,
+            remat=remat, compute_dtype=compute_dtype,
             fused_adamw=fused_adamw,
             label_smoothing=args.label_smoothing,
             augment_fn=augment_fn, grad_accum=args.grad_accum,
@@ -478,7 +482,7 @@ def main(argv=None) -> int:
         )
         step = trainer.jit_train_step_for_mesh(
             cfg, optimizer, mesh, params, opt_state, ops=ops,
-            remat=not args.no_remat, compute_dtype=compute_dtype,
+            remat=remat, compute_dtype=compute_dtype,
             label_smoothing=args.label_smoothing,
             augment_fn=augment_fn, grad_accum=args.grad_accum,
             use_dropout=use_dropout,
