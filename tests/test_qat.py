@@ -185,6 +185,66 @@ def test_qat_then_deploy_int8(tiny_cfg):
     np.testing.assert_allclose(qat_logits, dep_logits, atol=5e-4, rtol=1e-4)
 
 
+def test_qat_mixed_precision_step(tiny_cfg):
+    """QAT composes with bf16 compute (fp32 masters): finite decreasing
+    loss, fake-quant scales computed on the bf16 activations."""
+    optimizer = optax.adamw(1e-3)
+    params, opt_state = trainer.init_train_state(
+        jax.random.key(2), tiny_cfg, optimizer
+    )
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(
+        rng.normal(size=(8, 3, tiny_cfg.image_size, tiny_cfg.image_size)),
+        jnp.float32,
+    )
+    y = jnp.asarray(rng.integers(0, tiny_cfg.num_classes, 8), jnp.int32)
+    step = jax.jit(trainer.make_train_step(
+        tiny_cfg, optimizer, get_ops("qat"), remat=False,
+        compute_dtype=jnp.bfloat16,
+    ))
+    losses = []
+    for _ in range(4):
+        params, opt_state, loss = step(params, opt_state, x, y)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses) and losses[-1] < losses[0]
+    assert params["pos_embed"].dtype == jnp.float32  # masters stay fp32
+
+
+def test_qat_trains_under_gspmd_tp(tiny_cfg):
+    """QAT is pure jnp, so it shards under GSPMD tp — the per-channel
+    absmax reduces over the row-sharded in-dim via an XLA collective."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    from vit_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"dp": 2, "tp": 2}, jax.devices()[:4])
+    optimizer = optax.adamw(1e-3)
+    params, opt_state = trainer.init_train_state(
+        jax.random.key(3), tiny_cfg, optimizer
+    )
+    step = trainer.jit_train_step_for_mesh(
+        tiny_cfg, optimizer, mesh, params, opt_state, ops=get_ops("qat"),
+        remat=False,
+    )
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(
+        rng.normal(size=(4, 3, tiny_cfg.image_size, tiny_cfg.image_size)),
+        jnp.float32,
+    )
+    y = jnp.asarray(rng.integers(0, tiny_cfg.num_classes, 4), jnp.int32)
+    # sharded step must agree with the single-device QAT step
+    s1 = jax.jit(trainer.make_train_step(
+        tiny_cfg, optimizer, get_ops("qat"), remat=False
+    ))
+    p_ref, _, l_ref = s1(params, opt_state, x, y)
+    from vit_tpu.parallel import shard_params
+
+    p_sh = shard_params(params, mesh)
+    o_sh = optimizer.init(p_sh)
+    _, _, l_tp = step(p_sh, o_sh, x, y)
+    assert float(l_ref) == pytest.approx(float(l_tp), abs=1e-5)
+
+
 def test_train_cli_qat(tiny_cfg, monkeypatch, capsys):
     import vit_tpu.config as config_mod
     from vit_tpu.cli.train import main as train_main
