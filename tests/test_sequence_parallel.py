@@ -123,6 +123,28 @@ def test_sp_composes_with_dp(cfg_sp):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_sp_long_sequence_8ring(cfg_sp):
+    """The scaling case SP exists for: 4097 tokens (1024px / p16) over an
+    8-chip ring — each shard holds 513 tokens, no (T, T) tensor or full
+    K/V ever materializes per shard — still matches the unsharded
+    reference forward."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = dataclasses.replace(
+        cfg_sp, image_size=1024, depth=2, name="vit_tiny_sp_long"
+    )
+    params = vit.init_params(jax.random.key(20), cfg)
+    images = np.asarray(
+        jax.random.normal(jax.random.key(21), (1, 3, 1024, 1024), jnp.float32)
+    )
+    want = np.asarray(jax.jit(vit.logits_fn(cfg))(params, images))
+    mesh = make_mesh({"sp": 8}, jax.devices()[:8])
+    got = np.asarray(
+        jax.jit(shard_forward_sp(cfg, mesh))(params, jnp.asarray(images))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_sp_requires_axis(cfg_sp):
     mesh = make_mesh({"dp": 4}, jax.devices()[:4])
     with pytest.raises(ValueError, match="'sp' axis"):
