@@ -155,6 +155,26 @@ def test_train_cli_multihost_single_process(tiny_cfg, tmp_path, monkeypatch,
     assert out.count("loss") >= 3
 
 
+def test_skip_batches_fast_forwards_resume(tmp_path):
+    """batches(skip_batches=k) yields exactly the stream an uninterrupted
+    run would see from batch k on — including across epoch boundaries —
+    without reading the skipped data (the --resume fast-forward)."""
+    _make_shards(tmp_path, counts=(5, 3, 7))  # 15 samples
+    ds = BinShardDataset(tmp_path, require_labels=True)
+    full = []
+    it = ds.batches(4, shuffle=True, seed=9, epochs=3)  # 3 batches/epoch
+    for imgs, labs in it:
+        full.append((imgs, labs))
+    assert len(full) == 9
+    for k in (2, 3, 5):  # within epoch 0, exact boundary, inside epoch 1
+        skipped = list(ds.batches(4, shuffle=True, seed=9, epochs=3,
+                                  skip_batches=k))
+        assert len(skipped) == 9 - k
+        for (xi, yi), (xj, yj) in zip(skipped, full[k:]):
+            np.testing.assert_array_equal(xi, xj)
+            np.testing.assert_array_equal(yi, yj)
+
+
 def test_validation_errors(tmp_path):
     _make_shards(tmp_path, counts=(4,), labels=False)
     with pytest.raises(FileNotFoundError, match="labels"):

@@ -73,8 +73,13 @@ def main(argv=None) -> int:
             return 2
         from vit_tpu.io.hf_convert import params_from_hf_state_dict
 
-        model = ViTForImageClassification.from_pretrained(args.src)
-        params = params_from_hf_state_dict(model.state_dict(), cfg)
+        try:
+            model = ViTForImageClassification.from_pretrained(args.src)
+            params = params_from_hf_state_dict(model.state_dict(), cfg)
+        except Exception as e:  # bad path / incompatible checkpoint
+            print(f"error: cannot load HF checkpoint {args.src!r}: {e}",
+                  file=sys.stderr)
+            return 2
     else:
         from vit_tpu.io.load_any import load_params_any
 
@@ -99,7 +104,9 @@ def main(argv=None) -> int:
         wio.save_reference_weights(
             wio.tensors_from_params(params, cfg), args.dst, cfg
         )
-    n = len([None for _ in __import__("jax").tree.leaves(params)])
+    import jax
+
+    n = len(jax.tree.leaves(params))
     print(f"converted {args.src} -> {args.dst} ({fmt}, {n} tensors, "
           f"{cfg.name})")
     return 0

@@ -64,8 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--image-dir", metavar="DIR",
         help="train from an ImageNet-style folder-per-class tree of raw "
         "image files (root/<class>/*.jpg, classes = sorted subdir names); "
-        "decode + torchvision eval preprocessing stream through the same "
-        "prefetch pipeline as --data-dir",
+        "decoded full-frame to the model resolution (train-mode transform "
+        "— pair with --augment crop for RandomResizedCrop) and streamed "
+        "through the same prefetch pipeline as --data-dir",
     )
     p.add_argument(
         "--data-threads", type=int, default=8,
@@ -301,6 +302,10 @@ def main(argv=None) -> int:
     if ops_name == "auto":
         ops_name = "fused_train" if jax.default_backend() == "tpu" else "xla"
     if args.pp > 1:
+        if ops_name not in ("xla", "fused_train"):
+            print("error: --pp supports --ops xla or fused_train",
+                  file=sys.stderr)
+            return 2
         if args.tp > 1 and ops_name != "fused_train":
             print("error: --pp with --tp requires --ops fused_train "
                   "(the tensor-parallel fused block)", file=sys.stderr)
@@ -309,6 +314,10 @@ def main(argv=None) -> int:
             print(f"error: --pp {args.pp} must divide depth {cfg.depth}",
                   file=sys.stderr)
             return 2
+    if args.batch % mesh_axes.get("dp", 1):
+        print(f"error: --batch {args.batch} must be divisible by "
+              f"dp={mesh_axes.get('dp', 1)}", file=sys.stderr)
+        return 2
     from vit_tpu.ops.dispatch import get_ops
 
     ops = get_ops(ops_name)
@@ -566,13 +575,14 @@ def main(argv=None) -> int:
 
             stream = prefetch_to_device(
                 ds.batches(local_batch, shuffle=True, seed=args.seed,
-                           shard=(pid, procs)),
+                           shard=(pid, procs), skip_batches=start_step),
                 size=2,
                 place=_place,
             )
         else:
             stream = prefetch_to_device(
-                ds.batches(local_batch, shuffle=True, seed=args.seed),
+                ds.batches(local_batch, shuffle=True, seed=args.seed,
+                           skip_batches=start_step),
                 size=2,
                 sharding=(img_sh, lab_sh),
             )
@@ -580,6 +590,17 @@ def main(argv=None) -> int:
         images = iio.load_image_bin(args.input)
         if args.labels:
             labels = np.fromfile(args.labels, dtype="<i4")
+            if len(labels) < len(images):
+                print(f"error: {len(labels)} labels < {len(images)} images "
+                      f"in {args.labels}", file=sys.stderr)
+                return 2
+            labels = labels[: len(images)]
+            if labels.size and (labels.min() < 0
+                                or labels.max() >= cfg.num_classes):
+                print(f"error: labels outside [0, {cfg.num_classes}) in "
+                      f"{args.labels} (min {labels.min()}, max "
+                      f"{labels.max()})", file=sys.stderr)
+                return 2
         else:
             print(
                 "warning: --input given without --labels; pairing real images "
@@ -687,15 +708,23 @@ def main(argv=None) -> int:
                 print(f"step {s}: non-finite loss; update skipped", file=sys.stderr)
             else:
                 print("non-finite loss; aborting", file=sys.stderr)
+                if stream is not None:
+                    stream.close()  # don't strand the prefetch thread
                 return 1
         if args.save_state and args.save_every and (s + 1) % args.save_every == 0:
             save_state(s + 1)
         last_step = s + 1
         if preempted["flag"]:
-            print(
-                f"SIGTERM: checkpointing at step {last_step} and exiting "
-                "(resume with --resume)", file=sys.stderr,
-            )
+            if args.save_state:
+                print(
+                    f"SIGTERM: checkpointing at step {last_step} and "
+                    "exiting (resume with --resume)", file=sys.stderr,
+                )
+            else:
+                print(
+                    f"SIGTERM: exiting at step {last_step} (no --save-state"
+                    " given; nothing checkpointed)", file=sys.stderr,
+                )
             break
 
     if prev_handler is not None:

@@ -41,6 +41,7 @@ class EpochStream:
         epochs: Optional[int] = None,
         drop_remainder: bool = True,
         shard: Optional[Tuple[int, int]] = None,
+        skip_batches: int = 0,
     ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
         """Yield ``(images, labels_or_None)`` minibatches; reshuffled each
         epoch (epoch-indexed RNG streams, so resume at epoch e is
@@ -54,7 +55,12 @@ class EpochStream:
         ``len(ds) // n`` samples so all hosts see the same number of
         batches per epoch and stay on the same epoch forever (the up-to
         n-1 dropped tail samples rotate with the shuffle); without equal
-        lengths the hosts' epoch streams would drift apart."""
+        lengths the hosts' epoch streams would drift apart.
+
+        ``skip_batches`` fast-forwards past that many minibatches WITHOUT
+        reading them (index arithmetic only) — the resume path: a run
+        resumed at step N with the same seed continues on exactly the
+        batches an uninterrupted run would have seen."""
         if shard is not None:
             sid, nsh = shard
             if not (0 <= sid < nsh):
@@ -67,6 +73,7 @@ class EpochStream:
                 f"batch_size {batch_size} not in [1, {local_n}]"
             )
         epoch = 0
+        to_skip = int(skip_batches)
         while epochs is None or epoch < epochs:
             if shuffle:
                 perm = np.random.default_rng(
@@ -76,11 +83,17 @@ class EpochStream:
                 perm = np.arange(len(self))
             perm = perm[sid::nsh][:local_n]
             end = len(perm) - (len(perm) % batch_size) if drop_remainder else len(perm)
-            for i in range(0, end, batch_size):
+            n_batches = -(-end // batch_size)
+            if to_skip >= n_batches:
+                to_skip -= n_batches
+                epoch += 1
+                continue
+            for i in range(to_skip * batch_size, end, batch_size):
                 take = perm[i : i + batch_size]
                 imgs = self.read(take)
                 labs = self._labels[take] if self._labels is not None else None
                 yield imgs, labs
+            to_skip = 0
             epoch += 1
 
 

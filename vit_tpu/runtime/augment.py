@@ -156,10 +156,15 @@ def make_augment_fn(
         has_mix, has_cut = "mixup" in names, "cutmix" in names
         if has_mix and has_cut:
             do_mix = jax.random.bernoulli(keys[2], 0.5)
-            xm, ym = mixup(keys[3], images, y, mixup_alpha)
-            xc, yc = cutmix(keys[3], images, y, cutmix_alpha)
-            images = jnp.where(do_mix, xm, xc)
-            y = jnp.where(do_mix, ym, yc)
+            # lax.cond: only the chosen branch executes under jit (a
+            # jnp.where select would compute BOTH full-batch transforms
+            # every step)
+            images, y = jax.lax.cond(
+                do_mix,
+                lambda k, x, t: mixup(k, x, t, mixup_alpha),
+                lambda k, x, t: cutmix(k, x, t, cutmix_alpha),
+                keys[3], images, y,
+            )
         elif has_mix:
             images, y = mixup(keys[3], images, y, mixup_alpha)
         elif has_cut:
