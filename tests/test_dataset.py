@@ -175,6 +175,44 @@ def test_skip_batches_fast_forwards_resume(tmp_path):
             np.testing.assert_array_equal(yi, yj)
 
 
+def test_train_cli_eval_every(tiny_cfg, tmp_path, monkeypatch, capsys):
+    """--eval-data-dir/--eval-every: held-out top-1 printed mid-training
+    and logged to the jsonl stream."""
+    import json
+
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    rng = np.random.default_rng(2)
+    for sub in ("train", "val"):
+        d = tmp_path / sub
+        d.mkdir()
+        imgs = rng.normal(
+            size=(8, tiny_cfg.in_channels, tiny_cfg.image_size,
+                  tiny_cfg.image_size)
+        ).astype(np.float32)
+        save_image_bin(imgs, d / "s.bin")
+        rng.integers(0, tiny_cfg.num_classes, 8).astype("<i4").tofile(
+            d / "s.labels.bin"
+        )
+    log = tmp_path / "log.jsonl"
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "4", "--batch", "4",
+        "--dp", "1", "--data-dir", str(tmp_path / "train"),
+        "--eval-data-dir", str(tmp_path / "val"), "--eval-every", "2",
+        "--eval-batches", "2", "--ops", "xla", "--ema-decay", "0.9",
+        "--log-jsonl", str(log), "--no-compile-cache",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "eval: 8 held-out images every 2 steps" in out
+    assert out.count("eval top-1") == 2 and "(ema)" in out
+    evals = [json.loads(l) for l in log.read_text().splitlines()
+             if "eval_top1" in l]
+    assert len(evals) == 2 and all(0 <= e["eval_top1"] <= 1 for e in evals)
+
+
 def test_validation_errors(tmp_path):
     _make_shards(tmp_path, counts=(4,), labels=False)
     with pytest.raises(FileNotFoundError, match="labels"):

@@ -171,6 +171,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="disable the persistent XLA compilation cache",
     )
     p.add_argument(
+        "--eval-data-dir", metavar="DIR",
+        help="held-out labeled .bin shards (same format as --data-dir) "
+        "evaluated every --eval-every steps: top-1 on --eval-batches "
+        "batches with the current params (the EMA params when --ema-decay "
+        "is on), via the fp32 oracle forward",
+    )
+    p.add_argument(
+        "--eval-every", type=int, default=0, metavar="N",
+        help="with --eval-data-dir: evaluate every N steps (and at the end)",
+    )
+    p.add_argument(
+        "--eval-batches", type=int, default=4,
+        help="batches of --batch images per held-out evaluation",
+    )
+    p.add_argument(
         "--log-jsonl", metavar="PATH",
         help="append one JSON line per step (step, loss, ms, images/sec) — "
         "machine-readable training metrics",
@@ -624,6 +639,43 @@ def main(argv=None) -> int:
         n = (len(images) // args.batch) * args.batch  # drop ragged remainder
         images, labels = images[:n], labels[:n]
 
+    run_eval = None
+    if args.eval_data_dir:
+        # Held-out evaluation: a fixed n_eval-image slice, fp32 oracle
+        # forward (one compiled program; batch-sized chunks), scored on
+        # the EMA params when tracked.
+        if not args.eval_every:
+            print("error: --eval-data-dir requires --eval-every N",
+                  file=sys.stderr)
+            return 2
+        from vit_tpu.io.dataset import BinShardDataset as _EvalDS
+        from vit_tpu.models import vit as vit_mod
+
+        eval_ds = _EvalDS(args.eval_data_dir, require_labels=True)
+        n_eval = min(len(eval_ds), args.eval_batches * args.batch)
+        n_eval -= n_eval % args.batch
+        if n_eval == 0:
+            print(f"error: {len(eval_ds)} eval image(s) < --batch "
+                  f"{args.batch}", file=sys.stderr)
+            return 2
+        eval_x = eval_ds.read(range(n_eval))
+        eval_y = eval_ds.labels()[:n_eval]
+        eval_fn = jax.jit(vit_mod.logits_fn(cfg))
+
+        def run_eval(p):
+            correct = 0
+            for i in range(0, n_eval, args.batch):
+                logits = np.asarray(
+                    eval_fn(p, jnp.asarray(eval_x[i : i + args.batch]))
+                )
+                correct += int(
+                    (logits.argmax(-1) == eval_y[i : i + args.batch]).sum()
+                )
+            return correct / n_eval
+
+        print(f"eval: {n_eval} held-out images every {args.eval_every} "
+              "steps")
+
     def _ema_sidecar(state_path):
         from pathlib import Path
 
@@ -711,6 +763,17 @@ def main(argv=None) -> int:
                 if stream is not None:
                     stream.close()  # don't strand the prefetch thread
                 return 1
+        if run_eval is not None and (s + 1) % args.eval_every == 0:
+            acc = run_eval(ema if ema is not None else params)
+            which = "ema" if ema is not None else "params"
+            print(f"step {s:4d}  eval top-1 {acc:.4f} ({which})")
+            if args.log_jsonl and jax.process_index() == 0:
+                import json
+
+                with open(args.log_jsonl, "a") as fh:
+                    fh.write(json.dumps(
+                        {"step": s, "eval_top1": round(acc, 6)}
+                    ) + "\n")
         if args.save_state and args.save_every and (s + 1) % args.save_every == 0:
             save_state(s + 1)
         last_step = s + 1
