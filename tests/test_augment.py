@@ -424,6 +424,21 @@ def test_train_cli_save_reference_roundtrip(tiny_cfg, monkeypatch, capsys,
         )
 
 
+def test_train_cli_grad_clip(tiny_cfg, monkeypatch, capsys):
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "2", "--batch", "4",
+        "--dp", "1", "--ops", "xla", "--grad-clip", "1.0",
+        "--no-compile-cache",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "grad-clip: global norm 1.0" in out and "step    1" in out
+
+
 def test_train_cli_sigterm_checkpoints_and_exits(tiny_cfg, monkeypatch,
                                                  capsys, tmp_path):
     """Preemption safety: SIGTERM mid-run checkpoints the current step and

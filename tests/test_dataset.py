@@ -155,6 +155,34 @@ def test_train_cli_multihost_single_process(tiny_cfg, tmp_path, monkeypatch,
     assert out.count("loss") >= 3
 
 
+def test_train_cli_multihost_image_dir(tiny_cfg, tmp_path, monkeypatch,
+                                       capsys):
+    """--multihost with a raw-image folder: the ImageFolderDataset's
+    EpochStream shard-split drives the global batch assembly."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    rng = np.random.default_rng(3)
+    for cls in ("a", "b"):
+        (tmp_path / cls).mkdir()
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 256, (40, 40, 3), np.uint8).astype(np.uint8)
+            ).save(tmp_path / cls / f"{i}.png")
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "2", "--batch", "4",
+        "--dp", "2", "--image-dir", str(tmp_path), "--ops", "xla",
+        "--multihost", "--no-compile-cache",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "multihost: 1 host(s)" in out and out.count("loss") >= 2
+
+
 def test_skip_batches_fast_forwards_resume(tmp_path):
     """batches(skip_batches=k) yields exactly the stream an uninterrupted
     run would see from batch k on — including across epoch boundaries —

@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="resume a --save-state checkpoint (params, optimizer, step)",
     )
     p.add_argument(
+        "--grad-clip", type=float, default=0.0, metavar="NORM",
+        help="clip gradients to this global L2 norm before the optimizer "
+        "(optax.clip_by_global_norm); 1.0 is the usual ViT setting",
+    )
+    p.add_argument(
         "--skip-nonfinite", action="store_true",
         help="skip optimizer updates when grads are non-finite "
         "(optax.apply_if_finite) instead of aborting on a bad loss",
@@ -235,9 +240,10 @@ def main(argv=None) -> int:
             num_processes=args.num_processes,
             process_id=args.process_id,
         )
-        if not args.data_dir:
-            print("error: --multihost requires --data-dir (each host "
-                  "streams its own shard of the dataset)", file=sys.stderr)
+        if not (args.data_dir or args.image_dir):
+            print("error: --multihost requires --data-dir or --image-dir "
+                  "(each host streams its own shard of the dataset)",
+                  file=sys.stderr)
             return 2
         if args.tp != 1:
             print("error: --multihost supports dp only (tp=1): checkpoint "
@@ -391,6 +397,15 @@ def main(argv=None) -> int:
     else:
         lr = args.lr
     optimizer = optax.adamw(lr, weight_decay=args.weight_decay)
+    if args.grad_clip:
+        if args.optimizer == "fused_adamw":
+            print("error: --grad-clip requires --optimizer adamw",
+                  file=sys.stderr)
+            return 2
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(args.grad_clip), optimizer
+        )
+        print(f"grad-clip: global norm {args.grad_clip}")
     if args.skip_nonfinite:
         if args.optimizer == "fused_adamw":
             print("error: --skip-nonfinite requires --optimizer adamw",
