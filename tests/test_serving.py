@@ -208,6 +208,31 @@ def test_serve_http_endpoint(tiny_cfg, tiny_params, tmp_path, monkeypatch):
     assert not t.is_alive()
 
 
+def test_submit_sheds_load_past_max_queue(tiny_cfg, tiny_params):
+    """Backpressure: submit raises ServerOverloadedError once the pending
+    image count would exceed max_queue_images (bounded backlog instead of
+    unbounded queue growth under overload)."""
+    from vit_tpu.runtime.serving import (
+        InferenceServer,
+        ServerOverloadedError,
+    )
+
+    eng = InferenceEngine(tiny_cfg, tiny_params, dtype="float32",
+                          batch_pad=4)
+    srv = InferenceServer(eng, max_batch=4, max_queue_images=6)
+    srv._running = True  # white-box: no dispatcher, so nothing drains
+    try:
+        imgs = np.zeros(
+            (4, 3, tiny_cfg.image_size, tiny_cfg.image_size), np.float32
+        )
+        srv.submit(imgs)  # pending 4 <= 6
+        with pytest.raises(ServerOverloadedError, match="backlog 4"):
+            srv.submit(imgs)  # 4 + 4 > 6
+        srv.submit(imgs[:2])  # exactly at the cap is allowed
+    finally:
+        srv._running = False
+
+
 def test_serve_cli_selftest_multihost(tiny_cfg, tmp_path, monkeypatch, capsys):
     """--multihost lockstep mode, single process: distributed.initialize
     degrades to a no-op and the LockstepServer serves over the global

@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max time to wait filling a batch")
     p.add_argument("--batch-pad", type=int, default=32,
                    help="padding grain (one compiled program per padded size)")
+    p.add_argument("--max-queue", type=int, default=None, metavar="IMAGES",
+                   help="shed load (HTTP 503) when the pending-image "
+                   "backlog exceeds this (default: 8 x max-batch)")
     p.add_argument("--labels", help="label names file (default: packaged ImageNet)")
     p.add_argument(
         "--selftest", type=int, metavar="N", default=None,
@@ -120,7 +123,8 @@ def _build_server(args):
             batch_pad=args.batch_pad,
         )
         server = LockstepServer(
-            engine, local_batch=args.local_batch, tick_ms=args.tick_ms
+            engine, local_batch=args.local_batch, tick_ms=args.tick_ms,
+            max_queue_images=args.max_queue,
         )
         return cfg, ops, server
     mesh = None
@@ -141,7 +145,8 @@ def _build_server(args):
         batch_pad=args.batch_pad,
     )
     server = InferenceServer(
-        engine, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
+        engine, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
+        max_queue_images=args.max_queue,
     )
     return cfg, ops, server
 
@@ -189,6 +194,7 @@ def _http_daemon(args, cfg, ops, server) -> int:
 
     from vit_tpu.io.images import parse_image_bytes
     from vit_tpu.io.labels import load_labels
+    from vit_tpu.runtime.serving import ServerOverloadedError
 
     label_names = load_labels(args.labels, cfg.num_classes)
 
@@ -276,6 +282,8 @@ def _http_daemon(args, cfg, ops, server) -> int:
                 })
             except ValueError as e:
                 self._send(400, {"error": str(e)})
+            except ServerOverloadedError as e:
+                self._send(503, {"error": str(e)})
             except Exception as e:  # keep the daemon alive on bad requests
                 self._send(500, {"error": repr(e)})
 
@@ -298,6 +306,10 @@ def _http_daemon(args, cfg, ops, server) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.selftest is not None and args.max_queue is None:
+        # the selftest intentionally enqueues the whole burst up front to
+        # measure drain throughput — don't shed it
+        args.max_queue = 1 << 31
     cfg, ops, server = _build_server(args)
     if args.selftest is not None:
         return _selftest(args, cfg, ops, server)

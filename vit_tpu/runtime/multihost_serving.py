@@ -64,6 +64,7 @@ class LockstepServer(_ServerBase):
         local_batch: int = 32,
         tick_ms: float = 10.0,
         pipeline_depth: int = 2,
+        max_queue_images: "Optional[int]" = None,
     ):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -72,7 +73,9 @@ class LockstepServer(_ServerBase):
             raise ValueError("local_batch and pipeline_depth must be >= 1")
         if engine.mesh is None or "dp" not in engine.mesh.axis_names:
             raise ValueError("LockstepServer needs an engine with a 'dp' mesh")
-        super().__init__(engine, pipeline_depth)
+        super().__init__(engine, pipeline_depth,
+                 max_queue_images if max_queue_images is not None
+                 else 8 * local_batch)
         self.local_batch = local_batch
         self.tick = tick_ms / 1e3
         self._procs = jax.process_count()

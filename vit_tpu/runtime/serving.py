@@ -51,6 +51,12 @@ class _Request:
 _STOP = object()
 
 
+class ServerOverloadedError(RuntimeError):
+    """Raised by ``submit`` when the pending-image backlog exceeds the
+    server's ``max_queue_images`` — load-shedding instead of unbounded
+    queue growth under overload (HTTP daemons map this to 503)."""
+
+
 def make_serve_fn(engine, out_shardings=None):
     """forward + device-side softmax/argmax/top-prob as ONE jitted program.
 
@@ -95,11 +101,15 @@ class _ServerBase:
     dynamic-batching server and the multi-host lockstep server.  Subclasses
     provide ``_dispatch_loop`` (and may override ``_validate``/``_to_host``)."""
 
-    def __init__(self, engine, pipeline_depth: int):
+    def __init__(self, engine, pipeline_depth: int,
+                 max_queue_images: "Optional[int]" = None):
         if pipeline_depth < 1:
             raise ValueError("pipeline_depth must be >= 1")
         self.engine = engine
         self.stats = ServerStats()
+        self.max_queue_images = max_queue_images
+        self._pending = 0  # images submitted but not yet resolved
+        self._pending_lock = threading.Lock()
         self._q: "queue.Queue" = queue.Queue()
         self._inflight: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
         self._dispatcher: Optional[threading.Thread] = None
@@ -150,6 +160,15 @@ class _ServerBase:
         self._validate(images)
         if not self._running:
             raise RuntimeError("server not started")
+        n = len(images)
+        with self._pending_lock:
+            if (self.max_queue_images is not None
+                    and self._pending + n > self.max_queue_images):
+                raise ServerOverloadedError(
+                    f"backlog {self._pending} + {n} images exceeds "
+                    f"max_queue_images={self.max_queue_images}"
+                )
+            self._pending += n
         req = _Request(images, return_probs)
         self._q.put(req)
         return req.future
@@ -184,6 +203,8 @@ class _ServerBase:
             except Exception as e:
                 for r in reqs:
                     r.future.set_exception(e)
+                with self._pending_lock:
+                    self._pending -= sum(len(r.images) for r in reqs)
                 continue
             self.stats.batches += 1
             off = 0
@@ -200,6 +221,8 @@ class _ServerBase:
                 off += n
                 self.stats.requests += 1
                 self.stats.images += n
+            with self._pending_lock:
+                self._pending -= sum(len(r.images) for r in reqs)
 
 
 class InferenceServer(_ServerBase):
@@ -215,10 +238,13 @@ class InferenceServer(_ServerBase):
         max_batch: int = 64,
         max_delay_ms: float = 5.0,
         pipeline_depth: int = 2,
+        max_queue_images: "Optional[int]" = None,
     ):
         if max_batch < 1:
             raise ValueError("max_batch and pipeline_depth must be >= 1")
-        super().__init__(engine, pipeline_depth)
+        if max_queue_images is None:
+            max_queue_images = 8 * max_batch  # bounded backlog by default
+        super().__init__(engine, pipeline_depth, max_queue_images)
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1e3
         self._serve_fn = make_serve_fn(engine)
