@@ -208,6 +208,24 @@ def test_serve_http_endpoint(tiny_cfg, tiny_params, tmp_path, monkeypatch):
     assert not t.is_alive()
 
 
+def test_submit_rejects_oversize_request(tiny_cfg, tiny_params):
+    """A request larger than max_batch is a client error (it would compile
+    a fresh padded size), not something to silently dispatch."""
+    from vit_tpu.runtime.serving import InferenceServer
+
+    eng = InferenceEngine(tiny_cfg, tiny_params, dtype="float32",
+                          batch_pad=4)
+    srv = InferenceServer(eng, max_batch=4)
+    srv._running = True
+    try:
+        with pytest.raises(ValueError, match="exceeds max_batch"):
+            srv.submit(np.zeros(
+                (5, 3, tiny_cfg.image_size, tiny_cfg.image_size), np.float32
+            ))
+    finally:
+        srv._running = False
+
+
 def test_submit_sheds_load_past_max_queue(tiny_cfg, tiny_params):
     """Backpressure: submit raises ServerOverloadedError once the pending
     image count would exceed max_queue_images (bounded backlog instead of

@@ -249,6 +249,16 @@ class InferenceServer(_ServerBase):
         self.max_delay = max_delay_ms / 1e3
         self._serve_fn = make_serve_fn(engine)
 
+    def _validate(self, images) -> None:
+        # a request past max_batch would dispatch a padded size outside
+        # the warmed jit cache — a surprise multi-minute compile through
+        # this environment's tunnel; make the client split it instead
+        if len(images) > self.max_batch:
+            raise ValueError(
+                f"request of {len(images)} images exceeds "
+                f"max_batch={self.max_batch}; split into smaller requests"
+            )
+
     # -- internals ----------------------------------------------------------
 
     def _gather(self) -> Optional[List[_Request]]:
