@@ -129,3 +129,31 @@ def test_mixed_precision_train_step(tiny_cfg):
         losses.append(float(loss))
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_fused_train_rejects_long_sequences(tiny_cfg):
+    """Past the single-tile VMEM attention limit the backward megakernels
+    can't run; the custom-VJP forward must fail with guidance instead of
+    a compile-time VMEM blowup."""
+    import pytest
+
+    from vit_tpu.ops.pallas.fused_block import VMEM_ATTENTION_MAX_T
+    from vit_tpu.ops.pallas.trainable import fused_encoder_block_trainable
+
+    t = VMEM_ATTENTION_MAX_T + 8
+    d, h = 64, 4
+    x = jnp.zeros((t, d), jnp.float32)
+    blk = {
+        "ln1_scale": jnp.ones((d,)), "ln1_bias": jnp.zeros((d,)),
+        "wqkv": jnp.zeros((d, 3 * d)), "bqkv": jnp.zeros((3 * d,)),
+        "wo": jnp.zeros((d, d)), "bo": jnp.zeros((d,)),
+        "ln2_scale": jnp.ones((d,)), "ln2_bias": jnp.zeros((d,)),
+        "w1": jnp.zeros((d, 4 * d)), "b1": jnp.zeros((4 * d,)),
+        "w2": jnp.zeros((4 * d, d)), "b2": jnp.zeros((d,)),
+    }
+
+    def loss(p):
+        return fused_encoder_block_trainable(x, p, h, t, 1e-6).sum()
+
+    with pytest.raises(ValueError, match="fused_train supports seq_len"):
+        jax.grad(loss)(blk)

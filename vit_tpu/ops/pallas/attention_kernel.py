@@ -31,6 +31,9 @@ from vit_tpu.ops import reference
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float):
+    from vit_tpu.ops.pallas.fused_block import dot_precision
+
+    prec = dot_precision(q_ref.dtype)  # fp32 dots must pin HIGHEST on MXU
     q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # fold 1/sqrt(Dh) into Q
     k = k_ref[0]
     v = v_ref[0]
@@ -39,14 +42,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float):
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),  # Q @ K^T
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)  # reciprocal-multiply
     p = (p * inv).astype(v.dtype)
-    out_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
-        out_ref.dtype
-    )
+    out_ref[0] = jnp.dot(
+        p, v, preferred_element_type=jnp.float32, precision=prec
+    ).astype(out_ref.dtype)
 
 
 def scaled_dot_product_attention(

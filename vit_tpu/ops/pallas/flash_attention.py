@@ -44,8 +44,12 @@ def _flash_kernel(
     # unspecified, and 0 * garbage in p @ v would poison every output row
     vrow = jax.lax.broadcasted_iota(jnp.int32, v.shape, dimension=0) + k_start
     v = jnp.where(vrow < t_total, v, 0).astype(v.dtype)
+    from vit_tpu.ops.pallas.fused_block import dot_precision
+
+    prec = dot_precision(q_ref.dtype)  # fp32 dots must pin HIGHEST on MXU
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
     )  # (bq, bk)
 
     # mask out-of-range key columns
@@ -58,7 +62,8 @@ def _flash_kernel(
     correction = jnp.exp(m_prev - m_new)
     l_new = l_scr[:] * correction + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * correction + jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+        precision=prec,
     )
     m_scr[:] = m_new
     l_scr[:] = l_new

@@ -40,15 +40,24 @@ def _erf(x):
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, gelu_variant):
+    # function-level import: fused_block imports this module's _erf, so a
+    # module-level import here would cycle; fused_block owns the shared
+    # GELU/precision helpers (one source of truth)
+    from vit_tpu.ops.pallas.fused_block import (
+        _gelu,
+        dot_precision,
+        use_fast_erf,
+    )
+
     x = x_ref[:]
-    h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    prec = dot_precision(x.dtype)  # fp32 dots must pin HIGHEST on MXU
+    h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32,
+                precision=prec)
     h = h + b1_ref[:].astype(jnp.float32)
-    if gelu_variant == "exact":
-        h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
-    else:
-        h = 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h)))
+    h = _gelu(h, gelu_variant, fast_erf=use_fast_erf(x.dtype))
     h = h.astype(x.dtype)
-    out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32,
+                  precision=prec)
     out = out + b2_ref[:].astype(jnp.float32)
     out_ref[:] = out.astype(out_ref.dtype)
 
@@ -102,6 +111,11 @@ def mlp(
             flops=4 * rows * d * f,
             bytes_accessed=(2 * rows * d + 2 * d * f) * x.dtype.itemsize,
             transcendentals=rows * f,
+        ),
+        # fp32 weights + HIGHEST-precision dots exceed the 16 MB default
+        # scoped-VMEM budget at B/16 scale (W1+W2 fp32 = 18.9 MB resident)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(x2, w1, b1.reshape(1, f), w2, b2.reshape(1, d))

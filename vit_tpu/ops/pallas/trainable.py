@@ -49,7 +49,20 @@ def fused_encoder_block_trainable(
 
 def _fwd(x2d, blk, num_heads, seq_len, eps, gelu_variant):
     from vit_tpu.ops.pallas import interpret_default
+    from vit_tpu.ops.pallas.fused_block import VMEM_ATTENTION_MAX_T
 
+    if seq_len > VMEM_ATTENTION_MAX_T:
+        # The backward megakernels assume the single-tile VMEM attention
+        # (full per-head (T, T) scores resident); past this point the
+        # primal falls back to blockwise flash attention, which has no
+        # hand-written backward — fail with guidance instead of blowing
+        # the VMEM budget at compile time.
+        raise ValueError(
+            f"fused_train supports seq_len <= {VMEM_ATTENTION_MAX_T} "
+            f"(got {seq_len}); train long sequences with ops='xla' "
+            "(autodiff through the flash/XLA path) or sequence "
+            "parallelism (vit-tpu-train --sp)"
+        )
     interpret = interpret_default()
     # Stash only (x, ctx, x1); the backward recomputes LN/QKV/probs/FC1 in
     # VMEM.  Stashing qkv / pre-GELU u instead was measured SLOWER on-chip

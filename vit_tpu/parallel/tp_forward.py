@@ -175,7 +175,7 @@ def _mlp_q8_tp(x2d, blk, eps, variant, axis):
     int32* (dequant after the sum keeps the arithmetic identical to the
     unsharded kernel; the int8 GEMMs lower to the MXU through XLA here).
     """
-    from vit_tpu.ops.pallas.fused_block import _gelu, _ln
+    from vit_tpu.ops.pallas.fused_block import _gelu, _ln, use_fast_erf
 
     f32 = jnp.float32
     h = _ln(x2d, blk["ln2_scale"], blk["ln2_bias"], eps)  # fp32, full D
@@ -186,7 +186,11 @@ def _mlp_q8_tp(x2d, blk, eps, variant, axis):
         hq, blk["w1"], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
     mid = acc1.astype(f32) * hs * blk["w1_scale"].astype(f32)
-    mid = _gelu(mid + blk["b1"].astype(f32), variant)
+    # same erf form as the unsharded q8 kernel (tanh-form when the compute
+    # dtype is bf16) — a different erf would shift values right before the
+    # round(), letting tp>1 int8 codes drift off tp=1 by an LSB
+    mid = _gelu(mid + blk["b1"].astype(f32), variant,
+                fast_erf=use_fast_erf(x2d.dtype))
     # global (full-row) scale: pmax over the tp shards of the hidden axis
     mmax = jax.lax.pmax(jnp.max(jnp.abs(mid), axis=-1, keepdims=True), axis)
     ms = jnp.maximum(mmax / 127.0, 1e-12)
