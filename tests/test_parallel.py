@@ -190,6 +190,21 @@ def test_quant_tp_matches_single_device(tiny_cfg, tiny_params, tiny_images, tp):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_quant_tp_bf16_matches_single_device(tiny_cfg, tiny_params,
+                                             tiny_images):
+    """bf16 quant under tp: the TP MLP must use the SAME erf form as the
+    unsharded q8 kernel (tanh-form in bf16) — a different erf right before
+    the int8 round() would drift codes by an LSB between tp=1 and tp>1."""
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    single = InferenceEngine(tiny_cfg, tiny_params, dtype="bfloat16",
+                             ops="quant", batch_pad=4)
+    sharded = InferenceEngine(tiny_cfg, tiny_params, dtype="bfloat16",
+                              ops="quant", mesh=mesh, batch_pad=4)
+    a = np.asarray(single.logits(tiny_images))
+    b = np.asarray(sharded.logits(tiny_images))
+    np.testing.assert_allclose(a, b, atol=5e-2)  # bf16 reduction-order noise
+
+
 def test_fused_tp_features_and_bf16(tiny_cfg, tiny_params, tiny_images):
     mesh = make_mesh({"dp": 4, "tp": 2})
     single = InferenceEngine(tiny_cfg, tiny_params, dtype="bfloat16", ops="fused",
