@@ -208,6 +208,48 @@ def test_serve_http_endpoint(tiny_cfg, tiny_params, tmp_path, monkeypatch):
     assert not t.is_alive()
 
 
+def test_dispatch_failure_releases_backlog_and_server_survives(
+    tiny_cfg, tiny_params
+):
+    """A request that fails INSIDE dispatch (wrong image size passes
+    submit's shape check) must release its backlog accounting and leave
+    the server serving — a leak would eventually shed all traffic."""
+    from vit_tpu.runtime.serving import InferenceServer
+
+    eng = InferenceEngine(tiny_cfg, tiny_params, dtype="float32",
+                          batch_pad=4)
+    with InferenceServer(eng, max_batch=4, max_delay_ms=1.0,
+                         max_queue_images=8) as srv:
+        bad = np.zeros((2, 3, 8, 8), np.float32)  # wrong H/W for the model
+        with pytest.raises(Exception):
+            srv.classify(bad, timeout=30)
+        good = np.zeros(
+            (2, 3, tiny_cfg.image_size, tiny_cfg.image_size), np.float32
+        )
+        labels, top, _ = srv.classify(good, timeout=30)
+        assert len(labels) == 2
+    assert srv._pending == 0  # the failed batch released its accounting
+
+
+def test_cancelled_future_does_not_wedge_server(tiny_cfg, tiny_params):
+    """A client cancelling its Future must not kill the completer thread
+    (InvalidStateError on set_result) — later requests still resolve."""
+    from vit_tpu.runtime.serving import InferenceServer
+
+    eng = InferenceEngine(tiny_cfg, tiny_params, dtype="float32",
+                          batch_pad=4)
+    imgs = np.zeros(
+        (2, 3, tiny_cfg.image_size, tiny_cfg.image_size), np.float32
+    )
+    with InferenceServer(eng, max_batch=4, max_delay_ms=1.0,
+                         max_queue_images=64) as srv:
+        for _ in range(5):
+            srv.submit(imgs).cancel()  # races dispatch; either state is fine
+        labels, top, _ = srv.classify(imgs, timeout=30)
+        assert len(labels) == 2
+    assert srv._pending == 0
+
+
 def test_submit_rejects_oversize_request(tiny_cfg, tiny_params):
     """A request larger than max_batch is a client error (it would compile
     a fresh padded size), not something to silently dispatch."""

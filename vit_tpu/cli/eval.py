@@ -81,19 +81,21 @@ def main(argv=None) -> int:
         ops = "fused" if jax.default_backend() == "tpu" else "xla"
 
     ds = None
-    folder_ds = None
     if args.image_dir:
         from vit_tpu.io.dataset import ImageFolderDataset
 
-        folder_ds = ImageFolderDataset(args.image_dir, cfg.image_size)
-        n_total = (
-            min(args.limit, len(folder_ds)) if args.limit else len(folder_ds)
-        )
-        print(f"{n_total} images, {len(folder_ds.class_names)} classes",
+        ds = ImageFolderDataset(args.image_dir, cfg.image_size)
+        if len(ds.class_names) > cfg.num_classes:
+            print(f"error: {len(ds.class_names)} class folders > "
+                  f"{cfg.num_classes} model classes ({cfg.name}) — folder "
+                  "indices would not map to model outputs", file=sys.stderr)
+            return 2
+        n_total = min(args.limit, len(ds)) if args.limit else len(ds)
+        print(f"{n_total} images, {len(ds.class_names)} classes",
               file=sys.stderr)
         bs = min(args.batch, n_total)
-        images = folder_ds.read(range(bs))  # threaded decode + preprocess
-        labels = folder_ds.labels()[:bs]
+        images = ds.read(range(bs))  # threaded decode + preprocess
+        labels = ds.labels()[:bs]
     elif args.data_dir:
         from vit_tpu.io.dataset import BinShardDataset
 
@@ -102,7 +104,7 @@ def main(argv=None) -> int:
         bs = min(args.batch, n_total)
         # first batch materialized for engine batch_pad sizing; the rest
         # stream (never the whole dataset in host RAM)
-        images = ds.read(range(min(bs, n_total)))
+        images = ds.read(range(bs))
         labels = ds.labels()[: len(images)]
     else:
         from vit_tpu.io.images import load_image_bin
@@ -135,25 +137,26 @@ def main(argv=None) -> int:
         batch_pad=min(args.batch, len(images)), gelu_variant=args.gelu,
     )
     t0 = time.perf_counter()
-    if folder_ds is not None:
-        all_labels = folder_ds.labels()
+    if ds is not None:
+        # one streaming generator serves both dataset kinds (identical
+        # read/labels interface); host reads / PIL decodes for batch i+1
+        # overlap batch i's device compute via the prefetch wrapper
+        from vit_tpu.runtime.prefetch import prefetch_to_device
 
-        def _fstream():
-            yield images, labels  # already read (threaded pool)
-            for i in range(len(images), n_total, args.batch):
-                take = range(i, min(i + args.batch, n_total))
-                yield folder_ds.read(take), all_labels[take.start : take.stop]
+        all_labels = ds.labels()
 
-        report = accuracy.evaluate_batches(engine, _fstream())
-    elif ds is not None:
         def _stream():
             yield images, labels  # already read
-            all_labels = ds.labels()
             for i in range(len(images), n_total, args.batch):
                 take = range(i, min(i + args.batch, n_total))
                 yield ds.read(take), all_labels[take.start : take.stop]
 
-        report = accuracy.evaluate_batches(engine, _stream())
+        stream = prefetch_to_device(_stream(), size=2,
+                                    place=lambda item: item)
+        try:
+            report = accuracy.evaluate_batches(engine, stream)
+        finally:
+            stream.close()
     else:
         report = accuracy.evaluate(
             engine, images, labels, batch_size=min(args.batch, len(images))

@@ -170,9 +170,18 @@ class BinShardDataset(EpochStream):
             [np.arange(n, dtype=np.int64) for n in counts]
         ) if counts else np.zeros(0, np.int64)
         self._offset_of = _HEADER_BYTES + within * self.sample_bytes
+        have = [l is not None for l in labels]
+        if any(have) and not all(have):
+            missing = [str(paths[i]) for i, h in enumerate(have) if not h]
+            raise ValueError(
+                "some shards have .labels.bin files and some don't "
+                f"(missing for: {missing}); label a shard set consistently "
+                "— silently dropping the labeled shards' labels would "
+                "train/evaluate unlabeled"
+            )
         self._labels = (
             np.concatenate([l for l in labels]).astype(np.int32)
-            if all(l is not None for l in labels)
+            if all(have)
             else None
         )
         self._mmaps: List[Optional[np.memmap]] = [None] * len(paths)

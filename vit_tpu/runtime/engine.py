@@ -220,7 +220,7 @@ class InferenceEngine:
         n = images.shape[0]
         grain = self.batch_pad
         if self.mesh is not None:
-            grain = _lcm(grain, self.mesh.shape.get("dp", 1))
+            grain = math.lcm(grain, self.mesh.shape.get("dp", 1))
         padded = max(grain, math.ceil(n / grain) * grain)
         if on_device:
             x = images.astype(self.compute_dtype)
@@ -302,6 +302,3 @@ class InferenceEngine:
         args = (self.params, jax.ShapeDtypeStruct(shape, self.compute_dtype))
         return self._forward.lower(*args).as_text()
 
-
-def _lcm(a: int, b: int) -> int:
-    return a * b // math.gcd(a, b)

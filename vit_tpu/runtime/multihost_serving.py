@@ -254,6 +254,11 @@ class LockstepServer(_ServerBase):
                     continue
             elif not reqs:
                 continue
+            cancelled = [r for r in reqs
+                         if not r.future.set_running_or_notify_cancel()]
+            if cancelled:
+                self._release_pending(cancelled)
+                reqs = [r for r in reqs if r not in cancelled]
             try:
                 labels, top, probs = self._dispatch(reqs)
                 if not reqs:
@@ -264,7 +269,8 @@ class LockstepServer(_ServerBase):
                 self._inflight.put((labels, top, probs, reqs))
             except Exception as e:
                 for r in reqs:
-                    r.future.set_exception(e)
+                    self._resolve(r.future, exc=e)
+                self._release_pending(reqs)
         self._inflight.put(_STOP)
 
     def _local_rows(self, arr) -> np.ndarray:

@@ -182,6 +182,23 @@ class _ServerBase:
     def _validate(self, images) -> None:
         pass
 
+    def _release_pending(self, reqs) -> None:
+        with self._pending_lock:
+            self._pending -= sum(len(r.images) for r in reqs)
+
+    @staticmethod
+    def _resolve(fut: Future, result=None, exc=None) -> None:
+        """set_result/set_exception that tolerates a client-cancelled
+        future — an InvalidStateError here would kill the completer thread
+        and wedge the bounded in-flight pipeline."""
+        try:
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(result)
+        except Exception:  # concurrent.futures.InvalidStateError
+            pass
+
     def _to_host(self, arr) -> np.ndarray:
         return np.asarray(arr)  # host sync for this batch
 
@@ -202,9 +219,8 @@ class _ServerBase:
                 probs = self._to_host(probs_dev) if probs_dev is not None else None
             except Exception as e:
                 for r in reqs:
-                    r.future.set_exception(e)
-                with self._pending_lock:
-                    self._pending -= sum(len(r.images) for r in reqs)
+                    self._resolve(r.future, exc=e)
+                self._release_pending(reqs)
                 continue
             self.stats.batches += 1
             off = 0
@@ -215,14 +231,13 @@ class _ServerBase:
                     if (probs is not None and r.return_probs)
                     else None
                 )
-                r.future.set_result(
-                    (labels[off : off + n], top[off : off + n], p)
+                self._resolve(
+                    r.future, (labels[off : off + n], top[off : off + n], p)
                 )
                 off += n
                 self.stats.requests += 1
                 self.stats.images += n
-            with self._pending_lock:
-                self._pending -= sum(len(r.images) for r in reqs)
+            self._release_pending(reqs)
 
 
 class InferenceServer(_ServerBase):
@@ -345,7 +360,8 @@ class InferenceServer(_ServerBase):
                 self._inflight.put((labels, top, probs, reqs))  # backpressure
             except Exception as e:  # config errors etc. -> fail the batch
                 for r in reqs:
-                    r.future.set_exception(e)
+                    self._resolve(r.future, exc=e)
+                self._release_pending(reqs)
         self._inflight.put(_STOP)
 
 
@@ -380,7 +396,11 @@ def measure_throughput(
             jax.device_put(jnp.asarray(r, server.engine.compute_dtype))
             for r in requests
         ]
-        jax.block_until_ready(requests)
+        # block_until_ready can return before remote execution completes
+        # through this environment's tunnel (CLAUDE.md); a scalar readback
+        # over every staged array is the real barrier, keeping in-flight
+        # transfers out of the timed window
+        float(sum(jnp.sum(r[..., 0, 0]) for r in requests))
     server.warmup()  # compile every padded size outside the timed window
     server.classify(requests[0])
     t0 = time.perf_counter()
