@@ -424,6 +424,50 @@ def test_train_cli_save_reference_roundtrip(tiny_cfg, monkeypatch, capsys,
         )
 
 
+def test_transfer_learning_num_classes(tiny_cfg, monkeypatch, capsys,
+                                       tmp_path):
+    """--init-weights + --num-classes: pretrained backbone kept, fresh
+    K-way head; the fine-tuned checkpoint then classifies via
+    --num-classes on the driver."""
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.main import main as classify_main
+    from vit_tpu.cli.train import main as train_main
+    from vit_tpu.io import checkpoint as ckpt
+    from vit_tpu.io import weights as wio
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    wio.save_reference_weights(
+        wio.synth_reference_tensors(tiny_cfg, seed=5),
+        tmp_path / "Network", tiny_cfg,
+    )
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "2", "--batch", "4",
+        "--dp", "1", "--ops", "xla", "--init-weights",
+        str(tmp_path / "Network"), "--num-classes", "3",
+        "--label-smoothing", "0.1", "--save", str(tmp_path / "ft.npz"),
+        "--no-compile-cache",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fresh 64 x 3 head over the pretrained backbone" in out
+    ft = ckpt.load_npz(tmp_path / "ft.npz")
+    assert ft["head"]["kernel"].shape == (tiny_cfg.embed_dim, 3)
+    # backbone came from the checkpoint, not fresh init
+    orig = wio.load_reference_weights(tmp_path / "Network", tiny_cfg)
+    assert np.asarray(ft["blocks"]["wqkv"]).shape == np.asarray(
+        orig["blocks"]["wqkv"]
+    ).shape
+
+    rc = classify_main([
+        "--config", "vit_tiny_test", "--num-classes", "3",
+        "--weights", str(tmp_path / "ft.npz"), "--synth", "2",
+        "--dtype", "float32", "--ops", "xla", "--batch-pad", "2",
+        "--no-compile-cache",
+    ])
+    assert rc == 0
+    assert "label:" in capsys.readouterr().out
+
+
 def test_train_cli_grad_clip(tiny_cfg, monkeypatch, capsys):
     import vit_tpu.config as config_mod
     from vit_tpu.cli.train import main as train_main

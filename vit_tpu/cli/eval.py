@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="vit-tpu-eval", description="top-1/top-5 accuracy evaluation"
     )
     p.add_argument("--config", default="vit_b_16")
+    p.add_argument(
+        "--num-classes", type=int, default=None, metavar="K",
+        help="override the config's class count (fine-tuned checkpoints)",
+    )
     p.add_argument("--weights", required=True)
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--data-dir", help="dir of labeled .bin shards")
@@ -76,6 +80,10 @@ def main(argv=None) -> int:
         enable_compilation_cache()
 
     cfg = get_config(args.config)
+    if args.num_classes:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, num_classes=args.num_classes)
     ops = args.ops
     if ops == "auto":
         ops = "fused" if jax.default_backend() == "tpu" else "xla"

@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="vit-tpu", description="TPU-native ViT ImageNet classifier"
     )
     p.add_argument("--config", default="vit_b_16", help="model variant name")
+    p.add_argument(
+        "--num-classes", type=int, default=None, metavar="K",
+        help="override the config's class count (fine-tuned checkpoints)",
+    )
     p.add_argument("--weights", required=True, help="weight source: Weight_*.bin dir, .npz checkpoint, torchvision .pth, or Orbax dir")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="input-100.bin-format image batch")
@@ -123,6 +127,10 @@ def main(argv=None) -> int:
         enable_compilation_cache()
 
     cfg = get_config(args.config)
+    if args.num_classes:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, num_classes=args.num_classes)
 
     ops = args.ops
     if ops == "auto":

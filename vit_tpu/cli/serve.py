@@ -28,6 +28,10 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vit-tpu-serve")
     p.add_argument("--config", default="vit_b_16")
+    p.add_argument(
+        "--num-classes", type=int, default=None, metavar="K",
+        help="override the config's class count (fine-tuned checkpoints)",
+    )
     p.add_argument("--weights", required=True)
     p.add_argument("--allow-synth-weights", action="store_true")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
@@ -93,6 +97,10 @@ def _build_server(args):
         enable_compilation_cache()
 
     cfg = get_config(args.config)
+    if args.num_classes:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, num_classes=args.num_classes)
     if args.multihost:
         from vit_tpu.parallel import make_mesh
         from vit_tpu.runtime import distributed

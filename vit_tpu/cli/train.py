@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
         "the image decoder pool (--image-dir)",
     )
     p.add_argument("--init-weights", help="warm-start from a Weight_*.bin dir, .npz, .pth, or Orbax checkpoint")
+    p.add_argument(
+        "--num-classes", type=int, default=None, metavar="K",
+        help="transfer learning: fine-tune to K classes — with "
+        "--init-weights the pretrained backbone is kept and the "
+        "classification head is re-initialized fresh at (D, K)",
+    )
     p.add_argument("--allow-synth-weights", action="store_true")
     p.add_argument("--save", help="save final params to this .npz")
     p.add_argument(
@@ -256,6 +262,11 @@ def main(argv=None) -> int:
         enable_compilation_cache()
 
     cfg = get_config(args.config)
+    load_cfg = cfg  # --init-weights loads under the checkpoint's own head
+    if args.num_classes:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, num_classes=args.num_classes)
     n_dev = jax.device_count()
     procs = jax.process_count()
     if args.multihost:
@@ -413,10 +424,20 @@ def main(argv=None) -> int:
             return 2
         optimizer = optax.apply_if_finite(optimizer, max_consecutive_errors=8)
     if args.init_weights:
+        # transfer learning: load the backbone under its ORIGINAL head
+        # size (load_cfg), then swap in a fresh K-way head
         params = load_params_any(
-            args.init_weights, cfg, allow_synth=args.allow_synth_weights
+            args.init_weights, load_cfg, allow_synth=args.allow_synth_weights
         )
         params = jax.tree.map(jnp.asarray, params)
+        if args.num_classes:
+            from vit_tpu.models.vit import init_params as _init
+
+            fresh = _init(jax.random.key(args.seed ^ 0x4EAD), cfg)
+            params = dict(params)
+            params["head"] = fresh["head"]
+            print(f"transfer learning: fresh {cfg.embed_dim} x "
+                  f"{args.num_classes} head over the pretrained backbone")
         opt_state = optimizer.init(params)
     else:
         params, opt_state = trainer.init_train_state(
