@@ -468,6 +468,39 @@ def test_transfer_learning_num_classes(tiny_cfg, monkeypatch, capsys,
     assert "label:" in capsys.readouterr().out
 
 
+def test_train_cli_freeze_backbone(tiny_cfg, monkeypatch, capsys, tmp_path):
+    """--freeze-backbone (linear probe): only the head moves."""
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+    from vit_tpu.io import checkpoint as ckpt
+    from vit_tpu.io import weights as wio
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    wio.save_reference_weights(
+        wio.synth_reference_tensors(tiny_cfg, seed=6),
+        tmp_path / "Network", tiny_cfg,
+    )
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "2", "--batch", "4",
+        "--dp", "1", "--ops", "xla", "--init-weights",
+        str(tmp_path / "Network"), "--num-classes", "3",
+        "--freeze-backbone", "--save", str(tmp_path / "probe.npz"),
+        "--no-compile-cache",
+    ])
+    assert rc == 0
+    assert "training the classification head only" in capsys.readouterr().out
+    ft = ckpt.load_npz(tmp_path / "probe.npz")
+    orig = wio.load_reference_weights(tmp_path / "Network", tiny_cfg)
+    np.testing.assert_array_equal(  # backbone untouched
+        np.asarray(ft["blocks"]["wqkv"], np.float32),
+        np.asarray(orig["blocks"]["wqkv"], np.float32),
+    )
+    assert ft["head"]["kernel"].shape == (tiny_cfg.embed_dim, 3)
+    # the head DID receive updates (nonzero after the zero-bias fresh init
+    # would stay zero only if frozen)
+    assert np.abs(np.asarray(ft["head"]["bias"])).max() > 0
+
+
 def test_train_cli_grad_clip(tiny_cfg, monkeypatch, capsys):
     import vit_tpu.config as config_mod
     from vit_tpu.cli.train import main as train_main

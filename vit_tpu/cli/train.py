@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--init-weights the pretrained backbone is kept and the "
         "classification head is re-initialized fresh at (D, K)",
     )
+    p.add_argument(
+        "--freeze-backbone", action="store_true",
+        help="linear probe: update only the classification head "
+        "(optax.masked over the optimizer); pairs with --init-weights "
+        "and --num-classes",
+    )
     p.add_argument("--allow-synth-weights", action="store_true")
     p.add_argument("--save", help="save final params to this .npz")
     p.add_argument(
@@ -417,6 +423,29 @@ def main(argv=None) -> int:
             optax.clip_by_global_norm(args.grad_clip), optimizer
         )
         print(f"grad-clip: global norm {args.grad_clip}")
+    if args.freeze_backbone:
+        if args.optimizer == "fused_adamw":
+            print("error: --freeze-backbone requires --optimizer adamw",
+                  file=sys.stderr)
+            return 2
+
+        def _labels(params):
+            # NOTE: optax.masked alone would pass RAW GRADS through for
+            # frozen leaves (identity, not zero) — multi_transform with
+            # set_to_zero is the correct freeze
+            import jax as _jax
+
+            return _jax.tree_util.tree_map_with_path(
+                lambda path, _: (
+                    "train" if path[0].key == "head" else "freeze"
+                ),
+                params,
+            )
+
+        optimizer = optax.multi_transform(
+            {"train": optimizer, "freeze": optax.set_to_zero()}, _labels
+        )
+        print("freeze-backbone: training the classification head only")
     if args.skip_nonfinite:
         if args.optimizer == "fused_adamw":
             print("error: --skip-nonfinite requires --optimizer adamw",
