@@ -9,5 +9,12 @@ and profiling — the parts a production serving stack still needs.
 
 from vit_tpu.runtime.engine import InferenceEngine
 from vit_tpu.runtime.profiler import PhaseTimer, roofline
+from vit_tpu.runtime.serving import InferenceServer, ServerOverloadedError
 
-__all__ = ["InferenceEngine", "PhaseTimer", "roofline"]
+__all__ = [
+    "InferenceEngine",
+    "InferenceServer",
+    "ServerOverloadedError",
+    "PhaseTimer",
+    "roofline",
+]
