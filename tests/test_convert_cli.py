@@ -81,6 +81,40 @@ def test_orbax_output(ref_dir, tiny_cfg, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_hf_source(tiny_cfg, tmp_path, monkeypatch, capsys):
+    """--hf: a saved HuggingFace ViT checkpoint converts to .npz with the
+    packed-QKV repack applied."""
+    transformers = pytest.importorskip("transformers")
+    import vit_tpu.config as config_mod
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    hf_cfg = transformers.ViTConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=256, image_size=32, patch_size=16, num_labels=11,
+    )
+    import torch
+
+    torch.manual_seed(1)
+    model = transformers.ViTForImageClassification(hf_cfg).eval()
+    model.save_pretrained(tmp_path / "hf_model")
+    rc = convert_main([
+        "--config", "vit_tiny_test", "--hf",
+        "--from", str(tmp_path / "hf_model"),
+        "--to", str(tmp_path / "from_hf.npz"),
+    ])
+    assert rc == 0
+    p = ckpt.load_npz(tmp_path / "from_hf.npz")
+    assert np.asarray(p["blocks"]["wqkv"]).shape == (2, 64, 192)
+
+    rc = convert_main([
+        "--config", "vit_tiny_test", "--hf",
+        "--from", str(tmp_path / "no_such_dir"),
+        "--to", str(tmp_path / "x.npz"),
+    ])
+    assert rc == 2
+    assert "cannot load HF checkpoint" in capsys.readouterr().err
+
+
 def test_bad_source(tiny_cfg, tmp_path, capsys, monkeypatch):
     import vit_tpu.config as config_mod
 
