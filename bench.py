@@ -83,14 +83,24 @@ def main(argv=None) -> None:
         float(acc)  # single host sync at the end
         return (time.perf_counter() - t0) / iters
 
+    def spread(fn, iters, samples=3):
+        """>=3 independent timing samples -> (median, min, max).
+
+        One sample can't distinguish a regression from tunnel variance
+        (round-2 verdict "what's weak" #1): the headline quotes the median
+        and carries min/max so the artifact records its own noise floor."""
+        dts = sorted(fn(iters) for _ in range(samples))
+        return dts[len(dts) // 2], dts[0], dts[-1]
+
     timed_pass(3)  # warm EVERYTHING in the timed expression (incl. sum/add ops
     #               — their first-use compile otherwise lands inside the timing)
-    dt = timed_pass(50)
+    dt, dt_min, dt_max = spread(timed_pass, 20)
 
     # Also time the W8A8 int8 path (2x MXU rate; labels preserved, slightly
     # looser logits) — reported alongside, headline stays the parity-gated
     # bf16 fused path.
     int8_img_per_sec = None
+    int8_spread = (None, None)
     if ops_impl == "fused":
         try:
             q_engine = InferenceEngine(cfg, params, dtype="bfloat16", ops="quant",
@@ -106,7 +116,9 @@ def main(argv=None) -> None:
                 return (time.perf_counter() - t0) / iters
 
             q_pass(3)
-            int8_img_per_sec = round(batch / q_pass(50), 2)
+            qdt, qdt_min, qdt_max = spread(q_pass, 20)
+            int8_img_per_sec = round(batch / qdt, 2)
+            int8_spread = (round(batch / qdt_max, 2), round(batch / qdt_min, 2))
         except Exception as e:  # report quant-path breakage, don't hide it
             import sys
             import traceback
@@ -119,6 +131,7 @@ def main(argv=None) -> None:
     # Training throughput: fused_train (Pallas forward + hand-written
     # backward kernels), bf16 mixed precision, adamw — B/16 batch 64.
     train_img_per_sec = None
+    train_spread = (None, None)
     if ops_impl == "fused" and cfg.name == "vit_b_16":
         try:
             import optax
@@ -153,8 +166,13 @@ def main(argv=None) -> None:
                 return (time.perf_counter() - t0) / iters, p, o
 
             _, tparams, topt = t_pass(3, tparams, topt)
-            tdt, tparams, topt = t_pass(20, tparams, topt)
-            train_img_per_sec = round(tb / tdt, 2)
+            tdts = []
+            for _ in range(3):
+                tdt_i, tparams, topt = t_pass(12, tparams, topt)
+                tdts.append(tdt_i)
+            tdts.sort()
+            train_img_per_sec = round(tb / tdts[1], 2)
+            train_spread = (round(tb / tdts[-1], 2), round(tb / tdts[0], 2))
         except Exception as e:
             import sys
             import traceback
@@ -209,6 +227,8 @@ def main(argv=None) -> None:
         "vs_baseline": round(stats["mxu_utilization"] / 0.50, 4),
         "vs_baseline_definition": "mxu_utilization / 0.50 north-star (reference publishes no numbers)",
         "batch_latency_ms": round(dt * 1e3, 3),
+        "batch_latency_ms_spread": [round(dt_min * 1e3, 3), round(dt_max * 1e3, 3)],
+        "timing_samples": 3,
         "mxu_utilization_bf16": round(stats["mxu_utilization"], 4),
         "tflops_per_sec": round(stats["tflops_per_sec"], 2),
         "ops_impl": ops_impl,
@@ -223,7 +243,9 @@ def main(argv=None) -> None:
             full_label_match and full_prob_dev <= 0.01
         ),
         "int8_images_per_sec": int8_img_per_sec,
+        "int8_images_per_sec_spread": list(int8_spread),
         "train_images_per_sec_fused_bf16_b64": train_img_per_sec,
+        "train_images_per_sec_spread": list(train_spread),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -131,10 +131,58 @@ def test_mixed_precision_train_step(tiny_cfg):
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
 
 
-def test_fused_train_rejects_long_sequences(tiny_cfg):
-    """Past the single-tile VMEM attention limit the backward megakernels
-    can't run; the custom-VJP forward must fail with guidance instead of
-    a compile-time VMEM blowup."""
+def _rand_blk(key, d, f):
+    ks = jax.random.split(key, 12)
+    z = lambda i, shape, s=0.2: jax.random.normal(ks[i], shape, jnp.float32) * s  # noqa: E731
+    return {
+        "ln1_scale": 1.0 + z(0, (d,), 0.05), "ln1_bias": z(1, (d,), 0.05),
+        "wqkv": z(2, (d, 3 * d)), "bqkv": z(3, (3 * d,), 0.05),
+        "wo": z(4, (d, d)), "bo": z(5, (d,), 0.05),
+        "ln2_scale": 1.0 + z(6, (d,), 0.05), "ln2_bias": z(7, (d,), 0.05),
+        "w1": z(8, (d, f)), "b1": z(9, (f,), 0.05),
+        "w2": z(10, (f, d)), "b2": z(11, (d,), 0.05),
+    }
+
+
+def test_long_seq_trainable_grads_match_autodiff():
+    """Past the single-tile VMEM attention limit, the fused_train block
+    routes through the blockwise flash-attention VJP (round-2 verdict #1);
+    grads must match jnp autodiff end-to-end (fp32, interpret)."""
+    from vit_tpu.ops.pallas.fused_block import VMEM_ATTENTION_MAX_T
+    from vit_tpu.ops.pallas.trainable import (
+        _reference_block_2d,
+        encoder_block_trainable,
+    )
+
+    t = VMEM_ATTENTION_MAX_T + 40  # ragged flash blocks
+    d, h, f = 64, 4, 128
+    key = jax.random.key(7)
+    x = jax.random.normal(jax.random.fold_in(key, 99), (t, d), jnp.float32)
+    blk = _rand_blk(key, d, f)
+
+    def loss_kernel(xx, p):
+        return (encoder_block_trainable(xx, p, h, t, 1e-6) ** 2).sum()
+
+    def loss_ref(xx, p):
+        return (_reference_block_2d(xx, p, h, t, 1e-6, "exact") ** 2).sum()
+
+    gx_a, gb_a = jax.grad(loss_kernel, (0, 1))(x, blk)
+    gx_b, gb_b = jax.grad(loss_ref, (0, 1))(x, blk)
+    scale = max(1.0, float(jnp.abs(gx_b).max()))
+    np.testing.assert_allclose(
+        np.asarray(gx_a) / scale, np.asarray(gx_b) / scale, atol=1e-4
+    )
+    for k in gb_b:
+        s = max(1.0, float(jnp.abs(gb_b[k]).max()))
+        np.testing.assert_allclose(
+            np.asarray(gb_a[k]) / s, np.asarray(gb_b[k]) / s, atol=1e-4,
+            err_msg=k,
+        )
+
+
+def test_fused_block_trainable_direct_long_seq_raises():
+    """The inner megakernel VJP still guards its own precondition (the
+    dispatcher in encoder_block_trainable is the supported entry)."""
     import pytest
 
     from vit_tpu.ops.pallas.fused_block import VMEM_ATTENTION_MAX_T
@@ -143,17 +191,10 @@ def test_fused_train_rejects_long_sequences(tiny_cfg):
     t = VMEM_ATTENTION_MAX_T + 8
     d, h = 64, 4
     x = jnp.zeros((t, d), jnp.float32)
-    blk = {
-        "ln1_scale": jnp.ones((d,)), "ln1_bias": jnp.zeros((d,)),
-        "wqkv": jnp.zeros((d, 3 * d)), "bqkv": jnp.zeros((3 * d,)),
-        "wo": jnp.zeros((d, d)), "bo": jnp.zeros((d,)),
-        "ln2_scale": jnp.ones((d,)), "ln2_bias": jnp.zeros((d,)),
-        "w1": jnp.zeros((d, 4 * d)), "b1": jnp.zeros((4 * d,)),
-        "w2": jnp.zeros((4 * d, d)), "b2": jnp.zeros((d,)),
-    }
+    blk = _rand_blk(jax.random.key(0), d, 4 * d)
 
     def loss(p):
         return fused_encoder_block_trainable(x, p, h, t, 1e-6).sum()
 
-    with pytest.raises(ValueError, match="fused_train supports seq_len"):
+    with pytest.raises(ValueError, match="seq_len"):
         jax.grad(loss)(blk)

@@ -52,9 +52,13 @@ FUSED_OPS = OpsImpl(
     encoder_block=fused_encoder_block,
 )
 
-# Trainable fused path: Pallas forward, reference-formulation backward
-# (pallas_call has no auto-VJP; recompute doubles as remat).
-from vit_tpu.ops.pallas.trainable import fused_encoder_block_trainable
+# Trainable fused path: Pallas forward + hand-written backward kernels at
+# native sequence lengths; blockwise flash-attention VJP past
+# VMEM_ATTENTION_MAX_T (pallas_call has no auto-VJP; both carry custom ones).
+from vit_tpu.ops.pallas.trainable import (
+    encoder_block_trainable,
+    fused_encoder_block_trainable,
+)
 
 # Ops outside the encoder blocks (final LN, etc.) must stay differentiable
 # jnp — only the block megakernel carries the custom VJP.
@@ -64,7 +68,7 @@ TRAINABLE_FUSED_OPS = OpsImpl(
     attention=reference.attention,
     mlp=reference.mlp,
     patch_embed=reference.patch_embed,
-    encoder_block=fused_encoder_block_trainable,
+    encoder_block=encoder_block_trainable,
 )
 
 # W8A8 path: int8 QKV/MLP GEMMs (2x MXU rate on v5e), bf16 attention core.

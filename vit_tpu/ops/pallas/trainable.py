@@ -53,15 +53,14 @@ def _fwd(x2d, blk, num_heads, seq_len, eps, gelu_variant):
 
     if seq_len > VMEM_ATTENTION_MAX_T:
         # The backward megakernels assume the single-tile VMEM attention
-        # (full per-head (T, T) scores resident); past this point the
-        # primal falls back to blockwise flash attention, which has no
-        # hand-written backward — fail with guidance instead of blowing
-        # the VMEM budget at compile time.
+        # (full per-head (T, T) scores resident); long sequences train
+        # through the blockwise flash VJP instead — dispatched one level
+        # up, so reaching this branch means the caller bypassed it.
         raise ValueError(
-            f"fused_train supports seq_len <= {VMEM_ATTENTION_MAX_T} "
-            f"(got {seq_len}); train long sequences with ops='xla' "
-            "(autodiff through the flash/XLA path) or sequence "
-            "parallelism (vit-tpu-train --sp)"
+            f"fused_encoder_block_trainable supports seq_len <= "
+            f"{VMEM_ATTENTION_MAX_T} (got {seq_len}); use "
+            "encoder_block_trainable (the fused_train ops table), which "
+            "routes long sequences through the flash-attention VJP"
         )
     interpret = interpret_default()
     # Stash only (x, ctx, x1); the backward recomputes LN/QKV/probs/FC1 in
@@ -123,3 +122,110 @@ def _bwd_ref(num_heads, seq_len, eps, gelu_variant, residuals, g):
 
 
 fused_encoder_block_trainable_ref.defvjp(_fwd_ref, _bwd_ref)
+
+
+# -- long-sequence trainable block (seq_len > VMEM_ATTENTION_MAX_T) ----------
+# The T^2 work runs through the blockwise flash-attention kernels in BOTH
+# directions (flash_attention carries its own Pallas VJP); out_proj and the
+# MLP run through the forward megakernels with custom VJPs backed by the
+# backward megakernels.  Only LN1+QKV (a thin GEMM at long T) stays jnp.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _out_residual_diff(ctx, res, wo, bo, interpret):
+    from vit_tpu.ops.pallas.fused_block import out_residual
+
+    return out_residual(ctx, res, wo, bo, interpret=interpret)
+
+
+def _ores_fwd(ctx, res, wo, bo, interpret):
+    return _out_residual_diff(ctx, res, wo, bo, interpret), (ctx, wo, bo)
+
+
+def _ores_bwd(interpret, residuals, g):
+    from vit_tpu.ops.pallas.backward import out_residual_bwd
+
+    ctx, wo, bo = residuals
+    dctx, dwo, dbo = out_residual_bwd(g, ctx, wo, interpret=interpret)
+    return dctx, g, dwo.astype(wo.dtype), dbo.astype(bo.dtype)
+
+
+_out_residual_diff.defvjp(_ores_fwd, _ores_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _ln_mlp_residual_diff(x1, s, b, w1, b1, w2, b2, eps, gelu_variant, interpret):
+    from vit_tpu.ops.pallas.fused_block import ln_mlp_residual
+
+    return ln_mlp_residual(
+        x1, s, b, w1, b1, w2, b2, eps, gelu_variant, interpret=interpret
+    )
+
+
+def _lmr_fwd(x1, s, b, w1, b1, w2, b2, eps, gelu_variant, interpret):
+    out = _ln_mlp_residual_diff(x1, s, b, w1, b1, w2, b2, eps, gelu_variant, interpret)
+    return out, (x1, s, b, w1, b1, w2)
+
+
+def _lmr_bwd(eps, gelu_variant, interpret, residuals, g):
+    from vit_tpu.ops.pallas.backward import ln_mlp_residual_bwd
+
+    x1, s, b, w1, b1, w2 = residuals
+    dx1, ds, db, dw1, db1, dw2, db2 = ln_mlp_residual_bwd(
+        g, x1, s, b, w1, b1, w2, eps, gelu_variant, interpret=interpret,
+        residual=True,
+    )
+    return (
+        dx1, ds.astype(s.dtype), db.astype(b.dtype), dw1.astype(w1.dtype),
+        db1.astype(b1.dtype), dw2.astype(w2.dtype), db2.astype(w2.dtype),
+    )
+
+
+_ln_mlp_residual_diff.defvjp(_lmr_fwd, _lmr_bwd)
+
+
+def _long_seq_block_trainable(x2d, blk, num_heads, seq_len, eps, gelu_variant):
+    """Differentiable long-sequence encoder block: flash attention (Pallas
+    VJP) + megakernel out_proj/MLP (custom VJPs over the backward kernels).
+    Mirrors fused_block._long_seq_block's primal structure."""
+    import jax.numpy as jnp
+
+    from vit_tpu.ops import reference
+    from vit_tpu.ops.pallas import interpret_default
+    from vit_tpu.ops.pallas.flash_attention import flash_attention
+
+    interpret = interpret_default()
+    rows, d = x2d.shape
+    b = rows // seq_len
+    dh = d // num_heads
+    x3 = x2d.reshape(b, seq_len, d)
+    h = reference.layer_norm(x3, blk["ln1_scale"], blk["ln1_bias"], eps)
+    qkv = reference.linear(h, blk["wqkv"], blk["bqkv"])  # columns (H, 3, Dh)
+    qkv = qkv.reshape(b, seq_len, num_heads, 3, dh)
+    q = jnp.moveaxis(qkv[..., 0, :], -2, -3)  # (b, H, T, Dh)
+    k = jnp.moveaxis(qkv[..., 1, :], -2, -3)
+    v = jnp.moveaxis(qkv[..., 2, :], -2, -3)
+    ctx = flash_attention(q, k, v, interpret=interpret)
+    ctx2 = jnp.moveaxis(ctx, -3, -2).reshape(rows, d)
+    x1 = _out_residual_diff(ctx2, x2d, blk["wo"], blk["bo"], interpret)
+    return _ln_mlp_residual_diff(
+        x1, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
+        blk["w2"], blk["b2"], eps, gelu_variant, interpret,
+    )
+
+
+def encoder_block_trainable(
+    x2d, blk, num_heads: int, seq_len: int, eps: float, gelu_variant: str = "exact"
+):
+    """The fused_train ops table's encoder block: megakernel forward +
+    hand-written backward kernels at ViT-native sequence lengths, blockwise
+    flash-attention VJP past VMEM_ATTENTION_MAX_T (any-resolution training)."""
+    from vit_tpu.ops.pallas.fused_block import VMEM_ATTENTION_MAX_T
+
+    if seq_len > VMEM_ATTENTION_MAX_T:
+        return _long_seq_block_trainable(
+            x2d, blk, num_heads, seq_len, eps, gelu_variant
+        )
+    return fused_encoder_block_trainable(
+        x2d, blk, num_heads, seq_len, eps, gelu_variant
+    )

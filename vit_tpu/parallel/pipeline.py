@@ -137,7 +137,7 @@ def shard_forward_pp(
                 from vit_tpu.ops.pallas.fused_block import fused_encoder_block as blk_fn
             else:
                 from vit_tpu.ops.pallas.trainable import (
-                    fused_encoder_block_trainable as blk_fn,
+                    encoder_block_trainable as blk_fn,
                 )
 
             def run_stage(x_mb):
