@@ -314,3 +314,46 @@ def test_mesh_train_step_mixed_precision(tiny_cfg):
     params, opt_state, loss = step(params, opt_state, images, labels)
     assert np.isfinite(float(loss))
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
+
+
+def test_mlp_q8_tp_kernels_match_jnp_oracle():
+    """The TP W8A8 MLP now runs THROUGH the real q8 Pallas kernels
+    (quant_kernels.ln_fc1_gelu_q8 + fc2_q8_partial around the pmax/psum);
+    it must match the jnp oracle formulation.  The int8 GEMMs and int32
+    psum are integer-exact; the fp32 LN/absmax reductions can differ by an
+    ulp between the kernel and jnp lowerings, so the gate is a tight
+    tolerance rather than bitwise."""
+    from jax.sharding import PartitionSpec as P
+
+    from vit_tpu.parallel.tp_forward import _mlp_q8_tp, _mlp_q8_tp_ref
+
+    d, f, rows = 64, 256, 40
+    rng = np.random.default_rng(3)
+    x2d = jnp.asarray(rng.normal(size=(rows, d)), jnp.float32)
+    blk = {
+        "ln2_scale": jnp.asarray(1 + 0.1 * rng.normal(size=(1, d)), jnp.float32),
+        "ln2_bias": jnp.asarray(0.1 * rng.normal(size=(1, d)), jnp.float32),
+        "w1": jnp.asarray(rng.integers(-127, 128, (d, f)), jnp.int8),
+        "w1_scale": jnp.asarray(rng.uniform(0.005, 0.02, (f,)), jnp.float32),
+        "b1": jnp.asarray(0.1 * rng.normal(size=(f,)), jnp.float32),
+        "w2": jnp.asarray(rng.integers(-127, 128, (f, d)), jnp.int8),
+        "w2_scale": jnp.asarray(rng.uniform(0.005, 0.02, (d,)), jnp.float32),
+        "b2": jnp.asarray(0.1 * rng.normal(size=(d,)), jnp.float32),
+    }
+    mesh = make_mesh({"tp": 2}, jax.devices()[:2])
+    specs = {
+        "ln2_scale": P(), "ln2_bias": P(),
+        "w1": P(None, "tp"), "w1_scale": P("tp"), "b1": P("tp"),
+        "w2": P("tp", None), "w2_scale": P(), "b2": P(),
+    }
+
+    def run(fn, *extra):
+        return jax.shard_map(
+            lambda x, b: fn(x, b, 1e-6, "exact", "tp", *extra),
+            mesh=mesh, in_specs=(P(), specs), out_specs=P(),
+            check_vma=False,
+        )(x2d, blk)
+
+    got = np.asarray(run(_mlp_q8_tp, True))  # interpret=True (CPU)
+    want = np.asarray(run(_mlp_q8_tp_ref))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)

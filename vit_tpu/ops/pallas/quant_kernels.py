@@ -164,6 +164,104 @@ def out_ln_mlp_residual_q8(
     )
 
 
+# -- tensor-parallel (partial-form) MLP kernels -------------------------------
+# Megatron column->row split of the W8A8 MLP, in two kernels so the mid
+# activation's dynamic int8 scale can take the cross-shard pmax between
+# them: absmax is over the FULL hidden row, but each shard holds only F/tp
+# columns, and FC2's accumulator must psum in int32 BEFORE dequant to stay
+# bit-identical to the unsharded kernel (parallel/tp_forward._mlp_q8_tp
+# keeps the jnp formulation as the parity oracle).
+
+
+def _ln_fc1_gelu_q8_kernel(
+    x_ref, s_ref, b_ref, w1q_ref, w1s_ref, b1_ref, mid_ref, *, eps, variant,
+    fast_erf,
+):
+    h = _ln(x_ref[:], s_ref[:], b_ref[:], eps)  # fp32, full D (replicated)
+    hq, hs = _quant_rows(h)
+    acc1 = jax.lax.dot_general(
+        hq, w1q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    mid = acc1.astype(jnp.float32) * hs * w1s_ref[:].astype(jnp.float32)
+    mid_ref[:] = _gelu(mid + b1_ref[:].astype(jnp.float32), variant,
+                       fast_erf=fast_erf)
+
+
+def ln_fc1_gelu_q8(
+    x2d, ln_scale, ln_bias, w1q, w1s, b1, eps, gelu_variant="exact",
+    fast_erf=False, block_rows=128, interpret=False,
+):
+    """LN2 -> per-row int8 quant -> int8 FC1 (this shard's hidden columns)
+    -> dequant -> GELU; emits the fp32 mid activation (the requant to int8
+    happens in fc2_q8_partial, after the caller pmaxes the row scale)."""
+    rows, d = x2d.shape
+    f = w1q.shape[-1]
+    block_rows = min(block_rows, rows)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    rowblk = lambda w: pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(
+            _ln_fc1_gelu_q8_kernel, eps=eps, variant=gelu_variant,
+            fast_erf=fast_erf,
+        ),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            rowblk(d), const((1, d)), const((1, d)),
+            const((d, f)), const((1, f)), const((1, f)),
+        ],
+        out_specs=rowblk(f),
+        out_shape=jax.ShapeDtypeStruct((rows, f), jnp.float32),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * d * f,
+            bytes_accessed=rows * (d + 4 * f) + d * f,
+            transcendentals=rows * f,
+        ),
+        interpret=interpret,
+    )(
+        x2d, ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+        w1q, w1s.reshape(1, f), b1.reshape(1, f),
+    )
+
+
+def _fc2_q8_partial_kernel(mid_ref, ms_ref, w2q_ref, out_ref):
+    mq = jnp.clip(
+        jnp.round(mid_ref[:] / ms_ref[:]), -127, 127
+    ).astype(jnp.int8)
+    out_ref[:] = jax.lax.dot_general(
+        mq, w2q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+def fc2_q8_partial(mid, ms, w2q, block_rows=128, interpret=False):
+    """Requantize the fp32 mid with the caller-provided (pmax'd global)
+    per-row scale and run this shard's int8 FC2 rows; returns the int32
+    partial accumulator for an exact cross-shard int32 psum."""
+    rows, f = mid.shape
+    d = w2q.shape[-1]
+    block_rows = min(block_rows, rows)
+    return pl.pallas_call(
+        _fc2_q8_partial_kernel,
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, d), jnp.int32),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * f * d,
+            bytes_accessed=rows * (4 * f + 4 * d) + f * d,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(mid, ms, w2q)
+
+
 def fused_encoder_block_q8(
     x2d: jax.Array,
     blk,

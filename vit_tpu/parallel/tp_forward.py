@@ -154,7 +154,7 @@ def fused_block_tp(
     ).astype(dtype)
 
     if quant:
-        return _mlp_q8_tp(x2d, blk, eps, gelu_variant, axis)
+        return _mlp_q8_tp(x2d, blk, eps, gelu_variant, axis, interpret)
     part2 = _ln_mlp_partial_diff(
         x2d, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
         blk["w2"], eps, gelu_variant,
@@ -165,16 +165,42 @@ def fused_block_tp(
     ).astype(dtype)
 
 
-def _mlp_q8_tp(x2d, blk, eps, variant, axis):
-    """W8A8 MLP, tensor-parallel, matching the single-device kernel's
-    quantization grouping exactly (quant_kernels._out_ln_mlp_q8_kernel).
+def _mlp_q8_tp(x2d, blk, eps, variant, axis, interpret):
+    """W8A8 MLP, tensor-parallel, THROUGH the real q8 Pallas kernels,
+    matching the single-device kernel's quantization grouping exactly
+    (quant_kernels._out_ln_mlp_q8_kernel).
 
     The mid activation's dynamic per-row int8 scale is an absmax over the
     FULL MLP-hidden row, but each shard holds only F/tp columns — so the
-    scale needs a cross-shard ``pmax`` and the FC2 accumulator a psum *in
-    int32* (dequant after the sum keeps the arithmetic identical to the
-    unsharded kernel; the int8 GEMMs lower to the MXU through XLA here).
-    """
+    MLP splits into two kernel calls around a cross-shard ``pmax`` of the
+    row scale, and the FC2 accumulator psums *in int32* (dequant after the
+    sum keeps the arithmetic identical to the unsharded kernel).
+    ``_mlp_q8_tp_ref`` is the jnp parity oracle for this composition."""
+    from vit_tpu.ops.pallas.fused_block import use_fast_erf
+    from vit_tpu.ops.pallas.quant_kernels import fc2_q8_partial, ln_fc1_gelu_q8
+
+    f32 = jnp.float32
+    mid = ln_fc1_gelu_q8(
+        x2d, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["w1_scale"],
+        blk["b1"], eps, variant,
+        # same erf form as the unsharded q8 kernel (tanh-form when the
+        # compute dtype is bf16) — a different erf would shift values right
+        # before the round(), letting tp>1 int8 codes drift off tp=1
+        fast_erf=use_fast_erf(x2d.dtype), interpret=interpret,
+    )
+    # global (full-row) scale: pmax over the tp shards of the hidden axis
+    mmax = jax.lax.pmax(jnp.max(jnp.abs(mid), axis=-1, keepdims=True), axis)
+    ms = jnp.maximum(mmax / 127.0, 1e-12)
+    acc2 = fc2_q8_partial(mid, ms, blk["w2"], interpret=interpret)
+    acc2 = jax.lax.psum(acc2, axis)  # exact: int32 before dequant
+    out = acc2.astype(f32) * ms * blk["w2_scale"].astype(f32)
+    out = out + blk["b2"].astype(f32) + x2d.astype(f32)
+    return out.astype(x2d.dtype)
+
+
+def _mlp_q8_tp_ref(x2d, blk, eps, variant, axis):
+    """jnp formulation of _mlp_q8_tp — the parity oracle the kernel pair is
+    tested against (tests/test_parallel.py); math identical by design."""
     from vit_tpu.ops.pallas.fused_block import _gelu, _ln, use_fast_erf
 
     f32 = jnp.float32
@@ -186,19 +212,15 @@ def _mlp_q8_tp(x2d, blk, eps, variant, axis):
         hq, blk["w1"], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
     mid = acc1.astype(f32) * hs * blk["w1_scale"].astype(f32)
-    # same erf form as the unsharded q8 kernel (tanh-form when the compute
-    # dtype is bf16) — a different erf would shift values right before the
-    # round(), letting tp>1 int8 codes drift off tp=1 by an LSB
     mid = _gelu(mid + blk["b1"].astype(f32), variant,
                 fast_erf=use_fast_erf(x2d.dtype))
-    # global (full-row) scale: pmax over the tp shards of the hidden axis
     mmax = jax.lax.pmax(jnp.max(jnp.abs(mid), axis=-1, keepdims=True), axis)
     ms = jnp.maximum(mmax / 127.0, 1e-12)
     mq = jnp.clip(jnp.round(mid / ms), -127, 127).astype(jnp.int8)
     acc2 = jax.lax.dot_general(
         mq, blk["w2"], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
-    acc2 = jax.lax.psum(acc2, axis)  # exact: int32 before dequant
+    acc2 = jax.lax.psum(acc2, axis)
     out = acc2.astype(f32) * ms * blk["w2_scale"].astype(f32)
     out = out + blk["b2"].astype(f32) + x2d.astype(f32)
     return out.astype(x2d.dtype)
