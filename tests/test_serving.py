@@ -197,11 +197,25 @@ def test_serve_http_endpoint(tiny_cfg, tiny_params, tmp_path, monkeypatch):
     conn.request("GET", "/healthz")
     health = json.loads(conn.getresponse().read())
     assert health["ok"] and health["images"] >= 3
+    assert "latency_p50_ms" in health and "latency_p99_ms" in health
 
     conn.request("GET", "/metrics")
     metrics = conn.getresponse().read().decode()
     assert "vit_tpu_requests_total" in metrics
     assert "vit_tpu_images_per_batch" in metrics
+    # latency SLOs: full histogram + p50/p99 gauges + deadline counter
+    assert 'vit_tpu_request_latency_seconds_bucket{le="+Inf"}' in metrics
+    assert "vit_tpu_request_latency_seconds_count" in metrics
+    assert "vit_tpu_request_latency_p50_seconds" in metrics
+    assert "vit_tpu_request_latency_p99_seconds" in metrics
+    assert "vit_tpu_deadline_expired_total 0" in metrics
+
+    # a request with an already-expired queueing deadline maps to 504
+    conn.request("POST", "/classify", body=body,
+                 headers={"X-Deadline-Ms": "0"})
+    gone = conn.getresponse()
+    assert gone.status == 504, gone.status
+    assert "deadline" in json.loads(gone.read())["error"]
 
     bound["httpd"].shutdown()
     t.join(timeout=10)
@@ -349,3 +363,48 @@ def test_serve_cli_selftest_mesh(tiny_cfg, tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "mesh: {'dp': 2, 'tp': 2}" in out
     assert json.loads(out.strip().splitlines()[-1])["value"] > 0
+
+
+def test_latency_histogram_quantiles():
+    from vit_tpu.runtime.serving import LatencyHistogram
+
+    h = LatencyHistogram()
+    assert h.quantile(0.5) == 0.0  # empty
+    for ms in [2, 2, 2, 2, 2, 2, 2, 2, 2, 400]:
+        h.record(ms / 1e3)
+    cum, total_sum, count = h.snapshot()
+    assert count == 10 and cum[-1] == 10
+    assert abs(total_sum - 0.418) < 1e-6
+    p50 = h.quantile(0.5)
+    assert 0.001 <= p50 <= 0.0025  # inside the 2ms bucket
+    p99 = h.quantile(0.99)
+    assert 0.25 <= p99 <= 0.5  # inside the 400ms bucket
+
+
+def test_request_latency_recorded(engine, tiny_cfg):
+    with InferenceServer(engine, max_batch=8, max_delay_ms=5.0) as srv:
+        srv.classify(iio.synth_images(2, tiny_cfg, seed=0))
+        srv.classify(iio.synth_images(1, tiny_cfg, seed=1))
+    assert srv.stats.latency.count == 2
+    assert srv.stats.latency.quantile(0.5) > 0.0
+
+
+def test_queued_request_past_deadline_fails_504_class(engine, tiny_cfg):
+    """A request whose submit deadline passes while still QUEUED must fail
+    with DeadlineExceededError (the serve CLI maps it to HTTP 504); work
+    already dispatched is never cancelled."""
+    from vit_tpu.runtime.serving import DeadlineExceededError
+
+    imgs = iio.synth_images(1, tiny_cfg, seed=3)
+    with InferenceServer(engine, max_batch=8, max_delay_ms=1.0) as srv:
+        srv.classify(imgs)  # warm
+        # deadline_ms=0: already expired by the time the dispatcher pulls it
+        fut = srv.submit(imgs, deadline_ms=0.0)
+        with pytest.raises(DeadlineExceededError):
+            fut.result(timeout=60)
+        # the backlog slot was released and the server still serves
+        labels, _, _ = srv.classify(imgs, timeout=60)
+        assert labels.shape == (1,)
+    assert srv.stats.deadline_expired == 1
+
+

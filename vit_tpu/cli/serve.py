@@ -202,7 +202,10 @@ def _http_daemon(args, cfg, ops, server) -> int:
 
     from vit_tpu.io.images import parse_image_bytes
     from vit_tpu.io.labels import load_labels
-    from vit_tpu.runtime.serving import ServerOverloadedError
+    from vit_tpu.runtime.serving import (
+        DeadlineExceededError,
+        ServerOverloadedError,
+    )
 
     label_names = load_labels(args.labels, cfg.num_classes)
 
@@ -226,9 +229,12 @@ def _http_daemon(args, cfg, ops, server) -> int:
                     "requests": s.requests, "images": s.images,
                     "batches": s.batches,
                     "images_per_batch": round(s.images_per_batch, 2),
+                    "latency_p50_ms": round(s.latency.quantile(0.5) * 1e3, 3),
+                    "latency_p99_ms": round(s.latency.quantile(0.99) * 1e3, 3),
+                    "deadline_expired": s.deadline_expired,
                 })
             elif self.path == "/metrics":
-                # Prometheus text exposition of the batching stats
+                # Prometheus text exposition of the batching + latency SLOs
                 s = server.stats
                 lines = [
                     "# TYPE vit_tpu_requests_total counter",
@@ -239,6 +245,25 @@ def _http_daemon(args, cfg, ops, server) -> int:
                     f"vit_tpu_batches_total {s.batches}",
                     "# TYPE vit_tpu_images_per_batch gauge",
                     f"vit_tpu_images_per_batch {s.images_per_batch:.4f}",
+                    "# TYPE vit_tpu_deadline_expired_total counter",
+                    f"vit_tpu_deadline_expired_total {s.deadline_expired}",
+                ]
+                cum, lat_sum, lat_count = s.latency.snapshot()
+                lines.append(
+                    "# TYPE vit_tpu_request_latency_seconds histogram"
+                )
+                for ub, c in zip(s.latency.buckets, cum):
+                    lines.append(
+                        f'vit_tpu_request_latency_seconds_bucket{{le="{ub}"}} {c}'
+                    )
+                lines += [
+                    f'vit_tpu_request_latency_seconds_bucket{{le="+Inf"}} {cum[-1]}',
+                    f"vit_tpu_request_latency_seconds_sum {lat_sum:.6f}",
+                    f"vit_tpu_request_latency_seconds_count {lat_count}",
+                    "# TYPE vit_tpu_request_latency_p50_seconds gauge",
+                    f"vit_tpu_request_latency_p50_seconds {s.latency.quantile(0.5):.6f}",
+                    "# TYPE vit_tpu_request_latency_p99_seconds gauge",
+                    f"vit_tpu_request_latency_p99_seconds {s.latency.quantile(0.99):.6f}",
                 ]
                 body = ("\n".join(lines) + "\n").encode()
                 self.send_response(200)
@@ -276,7 +301,13 @@ def _http_daemon(args, cfg, ops, server) -> int:
                     images = preprocess_image(decoded, cfg.image_size)[None]
                 else:
                     images = parse_image_bytes(body)
-                labels, top_probs, _ = server.classify(images)
+                # optional per-request queueing SLO: fail fast (504) when
+                # the request would sit queued past this many ms
+                hdr = self.headers.get("X-Deadline-Ms")
+                deadline_ms = float(hdr) if hdr else None
+                labels, top_probs, _ = server.submit(
+                    images, deadline_ms=deadline_ms
+                ).result()
                 self._send(200, {
                     "results": [
                         {
@@ -292,6 +323,8 @@ def _http_daemon(args, cfg, ops, server) -> int:
                 self._send(400, {"error": str(e)})
             except ServerOverloadedError as e:
                 self._send(503, {"error": str(e)})
+            except DeadlineExceededError as e:
+                self._send(504, {"error": str(e)})
             except Exception as e:  # keep the daemon alive on bad requests
                 self._send(500, {"error": repr(e)})
 

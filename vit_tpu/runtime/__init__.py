@@ -9,10 +9,15 @@ and profiling — the parts a production serving stack still needs.
 
 from vit_tpu.runtime.engine import InferenceEngine
 from vit_tpu.runtime.profiler import PhaseTimer, roofline
-from vit_tpu.runtime.serving import InferenceServer, ServerOverloadedError
+from vit_tpu.runtime.serving import (
+    DeadlineExceededError,
+    InferenceServer,
+    ServerOverloadedError,
+)
 
 __all__ = [
     "InferenceEngine",
+    "DeadlineExceededError",
     "InferenceServer",
     "ServerOverloadedError",
     "PhaseTimer",

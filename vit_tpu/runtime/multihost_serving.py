@@ -150,17 +150,21 @@ class LockstepServer(_ServerBase):
         stays in lockstep."""
         reqs: List[_Request] = []
         total = 0
-        first = self._carry
-        self._carry = None
-        if first is None:
-            try:
-                first = self._q.get(
-                    timeout=self.tick if self._procs > 1 else None
-                )
-            except queue.Empty:
-                return reqs  # idle tick (multi-host keeps ticking)
-        if first is _STOP:
-            return None
+        first = None
+        while first is None:
+            first = self._carry
+            self._carry = None
+            if first is None:
+                try:
+                    first = self._q.get(
+                        timeout=self.tick if self._procs > 1 else None
+                    )
+                except queue.Empty:
+                    return reqs  # idle tick (multi-host keeps ticking)
+            if first is _STOP:
+                return None
+            if self._expired(first):  # deadline passed while queued
+                first = None
         reqs.append(first)
         total = len(first.images)
         while total < self.local_batch:
@@ -171,6 +175,8 @@ class LockstepServer(_ServerBase):
             if nxt is _STOP:
                 self._q.put(_STOP)
                 break
+            if self._expired(nxt):
+                continue
             if total + len(nxt.images) > self.local_batch:
                 self._carry = nxt
                 break
@@ -259,6 +265,11 @@ class LockstepServer(_ServerBase):
             if cancelled:
                 self._release_pending(cancelled)
                 reqs = [r for r in reqs if r not in cancelled]
+            if self._procs == 1 and not reqs:
+                # every gathered request was client-cancelled; with no
+                # peers to stay in lockstep with, skip the all-zeros
+                # forward entirely (multi-host must still dispatch)
+                continue
             try:
                 labels, top, probs = self._dispatch(reqs)
                 if not reqs:

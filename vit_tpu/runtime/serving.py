@@ -19,13 +19,72 @@ Throughput design:
 
 from __future__ import annotations
 
+import bisect
 import dataclasses
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+# Prometheus-style latency buckets (seconds): 1ms .. 10s + +Inf
+LATENCY_BUCKETS = (
+    0.001, 0.0025, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5,
+    5.0, 10.0,
+)
+
+
+class LatencyHistogram:
+    """Thread-safe fixed-bucket latency histogram (Prometheus exposition
+    shape: cumulative ``le`` buckets + sum + count) with quantile
+    estimation by linear interpolation inside the containing bucket."""
+
+    def __init__(self, buckets=LATENCY_BUCKETS):
+        self.buckets = tuple(buckets)
+        self._counts = [0] * (len(self.buckets) + 1)  # last = +Inf
+        self.sum = 0.0
+        self.count = 0
+        self._lock = threading.Lock()
+
+    def record(self, seconds: float) -> None:
+        i = bisect.bisect_left(self.buckets, seconds)
+        with self._lock:
+            self._counts[i] += 1
+            self.sum += seconds
+            self.count += 1
+
+    def quantile(self, q: float) -> float:
+        """Estimated q-quantile in seconds (0 when empty; the last finite
+        bucket bound when the quantile falls in the +Inf bucket)."""
+        with self._lock:
+            total = self.count
+            counts = list(self._counts)
+        if total == 0:
+            return 0.0
+        rank = q * total
+        cum = 0.0
+        lo = 0.0
+        for i, ub in enumerate(self.buckets):
+            prev = cum
+            cum += counts[i]
+            if cum >= rank:
+                frac = (rank - prev) / max(counts[i], 1)
+                return lo + (ub - lo) * frac
+            lo = ub
+        return self.buckets[-1]
+
+    def snapshot(self):
+        """(cumulative_bucket_counts aligned to self.buckets + inf, sum,
+        count) — consistent under the lock, for /metrics exposition."""
+        with self._lock:
+            cum = []
+            c = 0
+            for v in self._counts:
+                c += v
+                cum.append(c)
+            return cum, self.sum, self.count
 
 
 @dataclasses.dataclass
@@ -33,6 +92,10 @@ class ServerStats:
     requests: int = 0
     images: int = 0
     batches: int = 0
+    deadline_expired: int = 0
+    latency: LatencyHistogram = dataclasses.field(
+        default_factory=LatencyHistogram
+    )
 
     @property
     def images_per_batch(self) -> float:
@@ -40,11 +103,13 @@ class ServerStats:
 
 
 class _Request:
-    __slots__ = ("images", "future", "return_probs")
+    __slots__ = ("images", "future", "return_probs", "submit_t", "deadline")
 
-    def __init__(self, images, return_probs: bool):
+    def __init__(self, images, return_probs: bool, deadline: Optional[float] = None):
         self.images = images
         self.return_probs = return_probs
+        self.submit_t = time.perf_counter()
+        self.deadline = deadline  # absolute perf_counter time, or None
         self.future: Future = Future()
 
 
@@ -55,6 +120,14 @@ class ServerOverloadedError(RuntimeError):
     """Raised by ``submit`` when the pending-image backlog exceeds the
     server's ``max_queue_images`` — load-shedding instead of unbounded
     queue growth under overload (HTTP daemons map this to 503)."""
+
+
+class DeadlineExceededError(RuntimeError):
+    """A request's submit deadline passed while it was still QUEUED (not
+    yet dispatched to the chip): the dispatcher fails it instead of
+    spending device time on an answer the client stopped waiting for
+    (HTTP daemons map this to 504).  In-flight batches are never
+    cancelled — the chip has already paid for them."""
 
 
 def make_serve_fn(engine, out_shardings=None):
@@ -145,12 +218,16 @@ class _ServerBase:
 
     # -- request API --------------------------------------------------------
 
-    def submit(self, images, return_probs: bool = False) -> Future:
+    def submit(self, images, return_probs: bool = False,
+               deadline_ms: Optional[float] = None) -> Future:
         """Enqueue a (n, C, H, W) request; resolves to (labels, top_probs,
         probs) for those n images — ``probs`` is None unless
         ``return_probs`` (argmax/top-prob are computed on device so only
         ~8 bytes/image cross the wire, not the 1000-class distribution).
-        Device-resident payloads (jax.Array) stay on device end-to-end."""
+        Device-resident payloads (jax.Array) stay on device end-to-end.
+
+        ``deadline_ms``: fail the request with DeadlineExceededError if it
+        is still queued (not yet dispatched) this long after submit."""
         import jax
 
         if not isinstance(images, jax.Array):
@@ -169,7 +246,11 @@ class _ServerBase:
                     f"max_queue_images={self.max_queue_images}"
                 )
             self._pending += n
-        req = _Request(images, return_probs)
+        deadline = (
+            time.perf_counter() + deadline_ms / 1e3
+            if deadline_ms is not None else None
+        )
+        req = _Request(images, return_probs, deadline)
         self._q.put(req)
         return req.future
 
@@ -199,6 +280,24 @@ class _ServerBase:
         except Exception:  # concurrent.futures.InvalidStateError
             pass
 
+    def _expired(self, req: "_Request") -> bool:
+        """If the request's submit deadline has passed while still queued,
+        fail it (DeadlineExceededError) and return True.  Called by the
+        dispatcher as it pulls requests into a batch — dispatched work is
+        never cancelled."""
+        if req.deadline is None or time.perf_counter() < req.deadline:
+            return False
+        self._resolve(
+            req.future,
+            exc=DeadlineExceededError(
+                f"request of {len(req.images)} images spent longer than its "
+                "deadline in the queue"
+            ),
+        )
+        self._release_pending([req])
+        self.stats.deadline_expired += 1
+        return True
+
     def _to_host(self, arr) -> np.ndarray:
         return np.asarray(arr)  # host sync for this batch
 
@@ -224,6 +323,7 @@ class _ServerBase:
                 continue
             self.stats.batches += 1
             off = 0
+            done_t = time.perf_counter()
             for r in reqs:
                 n = len(r.images)
                 p = (
@@ -237,6 +337,7 @@ class _ServerBase:
                 off += n
                 self.stats.requests += 1
                 self.stats.images += n
+                self.stats.latency.record(done_t - r.submit_t)
             self._release_pending(reqs)
 
 
@@ -281,13 +382,16 @@ class InferenceServer(_ServerBase):
         max_delay.  A request that would overflow the batch is carried to
         the next one, so padded batch sizes stay within the warmed jit
         cache (each new padded size is a fresh ~minutes compile through
-        this environment's tunnel)."""
-        import time
-
-        first = self._carry or self._q.get()
-        self._carry = None
-        if first is _STOP:
-            return None
+        this environment's tunnel).  Requests whose submit deadline expired
+        while queued are failed here instead of batched."""
+        first = None
+        while first is None:
+            first = self._carry or self._q.get()
+            self._carry = None
+            if first is _STOP:
+                return None
+            if self._expired(first):
+                first = None
         reqs = [first]
         total = len(first.images)
         deadline = time.perf_counter() + self.max_delay
@@ -302,6 +406,8 @@ class InferenceServer(_ServerBase):
             if nxt is _STOP:
                 self._q.put(_STOP)  # re-signal for the outer loop
                 break
+            if self._expired(nxt):
+                continue
             if total + len(nxt.images) > self.max_batch:
                 self._carry = nxt
                 break
