@@ -1,0 +1,163 @@
+"""The vit-tpu-train step loop: per-step dispatch, logging, periodic
+eval/checkpointing, preemption (SIGTERM) safety, and final saves.
+
+Split out of cli/train.py (round-3 maintainability task); the run is
+constructed by cli/train_setup.prepare.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def ema_sidecar(state_path) -> Path:
+    return Path(state_path).with_suffix(".ema.npz")
+
+
+def run(args, st) -> int:
+    """Drive ``st`` (a train_setup.TrainSetup) for args.steps steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.io import checkpoint as ckpt
+    from vit_tpu.io import weights as wio
+    from vit_tpu.parallel import batch_sharding
+
+    params, opt_state, ema = st.params, st.opt_state, st.ema
+    stream, images, labels, n = st.stream, st.images, st.labels, st.n_static
+
+    def save_state(s):
+        if jax.process_index() != 0:
+            return  # params are host-replicated; one writer suffices
+        ckpt.save_train_state(
+            jax.device_get(params), jax.device_get(opt_state), s,
+            args.save_state,
+        )
+        if ema is not None:
+            # the EMA is part of the training state: without it a resume
+            # would restart the average from the current params
+            ckpt.save_npz(jax.device_get(ema), ema_sidecar(args.save_state))
+        print(f"saved training state (step {s}) to {args.save_state}")
+
+    # Preemption safety: TPU VMs get SIGTERM on eviction; checkpoint the
+    # full training state and exit cleanly so --resume continues the run.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_term(signum, frame):
+        preempted["flag"] = True
+
+    # signal.signal returns None when the prior handler was installed
+    # outside Python — track installation separately so the custom handler
+    # is ALWAYS restored (restore to SIG_DFL in that case), never leaked
+    # past this function in embedding processes.
+    handler_installed = False
+    prev_handler = None
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        handler_installed = True
+    except ValueError:  # not the main thread (embedded use) — skip
+        pass
+
+    last_step = st.start_step
+    try:
+        for s in range(st.start_step, st.start_step + args.steps):
+            if stream is not None:
+                xb, yb = next(stream)
+            else:
+                i0 = (s * args.batch) % max(n - args.batch + 1, 1)
+                xb = jax.device_put(
+                    jnp.asarray(images[i0 : i0 + args.batch]),
+                    batch_sharding(st.mesh, 4),
+                )
+                yb = jax.device_put(
+                    jnp.asarray(labels[i0 : i0 + args.batch]),
+                    batch_sharding(st.mesh, 1),
+                )
+            t0 = time.perf_counter()
+            if st.step_needs_rng:
+                params, opt_state, loss = st.step(
+                    params, opt_state, xb, yb,
+                    jax.random.fold_in(st.aug_key, s),
+                )
+            else:
+                params, opt_state, loss = st.step(params, opt_state, xb, yb)
+            if st.ema_update is not None:
+                ema = st.ema_update(ema, params)
+            loss = float(loss)
+            dt = time.perf_counter() - t0
+            print(f"step {s:4d}  loss {loss:.4f}  {dt:.2f}s")
+            if args.log_jsonl and jax.process_index() == 0:
+                import json
+
+                with open(args.log_jsonl, "a") as fh:
+                    fh.write(json.dumps({
+                        "step": s, "loss": round(loss, 6),
+                        "ms": round(dt * 1e3, 2),
+                        "images_per_sec": round(args.batch / dt, 2),
+                    }) + "\n")
+            if not np.isfinite(loss):
+                if args.skip_nonfinite:
+                    print(f"step {s}: non-finite loss; update skipped",
+                          file=sys.stderr)
+                else:
+                    print("non-finite loss; aborting", file=sys.stderr)
+                    if stream is not None:
+                        stream.close()  # don't strand the prefetch thread
+                    return 1
+            if st.run_eval is not None and (s + 1) % args.eval_every == 0:
+                acc = st.run_eval(ema if ema is not None else params)
+                which = "ema" if ema is not None else "params"
+                print(f"step {s:4d}  eval top-1 {acc:.4f} ({which})")
+                if args.log_jsonl and jax.process_index() == 0:
+                    import json
+
+                    with open(args.log_jsonl, "a") as fh:
+                        fh.write(json.dumps(
+                            {"step": s, "eval_top1": round(acc, 6)}
+                        ) + "\n")
+            if (args.save_state and args.save_every
+                    and (s + 1) % args.save_every == 0):
+                save_state(s + 1)
+            last_step = s + 1
+            if preempted["flag"]:
+                if args.save_state:
+                    print(
+                        f"SIGTERM: checkpointing at step {last_step} and "
+                        "exiting (resume with --resume)", file=sys.stderr,
+                    )
+                else:
+                    print(
+                        f"SIGTERM: exiting at step {last_step} (no "
+                        "--save-state given; nothing checkpointed)",
+                        file=sys.stderr,
+                    )
+                break
+    finally:
+        if handler_installed:
+            signal.signal(
+                signal.SIGTERM,
+                prev_handler if prev_handler is not None else signal.SIG_DFL,
+            )
+    if stream is not None:
+        stream.close()  # stop the prefetch producer thread
+    if args.save_state:
+        save_state(last_step)
+    if args.save and jax.process_index() == 0:
+        ckpt.save_npz(jax.device_get(params), args.save)
+        print(f"saved params to {args.save}")
+    if args.save_ema and ema is not None and jax.process_index() == 0:
+        ckpt.save_npz(jax.device_get(ema), args.save_ema)
+        print(f"saved EMA params to {args.save_ema}")
+    if args.save_reference and jax.process_index() == 0:
+        wio.save_reference_weights(
+            wio.tensors_from_params(jax.device_get(params), st.cfg),
+            args.save_reference, st.cfg,
+        )
+        print(f"exported reference-format weights to {args.save_reference}")
+    return 0

@@ -1,0 +1,654 @@
+"""Training-run construction for the vit-tpu-train CLI.
+
+Everything that happens before the first step: multihost init, mesh
+selection, ops/optimizer/params/step construction, resume, the data
+stream, and the held-out evaluator.  ``prepare(args)`` returns a
+:class:`TrainSetup`; invalid flag combinations raise :class:`SetupError`
+(the CLI prints the message and exits 2).  Split out of cli/train.py
+(round-3 maintainability task).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+
+class SetupError(Exception):
+    """Invalid flag combination / environment; exit code in ``code``."""
+
+    def __init__(self, message: str, code: int = 2):
+        super().__init__(message)
+        self.code = code
+
+
+@dataclasses.dataclass
+class TrainSetup:
+    """Everything the step loop (cli/train_loop.py) needs."""
+
+    cfg: Any
+    mesh: Any
+    mesh_axes: dict
+    ops_name: str
+    step: Callable
+    params: Any
+    opt_state: Any
+    start_step: int
+    stream: Optional[Any]  # prefetch iterator, or None for static data
+    images: Optional[np.ndarray]  # static data (stream is None)
+    labels: Optional[np.ndarray]
+    n_static: int  # len(images) after ragged-batch truncation
+    run_eval: Optional[Callable]
+    ema: Any
+    ema_update: Optional[Callable]
+    step_needs_rng: bool
+    aug_key: Any
+
+
+def _build_mesh(args, cfg, n_dev, procs):
+    import jax
+
+    from vit_tpu.parallel import make_mesh, mesh_shape_for
+
+    if args.sp > 1:
+        if args.pp > 1 or args.tp > 1 or args.multihost:
+            raise SetupError(
+                "error: --sp composes with --dp only (no --pp/--tp/--multihost)"
+            )
+        if args.optimizer == "fused_adamw":
+            raise SetupError("error: --sp supports the plain optax optimizer")
+        if args.ops not in ("auto", "xla"):
+            raise SetupError(
+                "error: --sp requires --ops xla (the ring runs the jnp ops)"
+            )
+        args.ops = "xla"
+        dp = args.dp or max(n_dev // args.sp, 1)
+        mesh_axes = {"dp": dp, "sp": args.sp} if dp > 1 else {"sp": args.sp}
+        need = dp * args.sp
+        if need > n_dev:
+            raise SetupError(
+                f"error: mesh {mesh_axes} needs {need} devices, have {n_dev}"
+            )
+        if args.batch % dp:
+            raise SetupError(
+                f"error: --batch {args.batch} must be divisible by dp={dp}"
+            )
+        return make_mesh(mesh_axes, jax.devices()[:need]), mesh_axes
+    if args.pp > 1:
+        if args.multihost:
+            raise SetupError("error: --pp with --multihost is not supported")
+        if args.mixed_precision or args.optimizer == "fused_adamw":
+            raise SetupError(
+                "error: --pp supports the plain optax optimizer at the "
+                "params' dtype (no --mixed-precision/--optimizer fused_adamw)"
+            )
+        dp = args.dp or max(n_dev // (args.pp * args.tp), 1)
+        mesh_axes = {"dp": dp, "pp": args.pp}
+        if args.tp > 1:
+            mesh_axes["tp"] = args.tp
+        need = dp * args.pp * args.tp
+        if need > n_dev:
+            raise SetupError(
+                f"error: mesh {mesh_axes} needs {need} devices, have {n_dev}"
+            )
+        return make_mesh(mesh_axes, jax.devices()[:need]), mesh_axes
+    mesh_axes = mesh_shape_for(
+        args.dp * args.tp if args.dp else n_dev, tp=args.tp, dp=args.dp
+    )
+    mesh = make_mesh(
+        mesh_axes, jax.devices()[: mesh_axes["dp"] * mesh_axes["tp"]]
+    )
+    return mesh, mesh_axes
+
+
+def _resolve_ops(args, cfg, mesh_axes):
+    import jax
+
+    ops_name = args.ops
+    if ops_name == "auto":
+        ops_name = "fused_train" if jax.default_backend() == "tpu" else "xla"
+    if args.pp > 1:
+        if ops_name not in ("xla", "fused_train"):
+            raise SetupError("error: --pp supports --ops xla or fused_train")
+        if args.tp > 1 and ops_name != "fused_train":
+            raise SetupError(
+                "error: --pp with --tp requires --ops fused_train "
+                "(the tensor-parallel fused block)"
+            )
+        if cfg.depth % args.pp:
+            raise SetupError(
+                f"error: --pp {args.pp} must divide depth {cfg.depth}"
+            )
+    if args.batch % mesh_axes.get("dp", 1):
+        raise SetupError(
+            f"error: --batch {args.batch} must be divisible by "
+            f"dp={mesh_axes.get('dp', 1)}"
+        )
+    return ops_name
+
+
+def _build_optimizer(args, lr):
+    import optax
+
+    optimizer = optax.adamw(lr, weight_decay=args.weight_decay)
+    if args.grad_clip:
+        if args.optimizer == "fused_adamw":
+            raise SetupError("error: --grad-clip requires --optimizer adamw")
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(args.grad_clip), optimizer
+        )
+        print(f"grad-clip: global norm {args.grad_clip}")
+    if args.freeze_backbone:
+        if args.optimizer == "fused_adamw":
+            raise SetupError(
+                "error: --freeze-backbone requires --optimizer adamw"
+            )
+
+        def _labels(params):
+            # NOTE: optax.masked alone would pass RAW GRADS through for
+            # frozen leaves (identity, not zero) — multi_transform with
+            # set_to_zero is the correct freeze
+            import jax as _jax
+
+            return _jax.tree_util.tree_map_with_path(
+                lambda path, _: (
+                    "train" if path[0].key == "head" else "freeze"
+                ),
+                params,
+            )
+
+        optimizer = optax.multi_transform(
+            {"train": optimizer, "freeze": optax.set_to_zero()}, _labels
+        )
+        print("freeze-backbone: training the classification head only")
+    if args.skip_nonfinite:
+        if args.optimizer == "fused_adamw":
+            raise SetupError(
+                "error: --skip-nonfinite requires --optimizer adamw"
+            )
+        optimizer = optax.apply_if_finite(optimizer, max_consecutive_errors=8)
+    return optimizer
+
+
+def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
+                params, opt_state, compute_dtype, remat, augment_fn,
+                use_dropout):
+    """Place params/opt_state for the chosen parallelism and build the
+    jitted train step.  Returns (step, params, opt_state)."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401  (kept for parity with callers)
+
+    from vit_tpu.parallel import param_shardings, shard_params
+    from vit_tpu.runtime import trainer
+
+    if args.sp > 1:
+        # Sequence-parallel training: tokens over the 'sp' ring, grads
+        # through the transposed ppermute hops (parallel/sequence.py).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from vit_tpu.parallel.sequence import make_sp_train_step
+
+        params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+        opt_state = jax.device_put(
+            opt_state, NamedSharding(mesh, PartitionSpec())
+        )
+        step = make_sp_train_step(
+            cfg, optimizer, mesh, label_smoothing=args.label_smoothing,
+            compute_dtype=compute_dtype, remat=remat,
+        )
+        print(f"sequence parallel: ring size {args.sp}")
+    elif args.pp > 1:
+        # Pipeline (optionally 3D: dp x pp x tp) training over the
+        # stacked-layer seam (parallel/pipeline.py).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from vit_tpu.parallel.pipeline import (
+            make_pp_train_step,
+            pp_param_pspecs,
+        )
+
+        m = args.microbatches or 2 * args.pp
+        local_b = args.batch // mesh_axes["dp"]
+        if args.batch % mesh_axes["dp"] or local_b % m:
+            raise SetupError(
+                f"error: --batch {args.batch} must divide dp="
+                f"{mesh_axes['dp']} and the per-shard batch {local_b} must "
+                f"divide --microbatches {m}"
+            )
+        params = jax.device_put(
+            params,
+            jax.tree.map(
+                lambda s: NamedSharding(mesh, s),
+                pp_param_pspecs(params, mesh.axis_names),
+                is_leaf=lambda x: isinstance(x, PartitionSpec),
+            ),
+        )
+        opt_state = optimizer.init(params)  # inherits the pp placement
+        step = make_pp_train_step(
+            cfg, optimizer, mesh, num_microbatches=m, ops_name=ops_name,
+            label_smoothing=args.label_smoothing,
+        )
+        print(f"pipeline: {args.pp} stage(s), {m} microbatches")
+    elif ops_name == "fused_train" and mesh_axes["tp"] != 1:
+        # Tensor-parallel training through the fused kernels: shard_map
+        # forward with custom-VJP pallas calls
+        # (trainer.jit_train_step_kernel_tp).
+        params = shard_params(params, mesh)
+        opt_state = jax.device_put(
+            opt_state,
+            trainer._opt_state_shardings(
+                opt_state, params, param_shardings(mesh, params), mesh
+            ),
+        )
+        step = trainer.jit_train_step_kernel_tp(
+            cfg, optimizer, mesh, params, opt_state,
+            remat=remat, compute_dtype=compute_dtype,
+            label_smoothing=args.label_smoothing,
+        )
+    elif ops_name == "fused_train":
+        # dp-only: params/optimizer replicated, batch over dp, per-shard
+        # grads pmean'd under shard_map.
+        from vit_tpu.parallel import replicate
+        from vit_tpu.runtime import trainer as _tr
+
+        params = jax.device_put(params, replicate(mesh))
+        fused_adamw = None
+        if args.optimizer == "fused_adamw":
+            fused_adamw = {"lr": lr, "weight_decay": args.weight_decay}
+            opt_state = _tr.init_fused_adamw_state(params)
+        opt_state = jax.device_put(opt_state, replicate(mesh))
+        step = trainer.jit_train_step_dp_shard_map(
+            cfg, optimizer, mesh, ops,
+            remat=remat, compute_dtype=compute_dtype,
+            fused_adamw=fused_adamw,
+            label_smoothing=args.label_smoothing,
+            augment_fn=augment_fn, grad_accum=args.grad_accum,
+        )
+    else:
+        params = shard_params(params, mesh)
+        opt_state = jax.device_put(
+            opt_state,
+            trainer._opt_state_shardings(
+                opt_state, params, param_shardings(mesh, params), mesh
+            ),
+        )
+        step = trainer.jit_train_step_for_mesh(
+            cfg, optimizer, mesh, params, opt_state, ops=ops,
+            remat=remat, compute_dtype=compute_dtype,
+            label_smoothing=args.label_smoothing,
+            augment_fn=augment_fn, grad_accum=args.grad_accum,
+            use_dropout=use_dropout,
+        )
+    return step, params, opt_state
+
+
+def _build_data(args, cfg, mesh, start_step, procs, rng):
+    """-> (stream, images, labels): a prefetch stream (others None) or a
+    static (images, labels) pair."""
+    import jax
+
+    from vit_tpu.io import images as iio
+    from vit_tpu.parallel import batch_sharding
+
+    if args.data_dir or args.image_dir:
+        # Streaming pipeline: shard-indexed dataset (native threaded gather
+        # reads) or raw-image folder (threaded decode + preprocessing),
+        # shuffled per epoch, double-buffered host->HBM prefetch so host IO
+        # and transfer overlap device compute.
+        from vit_tpu.io import native
+        from vit_tpu.io.dataset import BinShardDataset, ImageFolderDataset
+        from vit_tpu.runtime.prefetch import prefetch_to_device
+
+        if args.data_dir:
+            ds = BinShardDataset(
+                args.data_dir, require_labels=True, threads=args.data_threads
+            )
+            data_desc = (
+                f"{len(ds)} images in {len(ds.paths)} shard(s), "
+                f"{'native' if native.gather_available() else 'numpy'} reader"
+            )
+        else:
+            # mode='train': keep the full frame on host (no center crop) so
+            # the on-device RandomResizedCrop samples from the whole image
+            ds = ImageFolderDataset(
+                args.image_dir, cfg.image_size, threads=args.data_threads,
+                mode="train",
+            )
+            if len(ds.class_names) > cfg.num_classes:
+                raise SetupError(
+                    f"error: {len(ds.class_names)} class folders > "
+                    f"{cfg.num_classes} model classes ({cfg.name})"
+                )
+            data_desc = (
+                f"{len(ds)} raw images in {len(ds.class_names)} class "
+                "folders, PIL decoder"
+            )
+        local_batch = args.batch // procs if args.multihost else args.batch
+        if len(ds) < args.batch:
+            raise SetupError(
+                f"error: {len(ds)} image(s) < --batch {args.batch}; "
+                "reduce --batch or provide more data"
+            )
+        print(f"data: {data_desc}, {args.data_threads} threads")
+        img_sh, lab_sh = batch_sharding(mesh, 4), batch_sharding(mesh, 1)
+        if args.multihost:
+            # every host reads a disjoint slice of the SAME epoch
+            # permutation and contributes its rows of ONE global batch
+            pid = jax.process_index()
+
+            def _place(item):
+                x, y = item
+                gx = jax.make_array_from_process_local_data(
+                    img_sh, np.ascontiguousarray(x),
+                    (args.batch, *x.shape[1:])
+                )
+                gy = jax.make_array_from_process_local_data(
+                    lab_sh, np.ascontiguousarray(y), (args.batch,)
+                )
+                return gx, gy
+
+            stream = prefetch_to_device(
+                ds.batches(local_batch, shuffle=True, seed=args.seed,
+                           shard=(pid, procs), skip_batches=start_step),
+                size=2,
+                place=_place,
+            )
+        else:
+            stream = prefetch_to_device(
+                ds.batches(local_batch, shuffle=True, seed=args.seed,
+                           skip_batches=start_step),
+                size=2,
+                sharding=(img_sh, lab_sh),
+            )
+        return stream, None, None
+    if args.input:
+        images = iio.load_image_bin(args.input)
+        if args.labels:
+            labels = np.fromfile(args.labels, dtype="<i4")
+            if len(labels) < len(images):
+                raise SetupError(
+                    f"error: {len(labels)} labels < {len(images)} images "
+                    f"in {args.labels}"
+                )
+            labels = labels[: len(images)]
+            if labels.size and (labels.min() < 0
+                                or labels.max() >= cfg.num_classes):
+                raise SetupError(
+                    f"error: labels outside [0, {cfg.num_classes}) in "
+                    f"{args.labels} (min {labels.min()}, max "
+                    f"{labels.max()})"
+                )
+        else:
+            print(
+                "warning: --input given without --labels; pairing real "
+                "images with RANDOM labels (smoke-test only — pass "
+                "--labels to fine-tune on real data)",
+                file=sys.stderr,
+            )
+            labels = rng.integers(
+                0, cfg.num_classes, len(images)
+            ).astype(np.int32)
+        return None, images, labels
+    images = iio.synth_images(args.batch, cfg, seed=args.seed)
+    labels = rng.integers(0, cfg.num_classes, args.batch).astype(np.int32)
+    return None, images, labels
+
+
+def _build_eval(args, cfg, mesh):
+    """Held-out evaluation: a fixed n_eval-image slice, fp32 oracle
+    forward (one compiled program; batch-sized chunks), scored on the EMA
+    params when tracked."""
+    import jax
+    import jax.numpy as jnp
+
+    if not args.eval_every:
+        raise SetupError("error: --eval-data-dir requires --eval-every N")
+    from vit_tpu.io.dataset import BinShardDataset as _EvalDS
+    from vit_tpu.models import vit as vit_mod
+
+    eval_ds = _EvalDS(args.eval_data_dir, require_labels=True)
+    n_eval = min(len(eval_ds), args.eval_batches * args.batch)
+    n_eval -= n_eval % args.batch
+    if n_eval == 0:
+        raise SetupError(
+            f"error: {len(eval_ds)} eval image(s) < --batch {args.batch}"
+        )
+    eval_x = eval_ds.read(range(n_eval))
+    eval_y = eval_ds.labels()[:n_eval]
+    eval_fn = jax.jit(vit_mod.logits_fn(cfg))
+
+    multihost = jax.process_count() > 1
+    if multihost:
+        # params live replicated on the GLOBAL multi-host mesh; a
+        # host-local jnp.asarray batch would mix process-local and global
+        # arrays inside one jit (incompatible-devices error on a real
+        # pod).  Every host reads the same eval slice, so place each
+        # batch replicated on the global mesh, mirroring the training
+        # stream's placement.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+
+        def _place_eval(x_np):
+            return jax.make_array_from_process_local_data(
+                rep, np.ascontiguousarray(x_np), x_np.shape
+            )
+    else:
+        def _place_eval(x_np):
+            return jnp.asarray(x_np)
+
+    def run_eval(p):
+        correct = 0
+        for i in range(0, n_eval, args.batch):
+            logits = np.asarray(
+                eval_fn(p, _place_eval(eval_x[i : i + args.batch]))
+            )
+            correct += int(
+                (logits.argmax(-1) == eval_y[i : i + args.batch]).sum()
+            )
+        return correct / n_eval
+
+    print(f"eval: {n_eval} held-out images every {args.eval_every} steps")
+    return run_eval
+
+
+def prepare(args) -> TrainSetup:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vit_tpu.config import get_config
+    from vit_tpu.io import checkpoint as ckpt
+    from vit_tpu.io.load_any import load_params_any
+    from vit_tpu.runtime import trainer
+
+    if args.multihost:
+        # must run before anything touches the XLA backend
+        from vit_tpu.runtime import distributed
+
+        distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        if not (args.data_dir or args.image_dir):
+            raise SetupError(
+                "error: --multihost requires --data-dir or --image-dir "
+                "(each host streams its own shard of the dataset)"
+            )
+        if args.tp != 1:
+            raise SetupError(
+                "error: --multihost supports dp only (tp=1): checkpoint "
+                "round-trips assume host-replicated params"
+            )
+
+    if not args.no_compile_cache:
+        from vit_tpu.runtime.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
+    cfg = get_config(args.config)
+    load_cfg = cfg  # --init-weights loads under the checkpoint's own head
+    if args.num_classes:
+        cfg = dataclasses.replace(cfg, num_classes=args.num_classes)
+    n_dev = jax.device_count()
+    procs = jax.process_count()
+    if args.multihost:
+        print(f"multihost: {procs} host(s), {n_dev} global device(s)")
+        if args.batch % procs:
+            raise SetupError(
+                f"error: global --batch {args.batch} must divide across "
+                f"{procs} hosts"
+            )
+    mesh, mesh_axes = _build_mesh(args, cfg, n_dev, procs)
+    print(
+        f"mesh: {mesh_axes} over {n_dev} device(s), "
+        f"backend={jax.default_backend()}"
+    )
+    ops_name = _resolve_ops(args, cfg, mesh_axes)
+
+    from vit_tpu.ops.dispatch import get_ops
+
+    ops = get_ops(ops_name)
+    compute_dtype = jnp.bfloat16 if args.mixed_precision else None
+    # fused_train's hand-written backward kernels already recompute their
+    # intermediates in VMEM; jax.checkpoint on top would redo the whole
+    # forward a second time (~+24% measured, docs/performance.md)
+    remat = not args.no_remat and ops_name != "fused_train"
+    print(
+        f"ops: {ops_name}  mixed_precision: {bool(args.mixed_precision)}  "
+        f"remat: {remat}"
+    )
+
+    use_dropout = bool(args.dropout or args.drop_path)
+    if use_dropout:
+        if (ops_name not in ("xla", "qat") or args.pp > 1 or args.tp > 1
+                or args.sp > 1):
+            raise SetupError(
+                "error: --dropout/--drop-path require --ops xla or qat on "
+                "a dp mesh (the regularizers run in the unfused blocks)"
+            )
+        cfg = dataclasses.replace(
+            cfg, dropout=args.dropout, drop_path=args.drop_path
+        )
+        print(f"dropout: {args.dropout}  drop_path: {args.drop_path}")
+
+    augment_fn = None
+    if args.augment or args.grad_accum > 1:
+        if args.pp > 1 or args.tp > 1 or args.sp > 1:
+            raise SetupError(
+                "error: --augment/--grad-accum support the dp paths only "
+                "(no --pp/--tp/--sp)"
+            )
+    if args.augment:
+        from vit_tpu.runtime.augment import make_augment_fn
+
+        augment_fn = make_augment_fn(
+            [a.strip() for a in args.augment.split(",") if a.strip()],
+            cfg.num_classes,
+            label_smoothing=args.label_smoothing,
+            mixup_alpha=args.mixup_alpha,
+            cutmix_alpha=args.cutmix_alpha,
+        )
+        print(f"augment: {args.augment} (on-device, inside the step jit)")
+    if args.grad_accum > 1:
+        print(f"grad-accum: {args.grad_accum} microbatches/step")
+    if args.save_ema and not args.ema_decay:
+        raise SetupError("error: --save-ema requires --ema-decay")
+
+    if args.schedule == "warmup_cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, max(args.steps // 10, 1), args.steps
+        )
+    else:
+        lr = args.lr
+    optimizer = _build_optimizer(args, lr)
+
+    if args.init_weights:
+        # transfer learning: load the backbone under its ORIGINAL head
+        # size (load_cfg), then swap in a fresh K-way head
+        params = load_params_any(
+            args.init_weights, load_cfg, allow_synth=args.allow_synth_weights
+        )
+        params = jax.tree.map(jnp.asarray, params)
+        if args.num_classes:
+            from vit_tpu.models.vit import init_params as _init
+
+            fresh = _init(jax.random.key(args.seed ^ 0x4EAD), cfg)
+            params = dict(params)
+            params["head"] = fresh["head"]
+            print(f"transfer learning: fresh {cfg.embed_dim} x "
+                  f"{args.num_classes} head over the pretrained backbone")
+        opt_state = optimizer.init(params)
+    else:
+        params, opt_state = trainer.init_train_state(
+            jax.random.key(args.seed), cfg, optimizer
+        )
+    if args.optimizer == "fused_adamw" and (
+        ops_name != "fused_train" or mesh_axes.get("tp", 1) != 1
+    ):
+        raise SetupError(
+            "error: --optimizer fused_adamw requires --ops fused_train "
+            "and tp=1"
+        )
+
+    step, params, opt_state = _build_step(
+        args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr, params,
+        opt_state, compute_dtype, remat, augment_fn, use_dropout,
+    )
+
+    start_step = 0
+    if args.resume:
+        params_r, opt_r, start_step = ckpt.load_train_state(
+            args.resume, jax.device_get(opt_state)
+        )
+        params = jax.device_put(jax.tree.map(jnp.asarray, params_r),
+                                jax.tree.map(lambda a: a.sharding, params))
+        opt_state = jax.device_put(
+            opt_r, jax.tree.map(lambda a: a.sharding, opt_state)
+        )
+        print(f"resumed from {args.resume} at step {start_step}")
+
+    rng = np.random.default_rng(args.seed)
+    stream, images, labels = _build_data(
+        args, cfg, mesh, start_step, procs, rng
+    )
+    n_static = 0
+    if stream is None:
+        if len(images) < args.batch:
+            raise SetupError(
+                f"error: {len(images)} image(s) < --batch {args.batch}; "
+                "reduce --batch or provide more data"
+            )
+        n_static = (len(images) // args.batch) * args.batch  # drop ragged
+        images, labels = images[:n_static], labels[:n_static]
+
+    run_eval = _build_eval(args, cfg, mesh) if args.eval_data_dir else None
+
+    ema = ema_update = None
+    if args.ema_decay:
+        from vit_tpu.cli.train_loop import ema_sidecar
+        from vit_tpu.io import checkpoint as _ckpt
+
+        ema = jax.tree.map(jnp.copy, params)
+        if args.resume and ema_sidecar(args.resume).exists():
+            ema_r = _ckpt.load_npz(ema_sidecar(args.resume))
+            ema = jax.device_put(jax.tree.map(jnp.asarray, ema_r),
+                                 jax.tree.map(lambda a: a.sharding, ema))
+            print(f"resumed EMA from {ema_sidecar(args.resume)}")
+        ema_update = trainer.make_ema_update(args.ema_decay)
+        print(f"ema: decay {args.ema_decay}")
+
+    step_needs_rng = augment_fn is not None or use_dropout
+    aug_key = jax.random.key(args.seed ^ 0xA46) if step_needs_rng else None
+
+    return TrainSetup(
+        cfg=cfg, mesh=mesh, mesh_axes=mesh_axes, ops_name=ops_name,
+        step=step, params=params, opt_state=opt_state, start_step=start_step,
+        stream=stream, images=images, labels=labels, n_static=n_static,
+        run_eval=run_eval, ema=ema, ema_update=ema_update,
+        step_needs_rng=step_needs_rng, aug_key=aug_key,
+    )
