@@ -48,3 +48,34 @@ def test_known_param_counts():
 def test_384_variant_token_count():
     cfg = get_config("vit_b_16_384")
     assert cfg.seq_len == 577  # BASELINE.json config 4
+
+
+def test_bench_multichip_smoke(capsys):
+    """The staged pod benchmark (scripts/bench_multichip.py) must keep
+    working on the virtual CPU mesh so the measurement path can't rot
+    while awaiting multi-chip hardware (round-2 verdict task 6)."""
+    import json
+    import sys
+    from pathlib import Path
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    scripts = Path(__file__).resolve().parent.parent / "scripts"
+    sys.path.insert(0, str(scripts))
+    try:
+        import bench_multichip
+    finally:
+        sys.path.remove(str(scripts))
+    rc = bench_multichip.main(["--smoke"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    for line in lines:
+        rec = json.loads(line)
+        assert "error" not in rec, rec
+        assert rec["value"] > 0 and rec["n_chips"] == 8
+        assert rec["unit"] == "images/sec"
+    meshes = [json.loads(l)["mesh"] for l in lines]
+    assert {"dp": 8} in meshes and {"dp": 4, "tp": 2} in meshes
