@@ -180,6 +180,59 @@ def main(argv=None) -> None:
             print(f"train benchmark path failed: {e!r}", file=sys.stderr)
             traceback.print_exc()
 
+    # @384 (577 tokens) fused_train step — the high-resolution training
+    # path through the megakernel VJP (round-2 verdict task 1).
+    train384_img_per_sec = None
+    if ops_impl == "fused" and cfg.name == "vit_b_16":
+        try:
+            import optax
+
+            from vit_tpu.config import get_config as _gc
+            from vit_tpu.ops.dispatch import get_ops
+            from vit_tpu.runtime import trainer
+
+            cfg384 = _gc("vit_b_16_384")
+            optimizer = optax.adamw(1e-3)
+            p384, o384 = trainer.init_train_state(
+                jax.random.key(1), cfg384, optimizer
+            )
+            tb4 = 32
+            rng = np.random.default_rng(0)
+            x384 = jnp.asarray(
+                rng.normal(size=(tb4, cfg384.in_channels, cfg384.image_size,
+                                 cfg384.image_size)), jnp.float32)
+            y384 = jnp.asarray(rng.integers(0, cfg384.num_classes, tb4),
+                               jnp.int32)
+            step384 = jax.jit(
+                trainer.make_train_step(
+                    cfg384, optimizer, get_ops("fused_train"), remat=False,
+                    compute_dtype=jnp.bfloat16,
+                ),
+                donate_argnums=(0, 1),
+                compiler_options=trainer.kernel_backward_compiler_options(),
+            )
+
+            def t384_pass(iters, p, o):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    p, o, loss = step384(p, o, x384, y384)
+                float(loss)
+                return (time.perf_counter() - t0) / iters, p, o
+
+            _, p384, o384 = t384_pass(2, p384, o384)
+            dts4 = []
+            for _ in range(3):
+                d4, p384, o384 = t384_pass(8, p384, o384)
+                dts4.append(d4)
+            dts4.sort()
+            train384_img_per_sec = round(tb4 / dts4[1], 2)
+        except Exception as e:
+            import sys
+            import traceback
+
+            print(f"train benchmark path failed: {e!r}", file=sys.stderr)
+            traceback.print_exc()
+
     # Correctness: bf16 fast path vs independent NumPy fp64 oracle, 4 images.
     sub = images[:4]
     got = np.asarray(engine.logits(sub))
@@ -246,6 +299,7 @@ def main(argv=None) -> None:
         "int8_images_per_sec_spread": list(int8_spread),
         "train_images_per_sec_fused_bf16_b64": train_img_per_sec,
         "train_images_per_sec_spread": list(train_spread),
+        "train384_images_per_sec_fused_bf16_b32": train384_img_per_sec,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

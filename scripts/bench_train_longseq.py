@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""On-chip training benchmark for high-resolution configs (round-3 #1).
+
+Measures the fused_train step at ViT-B/16 @384 (577 tokens — megakernel
+VJP path) and at @512 (1025 tokens — past VMEM_ATTENTION_MAX_T, the
+blockwise flash-attention VJP path), with the xla+remat step at @512 as
+the comparison point.  Run alone (shared chip; see docs/performance.md).
+"""
+
+import argparse
+import dataclasses
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from vit_tpu.runtime.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vit_tpu.config import VIT_B_16, get_config
+from vit_tpu.ops.dispatch import get_ops
+from vit_tpu.runtime import trainer
+
+
+def bench_step(cfg, batch, ops_name, iters, remat=False):
+    optimizer = optax.adamw(1e-3)
+    params, opt_state = trainer.init_train_state(
+        jax.random.key(1), cfg, optimizer
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(size=(batch, cfg.in_channels, cfg.image_size,
+                         cfg.image_size)), jnp.float32
+    )
+    y = jnp.asarray(rng.integers(0, cfg.num_classes, batch), jnp.int32)
+    step = jax.jit(
+        trainer.make_train_step(
+            cfg, optimizer, get_ops(ops_name), remat=remat,
+            compute_dtype=jnp.bfloat16,
+        ),
+        donate_argnums=(0, 1),
+        compiler_options=trainer.kernel_backward_compiler_options(),
+    )
+
+    def run(n, p, o):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            p, o, loss = step(p, o, x, y)
+        loss = float(loss)
+        return (time.perf_counter() - t0) / n, p, o, loss
+
+    t0 = time.perf_counter()
+    _, params, opt_state, loss0 = run(2, params, opt_state)
+    print(f"  compile+warm {time.perf_counter() - t0:.1f}s  loss {loss0:.4f}")
+    dts = []
+    for _ in range(3):
+        dt, params, opt_state, loss = run(iters, params, opt_state)
+        dts.append(dt)
+    dts.sort()
+    assert np.isfinite(loss), loss
+    print(
+        f"  {cfg.name} b{batch} {ops_name}{'+remat' if remat else ''}: "
+        f"{dts[1]*1e3:7.1f} ms/step  {batch/dts[1]:7.1f} img/s  "
+        f"(spread {batch/dts[-1]:.1f}-{batch/dts[0]:.1f})  loss {loss:.4f}"
+    )
+    return dts[1]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--skip-xla", action="store_true")
+    args = ap.parse_args()
+    print("backend:", jax.default_backend())
+
+    cfg384 = get_config("vit_b_16_384")
+    print("ViT-B/16 @384 (577 tokens, megakernel-VJP path):")
+    bench_step(cfg384, 32, "fused_train", args.iters)
+
+    cfg512 = dataclasses.replace(
+        VIT_B_16, image_size=512, name="vit_b_16_512"
+    )
+    print("ViT-B/16 @512 (1025 tokens, flash-attention-VJP path):")
+    bench_step(cfg512, 16, "fused_train", args.iters)
+    if not args.skip_xla:
+        print("ViT-B/16 @512 xla+remat comparison:")
+        bench_step(cfg512, 16, "xla", args.iters, remat=True)
+
+
+if __name__ == "__main__":
+    main()
