@@ -230,7 +230,7 @@ def main(argv=None) -> None:
             import sys
             import traceback
 
-            print(f"train benchmark path failed: {e!r}", file=sys.stderr)
+            print(f"@384 train benchmark path failed: {e!r}", file=sys.stderr)
             traceback.print_exc()
 
     # Correctness: bf16 fast path vs independent NumPy fp64 oracle, 4 images.

@@ -97,6 +97,22 @@ def main():
             x, (s1, b1ln, wqkv_q, wqkv_s, bqkv),
         )
         print(f"A  int8 ln_qkv_attn:  {dt*1e3:7.3f} ms/layer  {fl_a/dt/1e12:6.1f} TF/s")
+    if "a8qk" in which:
+        dt = timeit_scan(
+            lambda c, w: QK.ln_qkv_attn_q8a(
+                c, w[0], w[1], w[2], w[3], w[4], nh, t, eps, quant_pv=False
+            ),
+            x, (s1, b1ln, wqkv_q, wqkv_s, bqkv),
+        )
+        print(f"A  int8+q8(QK^T):     {dt*1e3:7.3f} ms/layer  {fl_a/dt/1e12:6.1f} TF/s")
+    if "a8a" in which:
+        dt = timeit_scan(
+            lambda c, w: QK.ln_qkv_attn_q8a(
+                c, w[0], w[1], w[2], w[3], w[4], nh, t, eps, quant_pv=True
+            ),
+            x, (s1, b1ln, wqkv_q, wqkv_s, bqkv),
+        )
+        print(f"A  int8+q8(attn):     {dt*1e3:7.3f} ms/layer  {fl_a/dt/1e12:6.1f} TF/s")
     if "b" in which:
         dt = timeit_scan(
             lambda c, w: FB.out_residual(c, c, w[0], w[1]),

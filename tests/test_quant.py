@@ -155,3 +155,75 @@ def test_engine_accepts_quant_with_tp_mesh(tiny_cfg, tiny_params):
     eng = InferenceEngine(tiny_cfg, tiny_params, ops="quant", mesh=mesh)
     assert eng._tp_shard_map
     assert eng.params["blocks"]["wqkv"].dtype == jnp.int8
+
+
+def test_ln_qkv_attn_q8a_kernel_parity(rng):
+    """int8-attention kernel A (round-3 floor attack): the in-kernel int8
+    score/context dots must match a jnp mirror of the same quantization
+    math exactly-ish (fp32 ordering noise only), and stay close to the
+    bf16-attention q8 kernel on mild-logit data."""
+    from vit_tpu.ops.pallas.quant_kernels import ln_qkv_attn_q8, ln_qkv_attn_q8a
+
+    t, d, nh = 64, 64, 4
+    dh = d // nh
+    x = jnp.asarray(rng.normal(size=(t, d)), jnp.float32)
+    s1 = jnp.ones((d,), jnp.float32)
+    b1 = jnp.zeros((d,), jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, (d, 3 * d)), jnp.int8)
+    # small scales keep scores mild (|s|~1), the regime real ViTs live in
+    ws = jnp.asarray(rng.uniform(0.0002, 0.0008, (3 * d,)), jnp.float32)
+    bq = jnp.asarray(0.01 * rng.normal(size=(3 * d,)), jnp.float32)
+
+    def jnp_mirror():
+        from vit_tpu.ops.pallas.fused_block import _ln
+
+        h = _ln(x, s1[None], b1[None], 1e-6)
+        absmax = jnp.max(jnp.abs(h), -1, keepdims=True)
+        hs = jnp.maximum(absmax / 127.0, 1e-12)
+        hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            hq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        qkv = (acc.astype(jnp.float32) * hs * ws[None] + bq[None]).astype(
+            jnp.float32
+        )
+        outs = []
+        scale = 1.0 / np.sqrt(dh)
+        for hh in range(nh):
+            base = hh * 3 * dh
+            q = qkv[:, base : base + dh]
+            kt = qkv[:, base + dh : base + 2 * dh].T
+            v = qkv[:, base + 2 * dh : base + 3 * dh]
+            qs = jnp.maximum(jnp.max(jnp.abs(q), -1, keepdims=True) / 127.0, 1e-12)
+            ks = jnp.maximum(jnp.max(jnp.abs(kt), 0, keepdims=True) / 127.0, 1e-12)
+            q8 = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
+            kt8 = jnp.clip(jnp.round(kt / ks), -127, 127).astype(jnp.int8)
+            s = jax.lax.dot_general(
+                q8, kt8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (qs * scale) * ks
+            m = jnp.max(s, -1, keepdims=True)
+            e = jnp.exp(s - m)
+            inv = 1.0 / jnp.sum(e, -1, keepdims=True)
+            p8 = jnp.round(e * 127.0).astype(jnp.int8)
+            vs = jnp.maximum(jnp.max(jnp.abs(v), 0, keepdims=True) / 127.0, 1e-12)
+            v8 = jnp.clip(jnp.round(v / vs), -127, 127).astype(jnp.int8)
+            ctx = jax.lax.dot_general(
+                p8, v8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (inv / 127.0) * vs
+            outs.append(ctx)
+        return jnp.concatenate(outs, -1)
+
+    got = np.asarray(
+        ln_qkv_attn_q8a(x, s1, b1, wq, ws, bq, nh, t, 1e-6, interpret=True)
+    )
+    want = np.asarray(jnp_mirror())
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # mild logits: int8 attention stays close to the bf16-attention kernel
+    ref = np.asarray(
+        ln_qkv_attn_q8(x, s1, b1, wq, ws, bq, nh, t, 1e-6, interpret=True)
+    )
+    rel = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+    assert rel < 0.05, rel

@@ -164,6 +164,120 @@ def out_ln_mlp_residual_q8(
     )
 
 
+# -- int8 attention core ------------------------------------------------------
+# The attention dots are dh=64 contractions — a hard 50% MXU ceiling for
+# bf16 on the 128x128 array (docs/performance.md "kernel-A floor").  int8
+# runs at 2x the bf16 rate, so quantizing the score and context dots
+# attacks exactly that floor.  Scale choices keep the VPU cost near the
+# bf16 path's: q per-row (a (T,1) column broadcast, free), k per-head
+# scalar (per-key scales would need a sublane->lane transpose), p at the
+# FIXED scale 127 (e = exp(s-m) is already in (0,1]; the 1/127 dequant
+# folds into the existing 1/sum epilogue multiply), v per-dh-column (a
+# (1,dh) row vector — naturally lane-shaped).
+
+
+def _head_context_q8(qkv, h, dh, scale, quant_pv=True):
+    """Per-head softmax(q k^T / sqrt(dh)) v with int8 MXU dots.
+
+    ``quant_pv=False`` quantizes only the score dot (isolates the two
+    halves for the kernel study in scripts/bench_kernels.py)."""
+    from vit_tpu.ops.pallas.fused_block import dot_precision
+
+    base = h * 3 * dh
+    q = qkv[:, base : base + dh].astype(jnp.float32)
+    # transpose k BEFORE quantizing: per-key scales then fall out of an
+    # axis-0 max as a (1, T) lane vector — the right shape to dequantize
+    # the score columns without a sublane->lane relayout of (T, 1) scales
+    kt = qkv[:, base + dh : base + 2 * dh].astype(jnp.float32).T  # (dh, T)
+    v = qkv[:, base + 2 * dh : base + 3 * dh]
+    qs = jnp.maximum(jnp.max(jnp.abs(q), -1, keepdims=True) / 127.0, 1e-12)
+    ks = jnp.maximum(jnp.max(jnp.abs(kt), 0, keepdims=True) / 127.0, 1e-12)
+    q8 = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
+    kt8 = jnp.clip(jnp.round(kt / ks), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q8, kt8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    s = acc.astype(jnp.float32) * (qs * scale) * ks
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)  # in (0, 1]
+    inv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+    if not quant_pv:
+        p = (e * inv).astype(v.dtype)
+        return jnp.dot(
+            p, v, preferred_element_type=jnp.float32,
+            precision=dot_precision(v.dtype),
+        )
+    p8 = jnp.round(e * 127.0).astype(jnp.int8)  # fixed scale: e <= 1
+    vf = v.astype(jnp.float32)
+    vs = jnp.maximum(
+        jnp.max(jnp.abs(vf), axis=0, keepdims=True) / 127.0, 1e-12
+    )  # (1, dh)
+    v8 = jnp.clip(jnp.round(vf / vs), -127, 127).astype(jnp.int8)
+    ctx = jax.lax.dot_general(
+        p8, v8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return ctx.astype(jnp.float32) * (inv * (1.0 / 127.0)) * vs
+
+
+def _ln_qkv_attn_q8a_kernel(
+    x_ref, s_ref, b_ref, wq_ref, ws_ref, bias_ref, out_ref, *, eps, num_heads,
+    scale, quant_pv,
+):
+    dh = wq_ref.shape[-1] // (3 * num_heads)
+    h = _ln(x_ref[0], s_ref[:], b_ref[:], eps)
+    hq, hs = _quant_rows(h)
+    acc = jax.lax.dot_general(
+        hq, wq_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    qkv = acc.astype(jnp.float32) * hs * ws_ref[:].astype(jnp.float32)
+    qkv = (qkv + bias_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    for hh in range(num_heads):
+        out_ref[0, :, hh * dh : (hh + 1) * dh] = _head_context_q8(
+            qkv, hh, dh, scale, quant_pv
+        ).astype(out_ref.dtype)
+
+
+def ln_qkv_attn_q8a(
+    x2d, ln_scale, ln_bias, wq, w_scale, bqkv, num_heads, seq_len, eps,
+    quant_pv=True, interpret=False,
+):
+    """Kernel A with int8 QKV GEMM *and* int8 attention dots."""
+    rows, d = x2d.shape
+    d3 = wq.shape[-1]
+    d_ctx = d3 // 3
+    b = rows // seq_len
+    scale = 1.0 / ((d_ctx // num_heads) ** 0.5)
+    out = pl.pallas_call(
+        functools.partial(
+            _ln_qkv_attn_q8a_kernel, eps=eps, num_heads=num_heads,
+            scale=scale, quant_pv=quant_pv,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, seq_len, d_ctx), x2d.dtype),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(
+        x2d.reshape(b, seq_len, d),
+        ln_scale.reshape(1, d),
+        ln_bias.reshape(1, d),
+        wq,
+        w_scale.reshape(1, d3),
+        bqkv.reshape(1, d3),
+    )
+    return out.reshape(rows, d_ctx)
+
+
 # -- tensor-parallel (partial-form) MLP kernels -------------------------------
 # Megatron column->row split of the W8A8 MLP, in two kernels so the mid
 # activation's dynamic int8 scale can take the cross-shard pmax between
