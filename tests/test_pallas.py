@@ -212,3 +212,36 @@ def test_bf16_fused_uses_fast_erf_and_stays_close(tiny_cfg, tiny_params, tiny_im
         pbf, jnp.asarray(tiny_images, jnp.bfloat16), tiny_cfg, get_ops("fused")
     ))
     np.testing.assert_allclose(got, want, atol=0.1)  # bf16-path tolerance
+
+
+def test_per_op_attention_long_seq_routes_to_flash(monkeypatch):
+    """Past VMEM_ATTENTION_MAX_T the per-op attention must switch to the
+    blockwise flash kernel (same switch the fused block makes) instead of
+    compiling a (T, T) VMEM tile."""
+    import importlib
+
+    # the module, not the package's function re-export of the same name
+    FA = importlib.import_module("vit_tpu.ops.pallas.flash_attention")
+    from vit_tpu.ops.pallas import attention_kernel as AK
+    from vit_tpu.ops.pallas import fused_block as FB
+
+    monkeypatch.setattr(FB, "VMEM_ATTENTION_MAX_T", 16)
+    calls = {"flash": 0}
+    orig = FA.flash_attention
+
+    def spy(*a, **k):
+        calls["flash"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(FA, "flash_attention", spy)
+    key = jax.random.key(0)
+    q = jax.random.normal(key, (1, 2, 24, 16), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 2, 24, 16), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 2, 24, 16), jnp.float32)
+    got = AK.scaled_dot_product_attention(q, k, v, interpret=True)
+    assert calls["flash"] == 1
+    want = jax.nn.softmax(
+        jnp.einsum("bhqd,bhkd->bhqk", q, k, precision="highest") / 4.0, -1
+    )
+    want = jnp.einsum("bhqk,bhkd->bhqd", want, v, precision="highest")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

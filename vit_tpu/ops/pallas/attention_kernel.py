@@ -66,6 +66,14 @@ def scaled_dot_product_attention(
         interpret = interpret_default()
 
     *lead, t, dh = q.shape
+    from vit_tpu.ops.pallas.fused_block import VMEM_ATTENTION_MAX_T
+
+    if t > VMEM_ATTENTION_MAX_T:
+        # past the single-tile VMEM budget, compose the blockwise
+        # online-softmax kernel instead (same switch the fused block makes)
+        from vit_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, interpret=interpret)
     bh = 1
     for s in lead:
         bh *= s
