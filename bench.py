@@ -270,6 +270,21 @@ def main(argv=None) -> None:
     n_decisive_mismatch = int((mismatch & decisive).sum())
     full_label_match = n_decisive_mismatch == 0
 
+    # int8 path accuracy vs fp32 on the full batch (reported, not gated:
+    # the quant path's contract is labels-preserved, slightly looser probs)
+    int8_decisive_mismatches = None
+    int8_top_prob_dev = None
+    if int8_img_per_sec is not None:
+        q_probs = np.asarray(ref_ops.softmax(q_engine.logits(images)))
+        q_lbl = q_probs.argmax(-1)
+        int8_decisive_mismatches = int(((q_lbl != fp32_lbl) & decisive).sum())
+        int8_top_prob_dev = round(float(
+            np.abs(
+                q_probs[np.arange(batch), q_lbl]
+                - fp32_probs[np.arange(batch), fp32_lbl]
+            ).max()
+        ), 6)
+
     result = {
         "metric": f"images/sec/chip, {cfg.name} @{cfg.image_size} batch={batch}",
         "value": round(stats["images_per_sec_per_chip"], 2),
@@ -297,6 +312,8 @@ def main(argv=None) -> None:
         ),
         "int8_images_per_sec": int8_img_per_sec,
         "int8_images_per_sec_spread": list(int8_spread),
+        "int8_full_batch_decisive_label_mismatches": int8_decisive_mismatches,
+        "int8_full_batch_top_prob_dev_vs_fp32": int8_top_prob_dev,
         "train_images_per_sec_fused_bf16_b64": train_img_per_sec,
         "train_images_per_sec_spread": list(train_spread),
         "train384_images_per_sec_fused_bf16_b32": train384_img_per_sec,

@@ -153,3 +153,31 @@ def test_convergence_gate_catches_injected_grad_bug():
         f"injected wrong-sign gradient still reached {acc:.3f} — the "
         "convergence gate would not detect a broken backward"
     )
+
+
+def test_kernel_tp_converges():
+    """Tensor-parallel training THROUGH the fused kernels (custom-VJP
+    pallas calls under shard_map) must also pass the memorization gate."""
+    from jax.sharding import Mesh
+
+    from vit_tpu.parallel import param_shardings, shard_params
+
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = _tiny(2, 11, "vit_tiny_conv_ktp")
+    x, y = _data(cfg)
+    opt = optax.adamw(LR)
+    params, opt_state = trainer.init_train_state(jax.random.key(0), cfg, opt)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("dp", "tp"))
+    params = shard_params(params, mesh)
+    opt_state = jax.device_put(
+        opt_state,
+        trainer._opt_state_shardings(
+            opt_state, params, param_shardings(mesh, params), mesh
+        ),
+    )
+    step = trainer.jit_train_step_kernel_tp(
+        cfg, opt, mesh, params, opt_state, remat=False
+    )
+    best = _train_to_gate(cfg, step, params, opt_state, x, y)
+    assert best >= GATE, f"kernel-tp: best train top-1 {best:.3f} < {GATE}"

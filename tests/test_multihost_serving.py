@@ -106,3 +106,20 @@ def test_lockstep_kernel_path(tiny_cfg, tiny_params):
     want_labels, want_top = ref.classify(imgs)
     np.testing.assert_array_equal(labels, want_labels)
     np.testing.assert_allclose(top, want_top, atol=1e-5)
+
+
+def test_lockstep_queued_deadline_fails_fast(mesh_engine, tiny_cfg):
+    """A queued request whose deadline expired is failed by the tick
+    gatherer (DeadlineExceededError), and the server keeps serving."""
+    from vit_tpu.runtime.serving import DeadlineExceededError
+
+    imgs = iio.synth_images(2, tiny_cfg, seed=4)
+    with LockstepServer(mesh_engine, local_batch=8) as srv:
+        srv.classify(imgs)  # warm
+        fut = srv.submit(imgs, deadline_ms=0.0)
+        with pytest.raises(DeadlineExceededError):
+            fut.result(timeout=60)
+        labels, _, _ = srv.classify(imgs, timeout=60)
+        assert labels.shape == (2,)
+    assert srv.stats.deadline_expired == 1
+    assert srv.stats.latency.count >= 2  # per-request latency recorded
