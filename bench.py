@@ -92,6 +92,16 @@ def main(argv=None) -> None:
         dts = sorted(fn(iters) for _ in range(samples))
         return dts[len(dts) // 2], dts[0], dts[-1]
 
+    def spread_stateful(fn, iters, state, samples=3):
+        """spread() for timed fns that thread state (donated train
+        params/opt buffers): fn(iters, *state) -> (dt, *state)."""
+        dts = []
+        for _ in range(samples):
+            dt_i, *state = fn(iters, *state)
+            dts.append(dt_i)
+        dts.sort()
+        return dts[len(dts) // 2], dts[0], dts[-1], state
+
     timed_pass(3)  # warm EVERYTHING in the timed expression (incl. sum/add ops
     #               — their first-use compile otherwise lands inside the timing)
     dt, dt_min, dt_max = spread(timed_pass, 20)
@@ -166,13 +176,11 @@ def main(argv=None) -> None:
                 return (time.perf_counter() - t0) / iters, p, o
 
             _, tparams, topt = t_pass(3, tparams, topt)
-            tdts = []
-            for _ in range(3):
-                tdt_i, tparams, topt = t_pass(12, tparams, topt)
-                tdts.append(tdt_i)
-            tdts.sort()
-            train_img_per_sec = round(tb / tdts[1], 2)
-            train_spread = (round(tb / tdts[-1], 2), round(tb / tdts[0], 2))
+            tdt, tdt_min, tdt_max, _ = spread_stateful(
+                t_pass, 12, (tparams, topt)
+            )
+            train_img_per_sec = round(tb / tdt, 2)
+            train_spread = (round(tb / tdt_max, 2), round(tb / tdt_min, 2))
         except Exception as e:
             import sys
             import traceback
@@ -220,12 +228,8 @@ def main(argv=None) -> None:
                 return (time.perf_counter() - t0) / iters, p, o
 
             _, p384, o384 = t384_pass(2, p384, o384)
-            dts4 = []
-            for _ in range(3):
-                d4, p384, o384 = t384_pass(8, p384, o384)
-                dts4.append(d4)
-            dts4.sort()
-            train384_img_per_sec = round(tb4 / dts4[1], 2)
+            d384, _, _, _ = spread_stateful(t384_pass, 8, (p384, o384))
+            train384_img_per_sec = round(tb4 / d384, 2)
         except Exception as e:
             import sys
             import traceback

@@ -89,7 +89,8 @@ def main(argv=None) -> int:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument(
         "--per-chip-batch", type=int, default=32,
-        help="batch per chip (global batch = this x n_chips)",
+        help="batch per data-parallel shard (global batch = this x dp; "
+        "in the dp x tp case each dp shard spans tp chips)",
     )
     ap.add_argument(
         "--smoke", action="store_true",
@@ -130,7 +131,6 @@ def main(argv=None) -> int:
              {"dp": min(n_dev, 8) // 2, "tp": 2}, "fused", 2),
         ]
         iters = 2
-        per_chip = 2
     else:
         # BASELINE.json config 5: H/14 DP over the pod, plus dp x tp B/16
         # (the kernel-TP path whose ICI profile is otherwise analytic)
@@ -141,7 +141,6 @@ def main(argv=None) -> int:
              {"dp": n_dev // 2, "tp": 2}, "fused", args.per_chip_batch),
         ]
         iters = args.iters
-        per_chip = args.per_chip_batch
 
     rc = 0
     for name, cfg, mesh_axes, ops, pcb in cases:

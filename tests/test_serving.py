@@ -217,6 +217,16 @@ def test_serve_http_endpoint(tiny_cfg, tiny_params, tmp_path, monkeypatch):
     assert gone.status == 504, gone.status
     assert "deadline" in json.loads(gone.read())["error"]
 
+    # malformed deadlines are CLIENT errors (400), never phantom 504s:
+    # nan would compare false against every deadline, inf would silently
+    # disable the SLO
+    for bad in ("nan", "inf", "-5", "soon"):
+        conn.request("POST", "/classify", body=body,
+                     headers={"X-Deadline-Ms": bad})
+        resp = conn.getresponse()
+        assert resp.status == 400, (bad, resp.status)
+        assert "X-Deadline-Ms" in json.loads(resp.read())["error"]
+
     bound["httpd"].shutdown()
     t.join(timeout=10)
     assert not t.is_alive()

@@ -304,7 +304,19 @@ def _http_daemon(args, cfg, ops, server) -> int:
                 # optional per-request queueing SLO: fail fast (504) when
                 # the request would sit queued past this many ms
                 hdr = self.headers.get("X-Deadline-Ms")
-                deadline_ms = float(hdr) if hdr else None
+                deadline_ms = None
+                if hdr:
+                    import math
+
+                    try:
+                        deadline_ms = float(hdr)
+                    except ValueError:
+                        raise ValueError(f"bad X-Deadline-Ms: {hdr!r}")
+                    if not math.isfinite(deadline_ms) or deadline_ms < 0:
+                        # nan compares false against every deadline (a
+                        # permanent 504) and inf disables the SLO silently
+                        # — both are client errors, not timeouts
+                        raise ValueError(f"bad X-Deadline-Ms: {hdr!r}")
                 labels, top_probs, _ = server.submit(
                     images, deadline_ms=deadline_ms
                 ).result()

@@ -169,11 +169,13 @@ def out_ln_mlp_residual_q8(
 # bf16 on the 128x128 array (docs/performance.md "kernel-A floor").  int8
 # runs at 2x the bf16 rate, so quantizing the score and context dots
 # attacks exactly that floor.  Scale choices keep the VPU cost near the
-# bf16 path's: q per-row (a (T,1) column broadcast, free), k per-head
-# scalar (per-key scales would need a sublane->lane transpose), p at the
-# FIXED scale 127 (e = exp(s-m) is already in (0,1]; the 1/127 dequant
-# folds into the existing 1/sum epilogue multiply), v per-dh-column (a
-# (1,dh) row vector — naturally lane-shaped).
+# bf16 path's: q per-row (a (T,1) column broadcast, free); k per-KEY by
+# transposing k BEFORE quantizing, so the scales fall out of an axis-0 max
+# as a (1,T) lane vector (per-key scales on the untransposed k would need
+# a sublane->lane relayout of (T,1)); p at the FIXED scale 127
+# (e = exp(s-m) is already in (0,1]; the 1/127 dequant folds into the
+# existing 1/sum epilogue multiply); v per-dh-column (a (1,dh) row vector
+# — naturally lane-shaped).
 
 
 def _head_context_q8(qkv, h, dh, scale, quant_pv=True):
