@@ -246,3 +246,55 @@ def test_cli_golden_compare_detects_mismatch(
         "--golden", golden,
     ])
     assert rc == 1
+
+
+def test_wd_exempt_norm_bias_mask(tiny_cfg):
+    """--wd-exempt-norm-bias: zero grads still decay GEMM kernels (adamw
+    weight decay) but leave norms/biases/embeddings untouched."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vit_tpu.cli.train_args import build_parser
+    from vit_tpu.cli.train_setup import _build_optimizer, decay_mask
+    from vit_tpu.models.vit import init_params
+
+    args = build_parser().parse_args(
+        ["--wd-exempt-norm-bias", "--weight-decay", "0.1"]
+    )
+    opt = _build_optimizer(args, 1e-2)
+    params = init_params(jax.random.key(0), tiny_cfg)
+    state = opt.init(params)
+    zero = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = opt.update(zero, state, params)
+    new = optax.apply_updates(params, updates)
+    mask = decay_mask(params)
+    flat_new = jax.tree_util.tree_flatten_with_path(new)[0]
+    flat_old = {tuple(p): v for p, v in
+                jax.tree_util.tree_flatten_with_path(params)[0]}
+    flat_mask = {tuple(p): v for p, v in
+                 jax.tree_util.tree_flatten_with_path(mask)[0]}
+    checked_decay = checked_exempt = 0
+    for path, v in flat_new:
+        old = flat_old[tuple(path)]
+        if flat_mask[tuple(path)]:
+            assert not np.allclose(np.asarray(v), np.asarray(old)), path
+            checked_decay += 1
+        else:
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(old))
+            checked_exempt += 1
+    assert checked_decay >= 6 and checked_exempt >= 10
+
+
+def test_wd_exempt_rejects_fused_adamw(tiny_cfg, monkeypatch, capsys):
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, tiny_cfg.name, tiny_cfg)
+    rc = train_main([
+        "--config", tiny_cfg.name, "--steps", "1", "--batch", "8",
+        "--ops", "fused_train", "--optimizer", "fused_adamw",
+        "--wd-exempt-norm-bias", "--no-compile-cache",
+    ])
+    assert rc == 2
+    assert "wd-exempt-norm-bias" in capsys.readouterr().err

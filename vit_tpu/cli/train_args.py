@@ -18,6 +18,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=0.05)
     p.add_argument(
+        "--wd-exempt-norm-bias", action="store_true",
+        help="standard ViT recipe: apply weight decay only to the GEMM "
+        "kernels (patch embed, QKV/out/MLP/head weights) — LayerNorm "
+        "scales/biases, all biases, and the cls/pos embeddings are "
+        "exempt (optax.adamw mask)",
+    )
+    p.add_argument(
         "--schedule",
         default="constant",
         choices=["constant", "warmup_cosine"],

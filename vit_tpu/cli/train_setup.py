@@ -130,10 +130,38 @@ def _resolve_ops(args, cfg, mesh_axes):
     return ops_name
 
 
+_DECAY_KEYS = {"kernel", "wqkv", "wo", "w1", "w2"}
+
+
+def decay_mask(params):
+    """True where weight decay applies (the GEMM weights); False for
+    LayerNorm scales/biases, every bias, and the cls/pos embeddings —
+    the standard ViT recipe (the stacked-blocks layout makes an ndim
+    heuristic wrong: stacked biases are 2-D)."""
+    import jax
+
+    def rule(path, _leaf):
+        last = path[-1]
+        key = last.key if hasattr(last, "key") else str(last)
+        return key in _DECAY_KEYS
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def _build_optimizer(args, lr):
     import optax
 
-    optimizer = optax.adamw(lr, weight_decay=args.weight_decay)
+    if args.wd_exempt_norm_bias:
+        if args.optimizer == "fused_adamw":
+            raise SetupError(
+                "error: --wd-exempt-norm-bias requires --optimizer adamw"
+            )
+        optimizer = optax.adamw(
+            lr, weight_decay=args.weight_decay, mask=decay_mask
+        )
+        print("weight decay: GEMM kernels only (norm/bias/embeddings exempt)")
+    else:
+        optimizer = optax.adamw(lr, weight_decay=args.weight_decay)
     if args.grad_clip:
         if args.optimizer == "fused_adamw":
             raise SetupError("error: --grad-clip requires --optimizer adamw")
