@@ -73,3 +73,45 @@ def test_torch_tensor_inputs(tiny_cfg):
     got = tc.tensors_from_state_dict(sd_t, tiny_cfg)
     for idx in tensors:
         np.testing.assert_array_equal(got[idx], tensors[idx])
+
+
+def test_pth_export_roundtrip(tiny_cfg, tiny_params, tmp_path):
+    """params -> save_pth -> load_pth round-trips bit-exactly, and the
+    exported dict carries torchvision's native cls/pos shapes."""
+    import jax
+
+    path = tmp_path / "export.pth"
+    tc.save_pth(tiny_params, path, tiny_cfg)
+    sd = tc.state_dict_from_params(tiny_params, tiny_cfg)
+    assert sd["class_token"].shape == (1, 1, tiny_cfg.embed_dim)
+    assert sd["encoder.pos_embedding"].shape == (
+        1, tiny_cfg.seq_len, tiny_cfg.embed_dim
+    )
+    back = tc.load_pth(path, tiny_cfg)
+    for a, b in zip(jax.tree.leaves(tiny_params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convert_cli_pth_destination(tiny_cfg, tmp_path, monkeypatch, capsys):
+    """vit-tpu-convert infers pth output from the destination suffix; the
+    file loads back through the generic loader."""
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.convert import main as convert_main
+    from vit_tpu.io.load_any import load_params_any
+
+    monkeypatch.setitem(config_mod.CONFIGS, tiny_cfg.name, tiny_cfg)
+    tensors = wio.synth_reference_tensors(tiny_cfg, seed=3)
+    wio.save_reference_weights(tensors, tmp_path / "Network", tiny_cfg)
+    dst = tmp_path / "out.pth"
+    rc = convert_main([
+        "--config", tiny_cfg.name, "--from", str(tmp_path / "Network"),
+        "--to", str(dst),
+    ])
+    assert rc == 0 and dst.exists()
+    assert "pth" in capsys.readouterr().out
+    params = load_params_any(dst, tiny_cfg)
+    want = wio.params_from_tensors(tensors, tiny_cfg)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -38,9 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="destination path (.npz file, or a directory for "
                    "--format reference/orbax)")
     p.add_argument(
-        "--format", default=None, choices=["npz", "reference", "orbax"],
-        help="output format (default: npz for a *.npz destination, "
-        "reference otherwise)",
+        "--format", default=None,
+        choices=["npz", "reference", "orbax", "pth"],
+        help="output format (default: npz for a *.npz destination, pth "
+        "for *.pth/*.pt, reference otherwise)",
     )
     p.add_argument(
         "--hf", action="store_true",
@@ -94,12 +95,24 @@ def main(argv=None) -> int:
 
     fmt = args.format
     if fmt is None:
-        fmt = "npz" if str(args.dst).endswith(".npz") else "reference"
+        dst = str(args.dst)
+        if dst.endswith(".npz"):
+            fmt = "npz"
+        elif dst.endswith((".pth", ".pt")):
+            fmt = "pth"
+        else:
+            fmt = "reference"
 
     if fmt == "npz":
         ckpt.save_npz(params, args.dst)
     elif fmt == "orbax":
         ckpt.save_orbax(params, args.dst)
+    elif fmt == "pth":
+        # torchvision-loadable state dict: the outbound half of the .pth
+        # interop (ingest is io/torch_convert.load_pth via load_any)
+        from vit_tpu.io.torch_convert import save_pth
+
+        save_pth(params, args.dst, cfg)
     else:
         wio.save_reference_weights(
             wio.tensors_from_params(params, cfg), args.dst, cfg

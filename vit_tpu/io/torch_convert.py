@@ -94,3 +94,35 @@ def export_reference_bins(state_dict, out_dir, cfg: ViTConfig = VIT_B_16) -> Non
     """Emit Weight_{idx}_{name}.bin files identical to the reference's export
     of the same checkpoint."""
     wio.save_reference_weights(tensors_from_state_dict(state_dict, cfg), out_dir, cfg)
+
+
+def state_dict_from_params(params, cfg: ViTConfig = VIT_B_16) -> Dict[str, np.ndarray]:
+    """Inverse of params_from_state_dict: TPU params pytree -> torchvision
+    state-dict arrays, with torchvision's native shapes (class_token
+    (1,1,D), encoder.pos_embedding (1,T,D); everything else matches the
+    reference tensor shapes, which ARE the state-dict shapes)."""
+    tensors = wio.tensors_from_params(params, cfg)
+    out: Dict[str, np.ndarray] = {}
+    for idx, name, _shape in wio.reference_tensor_specs(cfg):
+        arr = np.asarray(tensors[idx], np.float32)
+        if name == "class_token":
+            arr = arr.reshape(1, 1, -1)
+        elif name == "encoder_pos_embedding":
+            arr = arr.reshape(1, cfg.seq_len, cfg.embed_dim)
+        out[state_dict_key(name)] = arr
+    return out
+
+
+def save_pth(params, path, cfg: ViTConfig = VIT_B_16) -> None:
+    """Export a params pytree as a torchvision-loadable .pth state dict
+    (torch.save of {key: tensor}) — the outbound half of the .pth interop
+    (load_pth is the inbound half)."""
+    import torch
+
+    sd = {
+        # copy: jax buffers surface as non-writable numpy views, which
+        # torch.from_numpy warns about (undefined behavior on write)
+        k: torch.from_numpy(np.array(v, dtype=np.float32, copy=True))
+        for k, v in state_dict_from_params(params, cfg).items()
+    }
+    torch.save(sd, path)
