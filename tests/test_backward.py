@@ -189,3 +189,33 @@ def test_fused_train_step_matches_xla_train_step(tiny_cfg):
     assert abs(float(lx) - float(lf)) < 1e-5
     d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), px, pf)
     assert max(jax.tree.leaves(d)) < 1e-4
+
+
+def test_split_bwd_form_matches_merged(tiny_cfg, tiny_params, monkeypatch):
+    """Configs whose merged C'+B' backward overflows scoped VMEM (H/14:
+    the fp32 dw accumulators alone are 52 MB) fall back to the split
+    kernels; grads must be identical-ish to the merged form."""
+    from vit_tpu.ops.pallas import backward as B
+
+    t, d = tiny_cfg.seq_len, tiny_cfg.embed_dim
+    rows = 3 * t
+    x2d = _rand(4, rows, d) * 0.3
+    blk = jax.tree.map(lambda a: jnp.asarray(a[0], jnp.float32),
+                       tiny_params["blocks"])
+
+    def grads():
+        def loss(x, b):
+            return jnp.sum(
+                fused_encoder_block_trainable(
+                    x, b, tiny_cfg.num_heads, t, tiny_cfg.layernorm_eps
+                ) ** 2
+            )
+        return jax.grad(loss, argnums=(0, 1))(x2d, blk)
+
+    assert B._merged_bwd_vmem_bytes(1280, 5120, 1280) > B.MERGED_BWD_VMEM_BUDGET  # H/14 splits
+    assert B._merged_bwd_vmem_bytes(1024, 4096, 1024) <= B.MERGED_BWD_VMEM_BUDGET  # L/16 merges
+    gx_m, gb_m = grads()
+    monkeypatch.setattr(B, "MERGED_BWD_VMEM_BUDGET", 0)  # force split
+    gx_s, gb_s = grads()
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_m), atol=1e-5)
+    _tree_close(gb_s, gb_m, atol=1e-5)

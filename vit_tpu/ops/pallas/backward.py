@@ -634,6 +634,23 @@ def ln_qkv_attn_bwd(
     )
 
 
+def _merged_bwd_vmem_bytes(d, f, d_ctx, itemsize=2, block_rows=256):
+    """Rough scoped-VMEM bill of the merged C'+B' kernel: fp32 weight-grad
+    accumulators + resident weight operands + the row-block temps."""
+    accum = 4 * (2 * d * f + d_ctx * d)      # dw1, dw2, dwo (fp32)
+    weights = itemsize * (2 * d * f + d_ctx * d)  # w1, w2, wo resident
+    temps = 4 * block_rows * (3 * f + 6 * d)      # du/dg/h2 + misc fp32 rows
+    return accum + weights + temps
+
+
+# The merged kernel wins when it fits (dx1 never round-trips to HBM), but
+# its fp32 dw1+dw2+dwo accumulators grow with d*f: at H/14 (1280x5120)
+# they alone are 52 MB and the kernel exceeds the 96 MB scoped-VMEM limit
+# at compile time.  Past this budget the backward falls apart into the
+# split C' and B' kernels (the pre-merge round-2 form, still all-Pallas).
+MERGED_BWD_VMEM_BUDGET = 88 * 1024 * 1024
+
+
 def fused_encoder_block_bwd(
     x2d, blk, ctx, x1, g, num_heads, seq_len, eps, gelu_variant, interpret,
     qkv=None, u=None,
@@ -643,13 +660,27 @@ def fused_encoder_block_bwd(
     Chains C' -> B' -> A' and returns (dx, dblk) with dblk matching the
     params pytree keys/dtypes.  ``qkv``/``u``, when stashed by the forward,
     skip the two big recompute GEMMs."""
-    (dx1_mlp, dctx, dg2, dbt2, dw1, db1, dw2, db2, dwo, dbo) = (
-        ln_mlp_out_residual_bwd(
-            g, x1, ctx, blk["ln2_scale"], blk["ln2_bias"], blk["w1"],
-            blk["b1"], blk["w2"], blk["wo"], eps, gelu_variant,
-            interpret=interpret, u=u,
+    d = x2d.shape[-1]
+    f = blk["w1"].shape[-1]
+    d_ctx = blk["wo"].shape[0]
+    if _merged_bwd_vmem_bytes(d, f, d_ctx) <= MERGED_BWD_VMEM_BUDGET:
+        (dx1_mlp, dctx, dg2, dbt2, dw1, db1, dw2, db2, dwo, dbo) = (
+            ln_mlp_out_residual_bwd(
+                g, x1, ctx, blk["ln2_scale"], blk["ln2_bias"], blk["w1"],
+                blk["b1"], blk["w2"], blk["wo"], eps, gelu_variant,
+                interpret=interpret, u=u,
+            )
         )
-    )
+    else:
+        # split form: C' (with the residual passthrough in dx1), then B'
+        (dx1_mlp, dg2, dbt2, dw1, db1, dw2, db2) = ln_mlp_residual_bwd(
+            g, x1, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
+            blk["w2"], eps, gelu_variant, block_rows=128,
+            interpret=interpret, u=u, residual=True,
+        )
+        dctx, dwo, dbo = out_residual_bwd(
+            dx1_mlp, ctx, blk["wo"], interpret=interpret
+        )
     dx, dg1, dbt1, dwqkv, dbqkv = ln_qkv_attn_bwd(
         dctx, dx1_mlp, x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
         blk["bqkv"], num_heads, seq_len, eps, interpret=interpret, qkv=qkv,
