@@ -191,6 +191,36 @@ def test_fused_train_step_matches_xla_train_step(tiny_cfg):
     assert max(jax.tree.leaves(d)) < 1e-4
 
 
+def test_h14_head_geometry_grads_match_autodiff():
+    """dh=80 (H/14: 1280/16) is the one head width B/16 and L/16 (both
+    dh=64) never exercise — the lane-padded 80->128 head slices in the
+    attention backward must mask correctly.  Small t keeps interpret
+    mode fast; the full d/f are what matter for the padding paths."""
+    import dataclasses
+
+    from vit_tpu.config import VIT_H_14
+    from vit_tpu.io import weights as wio
+
+    cfg = dataclasses.replace(VIT_H_14, depth=1, image_size=70, name="h14_dims")
+    t = cfg.seq_len  # (70/14)^2 + 1 = 26
+    tensors = wio.synth_reference_tensors(cfg, seed=3)
+    params = wio.params_from_tensors(tensors, cfg)
+    blk = jax.tree.map(lambda a: jnp.asarray(a[0], jnp.float32), params["blocks"])
+    x2d = _rand(0, 2 * t, cfg.embed_dim) * 0.3
+
+    def mk(fn):
+        def loss(x, b):
+            out = fn(x, b, cfg.num_heads, t, cfg.layernorm_eps, "exact")
+            return jnp.sum(out * jnp.cos(out.astype(jnp.float32) * 0.1))
+        return jax.grad(loss, argnums=(0, 1))
+
+    gx_a, gb_a = mk(fused_encoder_block_trainable)(x2d, blk)
+    gx_b, gb_b = mk(_reference_block_2d)(x2d, blk)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b),
+                               atol=1e-4, rtol=1e-4)
+    _tree_close(gb_a, gb_b, atol=1e-4)
+
+
 def test_split_bwd_form_matches_merged(tiny_cfg, tiny_params, monkeypatch):
     """Configs whose merged C'+B' backward overflows scoped VMEM (H/14:
     the fp32 dw accumulators alone are 52 MB) fall back to the split
