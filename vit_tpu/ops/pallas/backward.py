@@ -663,7 +663,11 @@ def fused_encoder_block_bwd(
     d = x2d.shape[-1]
     f = blk["w1"].shape[-1]
     d_ctx = blk["wo"].shape[0]
-    if _merged_bwd_vmem_bytes(d, f, d_ctx) <= MERGED_BWD_VMEM_BUDGET:
+    # fp32 training (no --mixed-precision) keeps fp32 weights resident in
+    # the kernel, doubling the operand share of the VMEM bill — L/16 fp32
+    # merges under itemsize=2 but must split under itemsize=4.
+    itemsize = jnp.dtype(blk["w1"].dtype).itemsize
+    if _merged_bwd_vmem_bytes(d, f, d_ctx, itemsize) <= MERGED_BWD_VMEM_BUDGET:
         (dx1_mlp, dctx, dg2, dbt2, dw1, db1, dw2, db2, dwo, dbo) = (
             ln_mlp_out_residual_bwd(
                 g, x1, ctx, blk["ln2_scale"], blk["ln2_bias"], blk["w1"],
