@@ -47,7 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-delay-ms", type=float, default=5.0,
                    help="max time to wait filling a batch")
     p.add_argument("--batch-pad", type=int, default=32,
-                   help="padding grain (one compiled program per padded size)")
+                   help="padding grain (one compiled program per padded size, "
+                   "each jit-warmed at startup; set equal to --max-batch for "
+                   "a single program / fastest startup at the cost of small "
+                   "batches computing at the max-batch shape)")
     p.add_argument("--max-queue", type=int, default=None, metavar="IMAGES",
                    help="shed load (HTTP 503) when the pending-image "
                    "backlog exceeds this (default: 8 x max-batch)")
