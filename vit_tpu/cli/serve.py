@@ -191,6 +191,12 @@ def _selftest(args, cfg, ops, server) -> int:
                 "images": total,
                 "images_per_batch": round(server.stats.images_per_batch, 2),
                 "batches": server.stats.batches,
+                "latency_p50_ms": round(
+                    server.stats.latency.quantile(0.50) * 1e3, 2
+                ),
+                "latency_p99_ms": round(
+                    server.stats.latency.quantile(0.99) * 1e3, 2
+                ),
                 "ops": ops,
                 "dtype": args.dtype,
                 "staged": bool(args.staged),
