@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from vit_tpu.config import VIT_B_16
+from vit_tpu.config import get_config
 from vit_tpu.models import vit
 from vit_tpu.ops.dispatch import get_ops
 from vit_tpu.runtime import trainer
@@ -32,21 +32,29 @@ from vit_tpu.runtime import trainer
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="vit_b_16",
+                    help="model config name (vit_b_16, vit_l_16, vit_h_14, "
+                    "...); reproduces the family timings in "
+                    "docs/performance.md, e.g. --config vit_l_16 --batch 16 "
+                    "--paths fused_train")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--paths", default="fused_train,xla")
     args = ap.parse_args()
 
-    cfg = VIT_B_16
-    print("backend:", jax.default_backend())
+    cfg = get_config(args.config)
+    print("backend:", jax.default_backend(), " config:", cfg.name)
 
     rng = np.random.default_rng(0)
     if not args.skip_parity:
         # compiled-mode grad parity, fp32, small batch
         params = vit.init_params(jax.random.key(0), cfg, jnp.float32)
-        imgs = jnp.asarray(rng.normal(size=(4, 3, 224, 224)), jnp.float32)
-        labels = jnp.asarray(rng.integers(0, 1000, 4), jnp.int32)
+        imgs = jnp.asarray(
+            rng.normal(size=(4, cfg.in_channels, cfg.image_size, cfg.image_size)),
+            jnp.float32,
+        )
+        labels = jnp.asarray(rng.integers(0, cfg.num_classes, 4), jnp.int32)
 
         def loss(ops_name):
             ops = get_ops(ops_name)
@@ -67,8 +75,13 @@ def main():
 
     # timing: bf16 mixed precision, adamw
     optimizer = optax.adamw(1e-3)
-    imgs = jnp.asarray(rng.normal(size=(args.batch, 3, 224, 224)), jnp.float32)
-    labels = jnp.asarray(rng.integers(0, 1000, args.batch), jnp.int32)
+    imgs = jnp.asarray(
+        rng.normal(
+            size=(args.batch, cfg.in_channels, cfg.image_size, cfg.image_size)
+        ),
+        jnp.float32,
+    )
+    labels = jnp.asarray(rng.integers(0, cfg.num_classes, args.batch), jnp.int32)
 
     for ops_name in args.paths.split(","):
         fused_opt = ops_name.endswith("+fadamw")
