@@ -83,24 +83,63 @@ def main(argv=None) -> None:
         float(acc)  # single host sync at the end
         return (time.perf_counter() - t0) / iters
 
-    def spread(fn, iters, samples=3):
-        """>=3 independent timing samples -> (median, min, max).
+    def spread_stateful(fn, iters, state, samples=3):
+        """>=3 independent timing samples -> (median, min, max, state) for
+        timed fns that thread state (donated train params/opt buffers):
+        fn(iters, *state) -> (dt, *state).
 
         One sample can't distinguish a regression from tunnel variance
         (round-2 verdict "what's weak" #1): the headline quotes the median
         and carries min/max so the artifact records its own noise floor."""
-        dts = sorted(fn(iters) for _ in range(samples))
-        return dts[len(dts) // 2], dts[0], dts[-1]
-
-    def spread_stateful(fn, iters, state, samples=3):
-        """spread() for timed fns that thread state (donated train
-        params/opt buffers): fn(iters, *state) -> (dt, *state)."""
         dts = []
         for _ in range(samples):
             dt_i, *state = fn(iters, *state)
             dts.append(dt_i)
         dts.sort()
         return dts[len(dts) // 2], dts[0], dts[-1], state
+
+    def spread(fn, iters, samples=3):
+        """spread_stateful for stateless timed fns -> (median, min, max)."""
+        return spread_stateful(
+            lambda n: (fn(n),), iters, (), samples
+        )[:3]
+
+    def bench_train_step(tcfg, tb, warm_iters, timed_iters):
+        """fused_train bf16 adamw step timing -> (median, min, max) s/step.
+
+        One donation-safe recipe shared by the b64 and @384 train numbers
+        (and mirrored by scripts/bench_train_longseq.py)."""
+        import optax
+
+        from vit_tpu.ops.dispatch import get_ops
+        from vit_tpu.runtime import trainer
+
+        optimizer = optax.adamw(1e-3)
+        p, o = trainer.init_train_state(jax.random.key(1), tcfg, optimizer)
+        rng = np.random.default_rng(0)
+        timgs = jnp.asarray(
+            rng.normal(size=(tb, tcfg.in_channels, tcfg.image_size,
+                             tcfg.image_size)), jnp.float32)
+        tlbls = jnp.asarray(rng.integers(0, tcfg.num_classes, tb), jnp.int32)
+        step = jax.jit(
+            trainer.make_train_step(
+                tcfg, optimizer, get_ops("fused_train"), remat=False,
+                compute_dtype=jnp.bfloat16,
+            ),
+            donate_argnums=(0, 1),
+            compiler_options=trainer.kernel_backward_compiler_options(),
+        )
+
+        def t_pass(iters, p, o):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                p, o, loss = step(p, o, timgs, tlbls)
+            float(loss)
+            return (time.perf_counter() - t0) / iters, p, o
+
+        _, p, o = t_pass(warm_iters, p, o)
+        dt, dt_min, dt_max, _ = spread_stateful(t_pass, timed_iters, (p, o))
+        return dt, dt_min, dt_max
 
     timed_pass(3)  # warm EVERYTHING in the timed expression (incl. sum/add ops
     #               — their first-use compile otherwise lands inside the timing)
@@ -144,41 +183,8 @@ def main(argv=None) -> None:
     train_spread = (None, None)
     if ops_impl == "fused" and cfg.name == "vit_b_16":
         try:
-            import optax
-
-            from vit_tpu.ops.dispatch import get_ops
-            from vit_tpu.runtime import trainer
-
-            optimizer = optax.adamw(1e-3)
-            tparams, topt = trainer.init_train_state(
-                jax.random.key(1), cfg, optimizer
-            )
             tb = 64
-            rng = np.random.default_rng(0)
-            timgs = jnp.asarray(rng.normal(size=(tb, cfg.in_channels,
-                                                 cfg.image_size, cfg.image_size)),
-                                jnp.float32)
-            tlbls = jnp.asarray(rng.integers(0, cfg.num_classes, tb), jnp.int32)
-            step = jax.jit(
-                trainer.make_train_step(
-                    cfg, optimizer, get_ops("fused_train"), remat=False,
-                    compute_dtype=jnp.bfloat16,
-                ),
-                donate_argnums=(0, 1),
-                compiler_options=trainer.kernel_backward_compiler_options(),
-            )
-
-            def t_pass(iters, p, o):
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    p, o, loss = step(p, o, timgs, tlbls)
-                float(loss)
-                return (time.perf_counter() - t0) / iters, p, o
-
-            _, tparams, topt = t_pass(3, tparams, topt)
-            tdt, tdt_min, tdt_max, _ = spread_stateful(
-                t_pass, 12, (tparams, topt)
-            )
+            tdt, tdt_min, tdt_max = bench_train_step(cfg, tb, 3, 12)
             train_img_per_sec = round(tb / tdt, 2)
             train_spread = (round(tb / tdt_max, 2), round(tb / tdt_min, 2))
         except Exception as e:
@@ -193,42 +199,8 @@ def main(argv=None) -> None:
     train384_img_per_sec = None
     if ops_impl == "fused" and cfg.name == "vit_b_16":
         try:
-            import optax
-
-            from vit_tpu.config import get_config as _gc
-            from vit_tpu.ops.dispatch import get_ops
-            from vit_tpu.runtime import trainer
-
-            cfg384 = _gc("vit_b_16_384")
-            optimizer = optax.adamw(1e-3)
-            p384, o384 = trainer.init_train_state(
-                jax.random.key(1), cfg384, optimizer
-            )
             tb4 = 32
-            rng = np.random.default_rng(0)
-            x384 = jnp.asarray(
-                rng.normal(size=(tb4, cfg384.in_channels, cfg384.image_size,
-                                 cfg384.image_size)), jnp.float32)
-            y384 = jnp.asarray(rng.integers(0, cfg384.num_classes, tb4),
-                               jnp.int32)
-            step384 = jax.jit(
-                trainer.make_train_step(
-                    cfg384, optimizer, get_ops("fused_train"), remat=False,
-                    compute_dtype=jnp.bfloat16,
-                ),
-                donate_argnums=(0, 1),
-                compiler_options=trainer.kernel_backward_compiler_options(),
-            )
-
-            def t384_pass(iters, p, o):
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    p, o, loss = step384(p, o, x384, y384)
-                float(loss)
-                return (time.perf_counter() - t0) / iters, p, o
-
-            _, p384, o384 = t384_pass(2, p384, o384)
-            d384, _, _, _ = spread_stateful(t384_pass, 8, (p384, o384))
+            d384, _, _ = bench_train_step(get_config("vit_b_16_384"), tb4, 2, 8)
             train384_img_per_sec = round(tb4 / d384, 2)
         except Exception as e:
             import sys

@@ -98,6 +98,17 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
+    if args.smoke:
+        # must land before the first jax import or the virtual mesh is 1-wide
+        # (under pytest the conftest has already done this — appending again
+        # is a no-op on an initialized backend)
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+
     import jax
 
     from vit_tpu.config import VIT_B_16, get_config

@@ -220,7 +220,9 @@ def test_serve_http_endpoint(tiny_cfg, tiny_params, tmp_path, monkeypatch):
     # malformed deadlines are CLIENT errors (400), never phantom 504s:
     # nan would compare false against every deadline, inf would silently
     # disable the SLO
-    for bad in ("nan", "inf", "-5", "soon"):
+    # an empty value (templated client with an unset variable) is the
+    # same class — a silently disabled SLO is never acceptable
+    for bad in ("nan", "inf", "-5", "soon", ""):
         conn.request("POST", "/classify", body=body,
                      headers={"X-Deadline-Ms": bad})
         resp = conn.getresponse()

@@ -198,3 +198,36 @@ def test_fused_block_trainable_direct_long_seq_raises():
 
     with pytest.raises(ValueError, match="seq_len"):
         jax.grad(loss)(blk)
+
+
+def test_long_seq_mlp_vjp_mixed_bias_dtype():
+    """The _ln_mlp_residual custom VJP must return each bias cotangent in
+    the bias's OWN dtype — fp32 biases alongside bf16 GEMM weights (a
+    common mixed-precision layout) previously crashed custom_vjp with a
+    b2-cotangent dtype mismatch (cast to w2.dtype instead of b2.dtype)."""
+    from vit_tpu.ops.pallas.trainable import _ln_mlp_residual_diff
+
+    rows, d, f = 48, 64, 128
+    key = jax.random.key(3)
+
+    def z(i, shape, scale=0.3):
+        return scale * jax.random.normal(jax.random.fold_in(key, i), shape)
+
+    x1 = z(0, (rows, d)).astype(jnp.float32)
+    s = (1.0 + z(1, (d,), 0.05)).astype(jnp.float32)
+    b = z(2, (d,), 0.05).astype(jnp.float32)
+    w1 = z(3, (d, f)).astype(jnp.bfloat16)
+    b1 = z(4, (f,), 0.05).astype(jnp.float32)
+    w2 = z(5, (f, d)).astype(jnp.bfloat16)
+    b2 = z(6, (d,), 0.05).astype(jnp.float32)
+
+    def loss(w2, b2):
+        out = _ln_mlp_residual_diff(
+            x1, s, b, w1, b1, w2, b2, 1e-6, "exact", True
+        )
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    gw2, gb2 = jax.grad(loss, (0, 1))(w2, b2)
+    assert gw2.dtype == w2.dtype
+    assert gb2.dtype == b2.dtype
+    assert bool(jnp.isfinite(gb2).all())

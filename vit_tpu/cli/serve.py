@@ -314,7 +314,9 @@ def _http_daemon(args, cfg, ops, server) -> int:
                 # the request would sit queued past this many ms
                 hdr = self.headers.get("X-Deadline-Ms")
                 deadline_ms = None
-                if hdr:
+                if hdr is not None:
+                    # an empty value is the same client-error class as a
+                    # non-numeric one — never a silently disabled SLO
                     import math
 
                     try:

@@ -164,20 +164,20 @@ def _ln_mlp_residual_diff(x1, s, b, w1, b1, w2, b2, eps, gelu_variant, interpret
 
 def _lmr_fwd(x1, s, b, w1, b1, w2, b2, eps, gelu_variant, interpret):
     out = _ln_mlp_residual_diff(x1, s, b, w1, b1, w2, b2, eps, gelu_variant, interpret)
-    return out, (x1, s, b, w1, b1, w2)
+    return out, (x1, s, b, w1, b1, w2, b2)
 
 
 def _lmr_bwd(eps, gelu_variant, interpret, residuals, g):
     from vit_tpu.ops.pallas.backward import ln_mlp_residual_bwd
 
-    x1, s, b, w1, b1, w2 = residuals
+    x1, s, b, w1, b1, w2, b2 = residuals
     dx1, ds, db, dw1, db1, dw2, db2 = ln_mlp_residual_bwd(
         g, x1, s, b, w1, b1, w2, eps, gelu_variant, interpret=interpret,
         residual=True,
     )
     return (
         dx1, ds.astype(s.dtype), db.astype(b.dtype), dw1.astype(w1.dtype),
-        db1.astype(b1.dtype), dw2.astype(w2.dtype), db2.astype(w2.dtype),
+        db1.astype(b1.dtype), dw2.astype(w2.dtype), db2.astype(b2.dtype),
     )
 
 
