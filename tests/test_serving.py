@@ -401,6 +401,79 @@ def test_request_latency_recorded(engine, tiny_cfg):
     assert srv.stats.latency.quantile(0.5) > 0.0
 
 
+def test_measure_steady_state_paces_and_isolates_slo_window(engine, tiny_cfg):
+    """Paced (Poisson-arrival) measurement: achieves the offered stream,
+    reports offered load, and its SLO window excludes warmup traffic."""
+    from vit_tpu.runtime.serving import measure_steady_state
+
+    sizes = [1, 2, 3, 2]
+    with InferenceServer(engine, max_batch=8, max_delay_ms=1.0) as srv:
+        rate, total, offered = measure_steady_state(
+            srv, sizes, tiny_cfg, rate_rps=200.0
+        )
+        with pytest.raises(ValueError):
+            measure_steady_state(srv, sizes, tiny_cfg, rate_rps=0.0)
+    assert rate > 0 and total == sum(sizes) and offered > 0
+    # stats were reset after warmup: exactly the paced requests remain
+    assert srv.stats.requests == len(sizes)
+    assert srv.stats.latency.count == len(sizes)
+
+
+def test_serve_cli_selftest_paced(tiny_cfg, tmp_path, monkeypatch, capsys):
+    import json
+
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.serve import main as serve_main
+    from vit_tpu.io import weights as wio
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    wio.save_reference_weights(
+        wio.synth_reference_tensors(tiny_cfg, seed=1), tmp_path / "Network", tiny_cfg
+    )
+    rc = serve_main([
+        "--config", "vit_tiny_test", "--weights", str(tmp_path / "Network"),
+        "--dtype", "float32", "--selftest", "5", "--selftest-rate", "100",
+        "--max-batch", "8", "--batch-pad", "8", "--no-compile-cache",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] > 0 and out["mode"] == "steady"
+    assert out["offered_rps"] > 0
+    assert out["latency_p99_ms"] > 0
+
+
+def test_sigterm_handler_drains_daemon(engine, tiny_cfg):
+    """The SIGTERM handler stops the HTTP listener; accepted requests then
+    resolve through the server's normal FIFO drain (stop())."""
+    import signal
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from vit_tpu.cli.serve import _drain_on_sigterm
+
+    class Quiet(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Quiet)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    restore = _drain_on_sigterm(httpd)
+    try:
+        with InferenceServer(engine, max_batch=8, max_delay_ms=1.0) as srv:
+            fut = srv.submit(iio.synth_images(2, tiny_cfg, seed=7))
+            handler = signal.getsignal(signal.SIGTERM)
+            handler(signal.SIGTERM, None)  # as the OS would deliver it
+            t.join(timeout=30)
+            assert not t.is_alive()  # listener stopped...
+            labels, _, _ = fut.result(timeout=60)  # ...but work drained
+            assert labels.shape == (2,)
+        # exiting the with-block ran the same stop() path the daemon uses
+    finally:
+        restore()
+        httpd.server_close()
+    assert signal.getsignal(signal.SIGTERM) != handler  # restored
+
+
 def test_queued_request_past_deadline_fails_504_class(engine, tiny_cfg):
     """A request whose submit deadline passes while still QUEUED must fail
     with DeadlineExceededError (the serve CLI maps it to HTTP 504); work

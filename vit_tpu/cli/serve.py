@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
         "one JSON throughput line, and exit (no socket)",
     )
     p.add_argument(
+        "--selftest-rate", type=float, metavar="RPS", default=None,
+        help="pace the selftest's submissions as Poisson arrivals at this "
+        "many requests/sec instead of enqueueing everything at t=0: below "
+        "capacity the reported p50/p99 is true steady-state service "
+        "latency, not saturation backlog drain",
+    )
+    p.add_argument(
         "--staged", action="store_true",
         help="selftest with device-resident payloads (measures the serving "
         "loop, not the host->device wire; request sizes snap to the "
@@ -165,7 +172,7 @@ def _build_server(args):
 def _selftest(args, cfg, ops, server) -> int:
     import numpy as np
 
-    from vit_tpu.runtime.serving import measure_throughput
+    from vit_tpu.runtime.serving import measure_steady_state, measure_throughput
 
     rng = np.random.default_rng(0)
     # in multihost mode a request must fit one tick's local slice
@@ -176,10 +183,17 @@ def _selftest(args, cfg, ops, server) -> int:
         sizes = [int(rng.choice(choices)) for _ in range(args.selftest)]
     else:
         sizes = [int(v) for v in rng.integers(1, cap + 1, args.selftest)]
+    offered = None
     with server:
-        img_per_sec, total = measure_throughput(
-            server, sizes, cfg, device_staged=args.staged
-        )
+        if args.selftest_rate:
+            img_per_sec, total, offered = measure_steady_state(
+                server, sizes, cfg, args.selftest_rate,
+                device_staged=args.staged,
+            )
+        else:
+            img_per_sec, total = measure_throughput(
+                server, sizes, cfg, device_staged=args.staged
+            )
     print(
         json.dumps(
             {
@@ -187,6 +201,11 @@ def _selftest(args, cfg, ops, server) -> int:
                 + (" (device-staged)" if args.staged else ""),
                 "value": round(img_per_sec, 2),
                 "unit": "images/sec",
+                "mode": "steady" if args.selftest_rate else "saturation",
+                **(
+                    {"offered_rps": round(offered, 2)}
+                    if offered is not None else {}
+                ),
                 "requests": args.selftest,
                 "images": total,
                 "images_per_batch": round(server.stats.images_per_batch, 2),
@@ -358,14 +377,46 @@ def _http_daemon(args, cfg, ops, server) -> int:
         f"vit-tpu-serve: {cfg.name} ops={ops} dtype={args.dtype} "
         f"listening on http://{args.host}:{httpd.server_address[1]}"
     )
-    with server:
+    restore_sigterm = _drain_on_sigterm(httpd)
+    with server:  # __exit__ = stop(): drains queued + in-flight work FIFO
         try:
             httpd.serve_forever()
         except KeyboardInterrupt:
             pass
         finally:
+            restore_sigterm()
             httpd.server_close()
     return 0
+
+
+def _drain_on_sigterm(httpd):
+    """Install a SIGTERM handler that stops the HTTP listener so the daemon
+    exits through its normal drain path (``server.stop()`` resolves every
+    already-accepted request before the process ends) — the serving analog
+    of the train CLI's checkpoint-and-exit preemption handling.  Returns a
+    restore() callable; no-op off the main thread (signal.signal would
+    raise there — e.g. daemons embedded in another process's thread)."""
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        return lambda: None
+
+    def _handler(signum, frame):
+        print("SIGTERM: draining accepted requests, then exiting")
+        # shutdown() blocks until serve_forever returns; the handler runs
+        # ON the serve_forever thread, so hand it to a helper thread
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    prev = signal.signal(signal.SIGTERM, _handler)
+    installed_default = prev is None  # prior handler came from outside Python
+
+    def restore():
+        signal.signal(
+            signal.SIGTERM, signal.SIG_DFL if installed_default else prev
+        )
+
+    return restore
 
 
 def main(argv=None) -> int:

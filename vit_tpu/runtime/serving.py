@@ -509,6 +509,7 @@ def measure_throughput(
         float(sum(jnp.sum(r[..., 0, 0]) for r in requests))
     server.warmup()  # compile every padded size outside the timed window
     server.classify(requests[0])
+    server.stats = ServerStats()  # SLO window excludes warmup traffic
     t0 = time.perf_counter()
     futures = [server.submit(r) for r in requests]
     for f in futures:
@@ -516,3 +517,61 @@ def measure_throughput(
     dt = time.perf_counter() - t0
     total = sum(request_sizes)
     return total / dt, total
+
+
+def measure_steady_state(
+    server: InferenceServer,
+    request_sizes: List[int],
+    cfg,
+    rate_rps: float,
+    seed: int = 0,
+    device_staged: bool = False,
+) -> Tuple[float, int, float]:
+    """Drive the server with paced Poisson arrivals at ``rate_rps``
+    requests/sec; returns (images/sec achieved, total_images, offered_rps).
+
+    ``measure_throughput`` enqueues the whole stream at t=0, so its latency
+    histogram measures backlog drain under saturation (throughput x queue
+    depth).  This variant spaces submissions with seeded exponential
+    inter-arrival gaps — below capacity, the recorded p50/p99 is the true
+    per-request service latency (queueing + batching delay + compute +
+    readback), the number an SLO is actually written against.  Offered load
+    at or above capacity degenerates to the saturation measurement.
+    """
+    import time
+
+    from vit_tpu.io import images as iio
+
+    if rate_rps <= 0:
+        raise ValueError(f"rate_rps must be > 0, got {rate_rps}")
+    pool = iio.synth_images(max(request_sizes), cfg, seed=seed)
+    requests = [np.asarray(pool[:n]) for n in request_sizes]
+    if device_staged:
+        import jax
+        import jax.numpy as jnp
+
+        requests = [
+            jax.device_put(jnp.asarray(r, server.engine.compute_dtype))
+            for r in requests
+        ]
+        float(sum(jnp.sum(r[..., 0, 0]) for r in requests))
+    server.warmup()
+    server.classify(requests[0])
+    server.stats = ServerStats()  # SLO window excludes warmup traffic
+    gaps = np.random.default_rng(seed).exponential(
+        1.0 / rate_rps, len(requests)
+    )
+    t0 = time.perf_counter()
+    arrivals = t0 + np.cumsum(gaps)
+    futures = []
+    for due, r in zip(arrivals, requests):
+        delay = due - time.perf_counter()
+        if delay > 0:
+            time.sleep(delay)
+        futures.append(server.submit(r))
+    for f in futures:
+        f.result()
+    dt = time.perf_counter() - t0
+    total = sum(request_sizes)
+    offered = len(requests) / float(arrivals[-1] - t0)
+    return total / dt, total, offered
