@@ -15,6 +15,16 @@ BENCH-format JSON line per config:
     {"metric": "images/sec, vit_h_14 dp=8 batch=256", "value": ...,
      "unit": "images/sec", "per_chip": ..., "mxu_utilization": ..., ...}
 
+It also measures the parallelism axes whose ICI behavior is otherwise
+analytic (docs/performance.md "Ring-attention SP" / pipeline notes):
+
+  - ring-attention sequence parallelism (dp x sp, B/16 @384 — 577 tokens
+    riding the K/V ppermute ring, parallel/sequence.py),
+  - GPipe pipeline parallelism (pp over the stacked-layer seam with the
+    fused megakernels per stage, parallel/pipeline.py),
+  - data-parallel *training* (fused_train megakernels + hand-written
+    backward kernels under shard_map, grads pmean'd over ICI).
+
 CI keeps it honest off-hardware: ``--smoke`` runs the same code on the
 8-device virtual CPU mesh with a tiny config (tests/test_variants.py),
 so the measurement path cannot rot while waiting for chips.
@@ -84,6 +94,172 @@ def bench_config(name, cfg, mesh_axes, batch, iters, ops, dtype="bfloat16"):
     }
 
 
+def _mesh_and_result_stub(mesh_axes, batch):
+    import jax
+
+    from vit_tpu.parallel import make_mesh
+
+    n_chips = 1
+    for v in mesh_axes.values():
+        n_chips *= v
+    mesh = make_mesh(mesh_axes, jax.devices()[:n_chips])
+    mesh_desc = "x".join(f"{k}{v}" for k, v in mesh_axes.items())
+    return mesh, n_chips, mesh_desc
+
+
+def _timed_spread(timed, iters, warm=2):
+    """warm, then 3 independent samples -> (median, min, max) seconds."""
+    timed(warm)
+    dts = sorted(timed(iters) for _ in range(3))
+    return dts[1], dts[0], dts[-1]
+
+
+def bench_forward_fn(name, kind, cfg, mesh_axes, batch, iters, fwd_builder,
+                     dtype="bfloat16"):
+    """Time a sharded forward built by ``fwd_builder(cfg, mesh, params)``
+    -> (jitted_fn, params) — shared by the SP-ring and PP rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.io import synth_images, weights as wio
+    from vit_tpu.runtime.profiler import roofline
+
+    mesh, n_chips, mesh_desc = _mesh_and_result_stub(mesh_axes, batch)
+    params = wio.params_from_tensors(wio.synth_reference_tensors(cfg, 0), cfg)
+    if dtype == "bfloat16":
+        params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+    fwd, params = fwd_builder(cfg, mesh, params)
+    x = jnp.asarray(synth_images(batch, cfg, seed=0))
+
+    def timed(n):
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            acc = acc + jnp.sum(fwd(params, x).astype(jnp.float32))
+        float(acc)
+        return (time.perf_counter() - t0) / n
+
+    dt, dt_min, dt_max = _timed_spread(timed, iters)
+    stats = roofline(cfg, batch, dt, chip="v5e",
+                     dtype="bf16" if dtype == "bfloat16" else "fp32",
+                     n_chips=n_chips)
+    return {
+        "metric": f"images/sec, {name} {kind} {mesh_desc} batch={batch}",
+        "value": round(batch / dt, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(stats["mxu_utilization"] / 0.50, 4),
+        "batch_latency_ms": round(dt * 1e3, 3),
+        "batch_latency_ms_spread": [round(dt_min * 1e3, 3),
+                                    round(dt_max * 1e3, 3)],
+        "images_per_sec_per_chip": round(batch / dt / n_chips, 2),
+        "mxu_utilization": round(stats["mxu_utilization"], 4),
+        "n_chips": n_chips,
+        "mesh": dict(mesh_axes),
+        "ops_impl": kind,
+        "dtype": dtype,
+    }
+
+
+def sp_builder(cfg, mesh, params):
+    """Ring-attention SP forward (tokens shard over 'sp', K/V blocks ride
+    a ppermute ring with online-softmax combine — parallel/sequence.py)."""
+    import jax
+
+    from vit_tpu.parallel.sequence import shard_forward_sp
+
+    return jax.jit(shard_forward_sp(cfg, mesh)), params
+
+
+def pp_builder(num_microbatches, ops_name):
+    """GPipe PP forward over the stacked-layer seam (parallel/pipeline.py);
+    params re-placed stage-wise via pp_param_pspecs."""
+
+    def build(cfg, mesh, params):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from vit_tpu.parallel.pipeline import pp_param_pspecs, shard_forward_pp
+
+        params = jax.device_put(
+            params,
+            jax.tree.map(
+                lambda s: NamedSharding(mesh, s),
+                pp_param_pspecs(params, mesh.axis_names),
+                is_leaf=lambda x: isinstance(x, PartitionSpec),
+            ),
+        )
+        return jax.jit(shard_forward_pp(cfg, mesh, num_microbatches,
+                                        ops_name=ops_name)), params
+
+    return build
+
+
+def bench_train_dp(name, cfg, mesh_axes, batch, iters, ops_name,
+                   dtype="bfloat16"):
+    """Data-parallel training step (grads pmean'd over ICI under
+    shard_map; fused_train = Pallas forward + hand-written backward
+    kernels) -> BENCH dict in images/sec."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vit_tpu.ops.dispatch import get_ops
+    from vit_tpu.parallel import batch_sharding, replicate
+    from vit_tpu.runtime import trainer
+
+    mesh, n_chips, mesh_desc = _mesh_and_result_stub(mesh_axes, batch)
+    optimizer = optax.adamw(1e-3)
+    p, o = trainer.init_train_state(jax.random.key(1), cfg, optimizer)
+    p = jax.device_put(p, replicate(mesh))
+    o = jax.device_put(o, replicate(mesh))
+    step = trainer.jit_train_step_dp_shard_map(
+        cfg, optimizer, mesh, get_ops(ops_name),
+        remat=(ops_name == "xla"),
+        compute_dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
+    )
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        jnp.asarray(rng.normal(size=(batch, cfg.in_channels, cfg.image_size,
+                                     cfg.image_size)), jnp.float32),
+        batch_sharding(mesh, 4),
+    )
+    labels = jax.device_put(
+        jnp.asarray(rng.integers(0, cfg.num_classes, batch), jnp.int32),
+        batch_sharding(mesh, 1),
+    )
+
+    def t_pass(n, p, o):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            p, o, loss = step(p, o, images, labels)
+        float(loss)
+        return (time.perf_counter() - t0) / n, p, o
+
+    _, p, o = t_pass(1, p, o)  # warm (compile)
+    dts = []
+    for _ in range(3):
+        dt_i, p, o = t_pass(iters, p, o)
+        dts.append(dt_i)
+    dts.sort()
+    dt, dt_min, dt_max = dts[1], dts[0], dts[-1]
+    return {
+        "metric": f"train images/sec, {name} {mesh_desc} batch={batch} "
+                  f"{ops_name}",
+        "value": round(batch / dt, 2),
+        "unit": "images/sec",
+        "step_latency_ms": round(dt * 1e3, 3),
+        "step_latency_ms_spread": [round(dt_min * 1e3, 3),
+                                   round(dt_max * 1e3, 3)],
+        "images_per_sec_per_chip": round(batch / dt / n_chips, 2),
+        "n_chips": n_chips,
+        "mesh": dict(mesh_axes),
+        "ops_impl": ops_name,
+        "dtype": dtype,
+        "train_step": True,
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
@@ -136,36 +312,62 @@ def main(argv=None) -> int:
             VIT_B_16, depth=2, embed_dim=64, num_heads=4, image_size=32,
             patch_size=16, num_classes=11, name="vit_tiny_smoke",
         )
+        dtype, iters, w = "float32", 2, min(n_dev, 8)
         cases = [
-            ("vit_tiny_smoke", tiny, {"dp": min(n_dev, 8)}, "xla", 2),
-            ("vit_tiny_smoke", tiny,
-             {"dp": min(n_dev, 8) // 2, "tp": 2}, "fused", 2),
+            ("dp-infer", lambda: bench_config(
+                "vit_tiny_smoke", tiny, {"dp": w}, 2 * w, iters, "xla",
+                dtype=dtype)),
+            ("dpxtp-infer", lambda: bench_config(
+                "vit_tiny_smoke", tiny, {"dp": w // 2, "tp": 2}, w, iters,
+                "fused", dtype=dtype)),
+            # sp shards the 5 tokens over 4 chips (padded ring); pp stages
+            # the 2-layer stack; the dp train row runs the fused_train
+            # megakernels (interpret mode on CPU) exactly as a pod would.
+            ("dpxsp-infer", lambda: bench_forward_fn(
+                "vit_tiny_smoke", "sp_ring", tiny,
+                {"dp": w // 4, "sp": 4}, w // 2, iters, sp_builder,
+                dtype=dtype)),
+            ("pp-infer", lambda: bench_forward_fn(
+                "vit_tiny_smoke", "pp", tiny, {"pp": 2}, 4, iters,
+                pp_builder(num_microbatches=2, ops_name="xla"),
+                dtype=dtype)),
+            ("dp-train", lambda: bench_train_dp(
+                "vit_tiny_smoke", tiny, {"dp": w}, 2 * w, 1, "fused_train",
+                dtype=dtype)),
         ]
-        iters = 2
     else:
-        # BASELINE.json config 5: H/14 DP over the pod, plus dp x tp B/16
-        # (the kernel-TP path whose ICI profile is otherwise analytic)
+        # BASELINE.json config 5: H/14 DP over the pod; dp x tp B/16 (the
+        # kernel-TP path); then the rows whose ICI profile is otherwise
+        # analytic: the @384 ring-SP forward, the fused-kernel pipeline,
+        # and data-parallel fused_train (ICI grad all-reduce).
+        pcb, iters = args.per_chip_batch, args.iters
+        b16, h14 = get_config("vit_b_16"), get_config("vit_h_14")
+        b16_384 = get_config("vit_b_16_384")
+        sp_dp = max(n_dev // 4, 1)
         cases = [
-            ("vit_h_14", get_config("vit_h_14"), {"dp": n_dev}, "fused",
-             args.per_chip_batch),
-            ("vit_b_16", get_config("vit_b_16"),
-             {"dp": n_dev // 2, "tp": 2}, "fused", args.per_chip_batch),
+            ("dp-infer", lambda: bench_config(
+                "vit_h_14", h14, {"dp": n_dev}, pcb * n_dev, iters, "fused")),
+            ("dpxtp-infer", lambda: bench_config(
+                "vit_b_16", b16, {"dp": n_dev // 2, "tp": 2},
+                pcb * (n_dev // 2), iters, "fused")),
+            ("dpxsp-infer", lambda: bench_forward_fn(
+                "vit_b_16_384", "sp_ring", b16_384,
+                {"dp": sp_dp, "sp": min(n_dev, 4)}, pcb * sp_dp, iters,
+                sp_builder)),
+            ("pp-infer", lambda: bench_forward_fn(
+                "vit_b_16", "pp", b16, {"pp": min(n_dev, 4)}, 64, iters,
+                pp_builder(num_microbatches=8, ops_name="fused"))),
+            ("dp-train", lambda: bench_train_dp(
+                "vit_b_16", b16, {"dp": n_dev}, 64 * n_dev,
+                max(iters // 2, 5), "fused_train")),
         ]
-        iters = args.iters
 
     rc = 0
-    for name, cfg, mesh_axes, ops, pcb in cases:
-        n_chips = 1
-        for v in mesh_axes.values():
-            n_chips *= v
-        batch = pcb * mesh_axes.get("dp", 1)
+    for kind, thunk in cases:
         try:
-            result = bench_config(
-                name, cfg, mesh_axes, batch, iters, ops,
-                dtype="float32" if args.smoke else "bfloat16",
-            )
+            result = thunk()
         except Exception as e:  # report, keep the other configs running
-            result = {"metric": f"{name} {mesh_axes}", "error": repr(e)}
+            result = {"metric": kind, "error": repr(e)}
             rc = 1
         print(json.dumps(result))
     return rc

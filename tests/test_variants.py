@@ -71,11 +71,16 @@ def test_bench_multichip_smoke(capsys):
     rc = bench_multichip.main(["--smoke"])
     assert rc == 0
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
-    assert len(lines) == 2
-    for line in lines:
-        rec = json.loads(line)
+    # dp-infer, dpxtp-infer, dpxsp-infer (ring), pp-infer, dp-train
+    assert len(lines) == 5
+    recs = [json.loads(l) for l in lines]
+    for rec in recs:
         assert "error" not in rec, rec
-        assert rec["value"] > 0 and rec["n_chips"] == 8
+        assert rec["value"] > 0 and rec["n_chips"] >= 2
         assert rec["unit"] == "images/sec"
-    meshes = [json.loads(l)["mesh"] for l in lines]
+    meshes = [rec["mesh"] for rec in recs]
     assert {"dp": 8} in meshes and {"dp": 4, "tp": 2} in meshes
+    assert {"dp": 2, "sp": 4} in meshes and {"pp": 2} in meshes
+    train = [rec for rec in recs if rec.get("train_step")]
+    assert len(train) == 1 and train[0]["ops_impl"] == "fused_train"
+    assert train[0]["mesh"] == {"dp": 8}
