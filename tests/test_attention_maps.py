@@ -65,6 +65,37 @@ def test_engine_attention_maps_and_quant_guard(tiny_cfg, tiny_params):
         q.attention_maps(x)
 
 
+def test_engine_attention_maps_sharded_matches_single_device(
+    tiny_cfg, tiny_params
+):
+    """On a meshed engine the probe shards (batch over dp, params by the
+    Megatron rules) instead of jitting unsharded; results must match the
+    single-device probe exactly up to fp reassociation."""
+    from vit_tpu.parallel import make_mesh
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    x = np.asarray(_x(tiny_cfg, b=3, seed=2))  # 3 does not divide dp=2
+    single = InferenceEngine(
+        tiny_cfg, tiny_params, dtype="float32", ops="xla", batch_pad=4
+    )
+    mesh = make_mesh({"dp": 2, "tp": 2}, jax.devices()[:4])
+    meshed = InferenceEngine(
+        tiny_cfg, tiny_params, dtype="float32", ops="xla", mesh=mesh,
+        batch_pad=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(meshed.attention_maps(x)),
+        np.asarray(single.attention_maps(x)),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(meshed.attention_maps(x, rollout=True)),
+        np.asarray(single.attention_maps(x, rollout=True)),
+        atol=1e-5,
+    )
+
+
 def test_cli_attn_rollout(tmp_path, tiny_cfg, capsys, monkeypatch):
     import vit_tpu.config as config_mod
     from vit_tpu.cli.main import main

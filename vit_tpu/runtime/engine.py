@@ -179,7 +179,9 @@ class InferenceEngine:
         """Interpretability probe: per-layer attention probabilities
         (depth, B, H, T, T) — or, with ``rollout``, the Abnar & Zuidema
         CLS->patch relevance (B, grid, grid).  Runs the jnp reference path
-        unpadded (oracle-grade tool, not a throughput path)."""
+        (oracle-grade tool, not a throughput path); on a meshed engine the
+        probe shards like the main forward (batch over dp, Megatron param
+        rules via GSPMD) instead of gathering onto one device."""
         if self._ops.name == "quant":
             raise ValueError(
                 "attention_maps needs fp weights; build the engine with "
@@ -192,13 +194,19 @@ class InferenceEngine:
                 )
                 return (vit.attention_rollout(probs), probs)
 
-            self._attn_fn = jax.jit(probe)
-        x = jnp.asarray(np.asarray(images)).astype(self.compute_dtype)
+            jit_kwargs = {}
+            if self.mesh is not None:
+                jit_kwargs["in_shardings"] = (
+                    param_shardings(self.mesh, self.params),
+                    batch_sharding(self.mesh, 4),
+                )
+            self._attn_fn = jax.jit(probe, **jit_kwargs)
+        x, n = self._stage(images)
         roll, probs = self._attn_fn(self.params, x)
         if rollout:
             g = self.cfg.grid_size
-            return roll.reshape(len(x), g, g)
-        return probs
+            return roll[:n].reshape(n, g, g)
+        return probs[:, :n]
 
     def classify(self, images) -> Tuple[np.ndarray, np.ndarray]:
         """-> (labels, top_probs), the reference driver's output quantities
