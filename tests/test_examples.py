@@ -1,0 +1,44 @@
+"""The examples/ scripts must keep running end-to-end (they are the
+library-API onboarding surface — examples/README.md)."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+
+
+def _run(name, argv):
+    sys.path.insert(0, str(EXAMPLES))
+    try:
+        mod = __import__(name)
+        return mod.main(argv)
+    finally:
+        sys.path.remove(str(EXAMPLES))
+        sys.modules.pop(name, None)
+
+
+def test_classify_example(capsys):
+    # vit_b_16 synthetic forward on CPU: a few seconds, real shapes
+    assert _run("classify", ["--batch", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "[0] label:" in out and "rollout" in out
+
+
+def test_finetune_example(capsys):
+    assert _run("finetune", []) == 0  # exit 1 if top-1 < 0.9
+    assert "train top-1" in capsys.readouterr().out
+
+
+def test_serve_example(capsys):
+    assert _run("serve_batching", ["--requests", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "served 4 requests" in out and "p99" in out
+
+
+@pytest.mark.parametrize("name", ["classify", "finetune", "serve_batching"])
+def test_examples_have_cpu_flag(name):
+    # the scripts promise --cpu works everywhere; keep the flag wired
+    text = (EXAMPLES / f"{name}.py").read_text()
+    assert '"--cpu"' in text and "jax_platforms" in text
