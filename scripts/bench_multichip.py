@@ -109,9 +109,10 @@ def _mesh_and_result_stub(mesh_axes, batch):
 
 def _timed_spread(timed, iters, warm=2):
     """warm, then 3 independent samples -> (median, min, max) seconds."""
+    from vit_tpu.runtime.profiler import timing_spread
+
     timed(warm)
-    dts = sorted(timed(iters) for _ in range(3))
-    return dts[1], dts[0], dts[-1]
+    return timing_spread(timed, iters)
 
 
 def bench_forward_fn(name, kind, cfg, mesh_axes, batch, iters, fwd_builder,

@@ -27,6 +27,7 @@ import optax
 from vit_tpu.config import VIT_B_16, get_config
 from vit_tpu.ops.dispatch import get_ops
 from vit_tpu.runtime import trainer
+from vit_tpu.runtime.profiler import timing_spread_stateful
 
 
 def bench_step(cfg, batch, ops_name, iters, remat=False):
@@ -49,28 +50,27 @@ def bench_step(cfg, batch, ops_name, iters, remat=False):
         compiler_options=trainer.kernel_backward_compiler_options(),
     )
 
+    last_loss = [None]  # loss rides outside the threaded (params, opt) state
+
     def run(n, p, o):
         t0 = time.perf_counter()
         for _ in range(n):
             p, o, loss = step(p, o, x, y)
-        loss = float(loss)
-        return (time.perf_counter() - t0) / n, p, o, loss
+        last_loss[0] = float(loss)  # host sync closes the timed window
+        return (time.perf_counter() - t0) / n, p, o
 
     t0 = time.perf_counter()
-    _, params, opt_state, loss0 = run(2, params, opt_state)
-    print(f"  compile+warm {time.perf_counter() - t0:.1f}s  loss {loss0:.4f}")
-    dts = []
-    for _ in range(3):
-        dt, params, opt_state, loss = run(iters, params, opt_state)
-        dts.append(dt)
-    dts.sort()
+    _, params, opt_state = run(2, params, opt_state)
+    print(f"  compile+warm {time.perf_counter() - t0:.1f}s  loss {last_loss[0]:.4f}")
+    dt, dt_min, dt_max, _ = timing_spread_stateful(run, iters, (params, opt_state))
+    loss = last_loss[0]
     assert np.isfinite(loss), loss
     print(
         f"  {cfg.name} b{batch} {ops_name}{'+remat' if remat else ''}: "
-        f"{dts[1]*1e3:7.1f} ms/step  {batch/dts[1]:7.1f} img/s  "
-        f"(spread {batch/dts[-1]:.1f}-{batch/dts[0]:.1f})  loss {loss:.4f}"
+        f"{dt*1e3:7.1f} ms/step  {batch/dt:7.1f} img/s  "
+        f"(spread {batch/dt_max:.1f}-{batch/dt_min:.1f})  loss {loss:.4f}"
     )
-    return dts[1]
+    return dt
 
 
 def main():

@@ -27,3 +27,28 @@ def test_roofline_math():
 def test_flops_per_image_magnitude():
     # ViT-B/16 forward ~35 GFLOP (2x the ~17.5 GMAC literature number)
     assert 3.0e10 < VIT_B_16.flops_per_image() < 4.0e10
+
+
+def test_timing_spread_median_and_bounds():
+    from vit_tpu.runtime.profiler import timing_spread
+
+    vals = iter([0.3, 0.1, 0.2])
+
+    def fn(iters):
+        assert iters == 7
+        return next(vals)
+
+    med, lo, hi = timing_spread(fn, 7)
+    assert (med, lo, hi) == (0.2, 0.1, 0.3)
+
+
+def test_timing_spread_stateful_threads_state():
+    from vit_tpu.runtime.profiler import timing_spread_stateful
+
+    def fn(iters, a, b):
+        # state threads through every sample (donated-buffer pattern)
+        return 0.25 * (a + 1), a + 1, b * 2
+
+    med, lo, hi, state = timing_spread_stateful(fn, 5, (0, 1))
+    assert state == (3, 8)
+    assert (lo, med, hi) == (0.25, 0.5, 0.75)

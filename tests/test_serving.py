@@ -6,6 +6,7 @@ engine returns for each request alone.
 """
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -399,6 +400,35 @@ def test_request_latency_recorded(engine, tiny_cfg):
         srv.classify(iio.synth_images(1, tiny_cfg, seed=1))
     assert srv.stats.latency.count == 2
     assert srv.stats.latency.quantile(0.5) > 0.0
+
+
+def test_stats_recorded_before_future_resolves(engine, tiny_cfg):
+    """The selftest pattern swaps ``server.stats`` the instant classify()
+    returns.  The completer must therefore record the WHOLE batch's stats
+    before resolving any future — otherwise warmup samples leak into the
+    supposedly warmup-free SLO window.  The callback below runs inside the
+    completer thread at the exact resolve point, deterministically
+    reproducing the race."""
+    from vit_tpu.runtime.serving import ServerStats
+
+    with InferenceServer(engine, max_batch=8, max_delay_ms=1.0) as srv:
+        old = {}
+
+        def swap(_fut):  # executes in the completer thread, mid-_resolve
+            old["stats"] = srv.stats
+            srv.stats = ServerStats()
+
+        fut = srv.submit(iio.synth_images(2, tiny_cfg, seed=3))
+        fut.add_done_callback(swap)
+        fut.result(timeout=60)
+        time.sleep(0.2)  # let the completer finish the batch entirely
+        assert old["stats"].requests == 1
+        assert old["stats"].images == 2
+        assert old["stats"].batches == 1
+        assert old["stats"].latency.count == 1
+        fresh = srv.stats
+        assert fresh.requests == 0 and fresh.images == 0
+        assert fresh.latency.count == 0  # no leak into the new window
 
 
 def test_measure_steady_state_paces_and_isolates_slo_window(engine, tiny_cfg):

@@ -201,7 +201,10 @@ class InferenceEngine:
                     batch_sharding(self.mesh, 4),
                 )
             self._attn_fn = jax.jit(probe, **jit_kwargs)
-        x, n = self._stage(images)
+        # grain=1: the (depth, B, H, T, T) probs buffer is O(B·T²) — padding
+        # one probe image to a serving batch_pad would multiply it ~32x (and
+        # OOM at @512's T=1025); meshed engines still pad to a dp multiple.
+        x, n = self._stage(images, grain=1)
         roll, probs = self._attn_fn(self.params, x)
         if rollout:
             g = self.cfg.grid_size
@@ -217,16 +220,20 @@ class InferenceEngine:
 
     # -- internals --------------------------------------------------------
 
-    def _stage(self, images) -> Tuple[jax.Array, int]:
+    def _stage(self, images, grain: Optional[int] = None) -> Tuple[jax.Array, int]:
         """Staging: cast to compute dtype, pad batch to the padding grain,
         place with the dp sharding.  Device-resident inputs (jax.Array —
         e.g. a decode pipeline's output or the serving loop's staged
-        payloads) are padded/cast on device, skipping the host round-trip."""
+        payloads) are padded/cast on device, skipping the host round-trip.
+
+        ``grain`` overrides the engine's padding grain (still lcm'd with dp
+        on meshed engines) — one-off probes pass 1 so a single image isn't
+        padded to a full serving batch."""
         on_device = isinstance(images, jax.Array)
         if not on_device:
             images = np.asarray(images)
         n = images.shape[0]
-        grain = self.batch_pad
+        grain = self.batch_pad if grain is None else grain
         if self.mesh is not None:
             grain = math.lcm(grain, self.mesh.shape.get("dp", 1))
         padded = max(grain, math.ceil(n / grain) * grain)

@@ -26,6 +26,31 @@ CHIP_PEAKS_TFLOPS = {
 }
 
 
+def timing_spread_stateful(fn, iters, state=(), samples=3):
+    """>=3 independent timing samples -> (median, min, max, state).
+
+    ``fn(iters, *state) -> (seconds_per_iter, *state)`` threads state so
+    donated buffers (train params/optimizer) survive between samples.
+
+    One sample can't distinguish a regression from environment variance
+    (shared chip / tunnel / host load — see docs/performance.md's
+    cross-run-variance note): every bench in this repo quotes the median
+    and carries min/max so each artifact records its own noise floor.
+    """
+    dts = []
+    for _ in range(samples):
+        dt, *state = fn(iters, *state)
+        dts.append(dt)
+    dts.sort()
+    return dts[len(dts) // 2], dts[0], dts[-1], tuple(state)
+
+
+def timing_spread(fn, iters, samples=3):
+    """``timing_spread_stateful`` for stateless timed fns
+    (``fn(iters) -> seconds_per_iter``) -> (median, min, max)."""
+    return timing_spread_stateful(lambda n: (fn(n),), iters, (), samples)[:3]
+
+
 class PhaseTimer:
     """Accumulating wall-clock phase timer.
 

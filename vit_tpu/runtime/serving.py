@@ -321,9 +321,18 @@ class _ServerBase:
                     self._resolve(r.future, exc=e)
                 self._release_pending(reqs)
                 continue
-            self.stats.batches += 1
-            off = 0
+            # Snapshot the stats object once and record the WHOLE batch's
+            # stats BEFORE resolving any future: a selftest thread swaps
+            # ``self.stats`` the moment classify() returns, and stats
+            # recorded after a _resolve would leak into the fresh SLO window.
+            stats = self.stats
+            stats.batches += 1
             done_t = time.perf_counter()
+            for r in reqs:
+                stats.requests += 1
+                stats.images += len(r.images)
+                stats.latency.record(done_t - r.submit_t)
+            off = 0
             for r in reqs:
                 n = len(r.images)
                 p = (
@@ -335,9 +344,6 @@ class _ServerBase:
                     r.future, (labels[off : off + n], top[off : off + n], p)
                 )
                 off += n
-                self.stats.requests += 1
-                self.stats.images += n
-                self.stats.latency.record(done_t - r.submit_t)
             self._release_pending(reqs)
 
 
@@ -471,16 +477,16 @@ class InferenceServer(_ServerBase):
         self._inflight.put(_STOP)
 
 
-def measure_throughput(
+def _prepare_selftest(
     server: InferenceServer,
     request_sizes: List[int],
     cfg,
-    seed: int = 0,
-    device_staged: bool = False,
-) -> Tuple[float, int]:
-    """Drive the server with a pre-generated stream of variable-size synth
-    requests; returns (images/sec, total_images).  Used by the serve CLI's
-    --selftest to compare against bench.py's static-batch number.
+    seed: int,
+    device_staged: bool,
+) -> list:
+    """Shared selftest setup: build the synth request stream, optionally
+    pre-place it on device, warm the jit cache, and open a fresh SLO
+    window.  Returns the list of request payloads.
 
     ``device_staged`` pre-places every request payload on the device,
     measuring the serving loop itself (batching + pipeline + compute)
@@ -488,8 +494,6 @@ def measure_throughput(
     tunnel (~13 MB/s) the wire otherwise dominates by 50x, which no
     batching can hide; a local PCIe deployment sits near the staged number.
     """
-    import time
-
     from vit_tpu.io import images as iio
 
     pool = iio.synth_images(max(request_sizes), cfg, seed=seed)
@@ -510,6 +514,23 @@ def measure_throughput(
     server.warmup()  # compile every padded size outside the timed window
     server.classify(requests[0])
     server.stats = ServerStats()  # SLO window excludes warmup traffic
+    return requests
+
+
+def measure_throughput(
+    server: InferenceServer,
+    request_sizes: List[int],
+    cfg,
+    seed: int = 0,
+    device_staged: bool = False,
+) -> Tuple[float, int]:
+    """Drive the server with a pre-generated stream of variable-size synth
+    requests; returns (images/sec, total_images).  Used by the serve CLI's
+    --selftest to compare against bench.py's static-batch number.
+
+    See ``_prepare_selftest`` for the ``device_staged`` semantics.
+    """
+    requests = _prepare_selftest(server, request_sizes, cfg, seed, device_staged)
     t0 = time.perf_counter()
     futures = [server.submit(r) for r in requests]
     for f in futures:
@@ -538,26 +559,9 @@ def measure_steady_state(
     readback), the number an SLO is actually written against.  Offered load
     at or above capacity degenerates to the saturation measurement.
     """
-    import time
-
-    from vit_tpu.io import images as iio
-
     if rate_rps <= 0:
         raise ValueError(f"rate_rps must be > 0, got {rate_rps}")
-    pool = iio.synth_images(max(request_sizes), cfg, seed=seed)
-    requests = [np.asarray(pool[:n]) for n in request_sizes]
-    if device_staged:
-        import jax
-        import jax.numpy as jnp
-
-        requests = [
-            jax.device_put(jnp.asarray(r, server.engine.compute_dtype))
-            for r in requests
-        ]
-        float(sum(jnp.sum(r[..., 0, 0]) for r in requests))
-    server.warmup()
-    server.classify(requests[0])
-    server.stats = ServerStats()  # SLO window excludes warmup traffic
+    requests = _prepare_selftest(server, request_sizes, cfg, seed, device_staged)
     gaps = np.random.default_rng(seed).exponential(
         1.0 / rate_rps, len(requests)
     )
