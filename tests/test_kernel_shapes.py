@@ -126,3 +126,52 @@ def test_long_sequence_fallback_matches_xla(monkeypatch):
     want = np.asarray(vit.forward(params, imgs, cfg, get_ops("xla")))
     got = np.asarray(vit.forward(params, imgs, cfg, get_ops("fused")))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("image_size", [160, 192, 256])
+def test_fused_parity_at_odd_resolutions(image_size):
+    """'Any resolution via config' (docs/parity.md long-context row): token
+    counts that are NOT tile multiples (101 / 145 / 257) must keep fused
+    parity — padding/masking edges the @224 (197) and @384 (577) configs
+    never exercise."""
+    cfg = dataclasses.replace(
+        VIT_B_16, depth=2, embed_dim=64, num_heads=4,
+        image_size=image_size, patch_size=16, num_classes=7,
+        name=f"vit_res_{image_size}",
+    )
+    assert cfg.seq_len in (101, 145, 257)
+    params = vit.init_params(jax.random.key(3), cfg)
+    imgs = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 3, image_size, image_size)),
+        jnp.float32,
+    )
+    want = np.asarray(vit.forward(params, imgs, cfg, get_ops("xla")))
+    got = np.asarray(vit.forward(params, imgs, cfg, get_ops("fused")))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_train_grads_at_odd_resolution():
+    """Training at a non-tile token count (T=101) through the backward
+    megakernels matches autodiff — the claim that any configured
+    resolution trains through the kernel path."""
+    cfg = dataclasses.replace(
+        VIT_B_16, depth=2, embed_dim=64, num_heads=4,
+        image_size=160, patch_size=16, num_classes=7, name="vit_res_160",
+    )
+    params = vit.init_params(jax.random.key(4), cfg)
+    rng = np.random.default_rng(4)
+    imgs = jnp.asarray(rng.normal(size=(2, 3, 160, 160)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, cfg.num_classes, 2), jnp.int32)
+
+    from vit_tpu.runtime import trainer
+
+    def grads(ops_name):
+        loss_fn = trainer._make_loss_fn(cfg, get_ops(ops_name), False, None)
+        return jax.grad(loss_fn)(params, imgs, labels)
+
+    for a, b in zip(
+        jax.tree.leaves(grads("fused_train")), jax.tree.leaves(grads("xla"))
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
+        )
