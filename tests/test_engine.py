@@ -78,3 +78,58 @@ def test_features_extraction(tiny_cfg, tiny_params, tiny_images):
         tiny_params["head"]["bias"]
     )
     np.testing.assert_allclose(manual, logits, atol=1e-4)
+
+
+def _second_params(tiny_cfg, seed=7):
+    from vit_tpu.io import weights as wio
+
+    return wio.params_from_tensors(
+        wio.synth_reference_tensors(tiny_cfg, seed=seed), tiny_cfg
+    )
+
+
+def test_swap_params_hot_reloads_weights(tiny_cfg, tiny_params, tiny_images):
+    """Zero-downtime reload: after swap_params the engine serves exactly
+    what a fresh engine built on the new checkpoint serves — same compiled
+    programs, new weights."""
+    engine = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", batch_pad=4)
+    before = np.asarray(engine.logits(tiny_images))
+    new_params = _second_params(tiny_cfg)
+    fresh = InferenceEngine(tiny_cfg, new_params, dtype="float32", batch_pad=4)
+    want = np.asarray(fresh.logits(tiny_images))
+    engine.swap_params(new_params)
+    after = np.asarray(engine.logits(tiny_images))
+    np.testing.assert_array_equal(after, want)
+    assert np.abs(after - before).max() > 1e-3  # actually new weights
+
+
+def test_swap_params_requantizes_for_quant_engine(tiny_cfg, tiny_params, tiny_images):
+    engine = InferenceEngine(
+        tiny_cfg, tiny_params, dtype="float32", ops="quant", batch_pad=4
+    )
+    new_params = _second_params(tiny_cfg)
+    engine.swap_params(new_params)  # fp pytree -> re-quantized in place
+    fresh = InferenceEngine(
+        tiny_cfg, new_params, dtype="float32", ops="quant", batch_pad=4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(engine.logits(tiny_images)),
+        np.asarray(fresh.logits(tiny_images)),
+    )
+
+
+def test_swap_params_rejects_mismatched_checkpoint(tiny_cfg, tiny_params):
+    import dataclasses
+
+    import pytest as _pytest
+
+    engine = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", batch_pad=4)
+    wrong_cfg = dataclasses.replace(
+        tiny_cfg, num_classes=tiny_cfg.num_classes + 2, name="tiny_wrong"
+    )
+    with _pytest.raises(ValueError, match="shapes"):
+        engine.swap_params(_second_params(wrong_cfg))
+    # the old weights keep serving after a rejected swap
+    assert np.isfinite(np.asarray(engine.logits(
+        np.zeros((1, 3, tiny_cfg.image_size, tiny_cfg.image_size), np.float32)
+    ))).all()

@@ -357,3 +357,25 @@ def test_mlp_q8_tp_kernels_match_jnp_oracle():
     got = np.asarray(run(_mlp_q8_tp, True))  # interpret=True (CPU)
     want = np.asarray(run(_mlp_q8_tp_ref))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def test_swap_params_on_meshed_quant_tp_engine(tiny_cfg, tiny_params, tiny_images):
+    """Hot-swap on a dp x tp quant engine: the new checkpoint goes through
+    the same quantize+placement path the constructor used (the TP forward's
+    in_specs cover the int8 weight + scale leaves, so a raw fp pytree
+    slipping through would structure-error)."""
+    from vit_tpu.io import weights as wio
+
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    new_params = wio.params_from_tensors(
+        wio.synth_reference_tensors(tiny_cfg, seed=9), tiny_cfg
+    )
+    engine = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", ops="quant",
+                             mesh=mesh, batch_pad=4)
+    fresh = InferenceEngine(tiny_cfg, new_params, dtype="float32", ops="quant",
+                            mesh=mesh, batch_pad=4)
+    engine.swap_params(new_params)
+    np.testing.assert_array_equal(
+        np.asarray(engine.logits(tiny_images)),
+        np.asarray(fresh.logits(tiny_images)),
+    )

@@ -230,6 +230,13 @@ def test_serve_http_endpoint(tiny_cfg, tiny_params, tmp_path, monkeypatch):
         assert resp.status == 400, (bad, resp.status)
         assert "X-Deadline-Ms" in json.loads(resp.read())["error"]
 
+    # /reload is opt-in: without --allow-reload it must refuse (403)
+    conn.request("POST", "/reload",
+                 body=json.dumps({"weights": str(tmp_path / "Network")}))
+    refused = conn.getresponse()
+    assert refused.status == 403, refused.status
+    assert "--allow-reload" in json.loads(refused.read())["error"]
+
     bound["httpd"].shutdown()
     t.join(timeout=10)
     assert not t.is_alive()
@@ -523,3 +530,114 @@ def test_queued_request_past_deadline_fails_504_class(engine, tiny_cfg):
     assert srv.stats.deadline_expired == 1
 
 
+
+
+def test_server_swap_params_hot_reload(tiny_cfg, tiny_params):
+    """Zero-downtime reload through the server: no drain, no restart —
+    requests after swap_params serve the new checkpoint exactly."""
+    from vit_tpu.io import weights as wio
+
+    new_params = wio.params_from_tensors(
+        wio.synth_reference_tensors(tiny_cfg, seed=7), tiny_cfg
+    )
+    engine = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", batch_pad=8)
+    fresh = InferenceEngine(tiny_cfg, new_params, dtype="float32", batch_pad=8)
+    imgs = iio.synth_images(3, tiny_cfg, seed=11)
+    want_old = engine.classify(imgs)
+    want_new = fresh.classify(imgs)
+    with InferenceServer(engine, max_batch=8, max_delay_ms=2.0) as srv:
+        l0, t0, _ = srv.classify(imgs)
+        np.testing.assert_array_equal(l0, want_old[0])
+        srv.swap_params(new_params)
+        l1, t1, _ = srv.classify(imgs)
+        np.testing.assert_array_equal(l1, want_new[0])
+        np.testing.assert_allclose(t1, want_new[1], atol=1e-6)
+        # stats/queueing machinery untouched by the swap
+        assert srv.stats.requests == 2
+
+
+def test_serve_http_reload_endpoint(tiny_cfg, tmp_path, monkeypatch):
+    """POST /reload with --allow-reload hot-swaps to the new checkpoint;
+    bad paths are client errors and leave the old weights serving."""
+    import http.client
+    import json
+    import time
+
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli import serve as serve_mod
+    from vit_tpu.io import weights as wio
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    for seed, name in ((1, "NetA"), (7, "NetB")):
+        wio.save_reference_weights(
+            wio.synth_reference_tensors(tiny_cfg, seed=seed),
+            tmp_path / name, tiny_cfg,
+        )
+    args = serve_mod.build_parser().parse_args([
+        "--config", "vit_tiny_test", "--weights", str(tmp_path / "NetA"),
+        "--dtype", "float32", "--port", "0", "--batch-pad", "8",
+        "--no-compile-cache", "--allow-reload",
+    ])
+    cfg, ops, server = serve_mod._build_server(args)
+
+    import http.server as hs
+    import threading as th
+
+    bound = {}
+    orig_init = hs.ThreadingHTTPServer.__init__
+
+    def capture_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        bound["httpd"] = self
+
+    monkeypatch.setattr(hs.ThreadingHTTPServer, "__init__", capture_init)
+    t = th.Thread(
+        target=lambda: serve_mod._http_daemon(args, cfg, ops, server),
+        daemon=True,
+    )
+    t.start()
+    for _ in range(1200):
+        if "httpd" in bound:
+            break
+        time.sleep(0.05)
+    port = bound["httpd"].server_address[1]
+
+    imgs = iio.synth_images(2, tiny_cfg, seed=13)
+    header = np.array(imgs.shape, dtype="<i4").tobytes()
+    body = header + np.asarray(imgs, dtype="<f4").tobytes()
+
+    def classify_labels(conn):
+        conn.request("POST", "/classify", body=body)
+        return [r["label"] for r in json.loads(conn.getresponse().read())["results"]]
+
+    pa = wio.params_from_tensors(wio.synth_reference_tensors(tiny_cfg, 1), tiny_cfg)
+    pb = wio.params_from_tensors(wio.synth_reference_tensors(tiny_cfg, 7), tiny_cfg)
+    want_a = InferenceEngine(tiny_cfg, pa, dtype="float32", batch_pad=8).classify(imgs)[0]
+    want_b = InferenceEngine(tiny_cfg, pb, dtype="float32", batch_pad=8).classify(imgs)[0]
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    assert classify_labels(conn) == [int(x) for x in want_a]
+
+    conn.request("POST", "/reload",
+                 body=json.dumps({"weights": str(tmp_path / "NetB")}))
+    ok = conn.getresponse()
+    assert ok.status == 200, ok.status
+    assert json.loads(ok.read())["ok"] is True
+    assert classify_labels(conn) == [int(x) for x in want_b]
+
+    # bad path -> 400, old (well, B) weights keep serving
+    conn.request("POST", "/reload",
+                 body=json.dumps({"weights": str(tmp_path / "Nope")}))
+    bad = conn.getresponse()
+    assert bad.status == 400, bad.status
+    bad.read()
+    # malformed body -> 400
+    conn.request("POST", "/reload", body=b"{}")
+    bad2 = conn.getresponse()
+    assert bad2.status == 400, bad2.status
+    bad2.read()
+    assert classify_labels(conn) == [int(x) for x in want_b]
+
+    bound["httpd"].shutdown()
+    t.join(timeout=10)
+    assert not t.is_alive()

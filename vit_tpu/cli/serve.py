@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
         "loop, not the host->device wire; request sizes snap to the "
         "padding grain to bound the jit-program count)",
     )
+    p.add_argument(
+        "--allow-reload", action="store_true",
+        help="enable POST /reload {\"weights\": PATH}: hot-swap the model "
+        "weights (same config) with zero downtime — no drain, no recompile; "
+        "in-flight batches finish on the old weights. Off by default "
+        "(the endpoint loads server-side file paths).",
+    )
     p.add_argument("--no-compile-cache", action="store_true")
     p.add_argument(
         "--multihost", action="store_true",
@@ -249,6 +256,42 @@ def _http_daemon(args, cfg, ops, server) -> int:
             self.end_headers()
             self.wfile.write(body)
 
+        def _reload(self):
+            """POST /reload {"weights": PATH}: zero-downtime weight
+            hot-swap via server.swap_params (gated on --allow-reload; the
+            path is resolved server-side).  409 in multihost mode — hosts
+            would need a coordinated swap tick to stay consistent."""
+            try:
+                if not args.allow_reload:
+                    self._send(
+                        403, {"error": "reload disabled; start with --allow-reload"}
+                    )
+                    return
+                if not hasattr(server, "swap_params"):
+                    self._send(
+                        409,
+                        {"error": "reload unsupported in multihost lockstep "
+                                  "mode (hosts would diverge)"},
+                    )
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                path = req.get("weights")
+                if not isinstance(path, str) or not path:
+                    raise ValueError('body must be {"weights": "<path>"}')
+                from vit_tpu.io.load_any import load_params_any
+
+                params = load_params_any(
+                    path, cfg, allow_synth=args.allow_synth_weights
+                )
+                server.swap_params(params)
+                print(f"hot-swapped weights from {path}")
+                self._send(200, {"ok": True, "weights": path})
+            except (ValueError, KeyError, FileNotFoundError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:
+                self._send(500, {"error": repr(e)})
+
         def do_GET(self):
             if self.path == "/healthz":
                 s = server.stats
@@ -304,6 +347,9 @@ def _http_daemon(args, cfg, ops, server) -> int:
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                self._reload()
+                return
             if self.path != "/classify":
                 self._send(404, {"error": "unknown path"})
                 return

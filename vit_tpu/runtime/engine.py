@@ -84,25 +84,7 @@ class InferenceEngine:
                     "or 'quant' (shard_map kernel TP)"
                 )
 
-        params = jax.tree.map(jnp.asarray, params)
-        if ops == "quant":
-            from vit_tpu.ops import quant
-
-            # quantize the big GEMM weights from full precision, then cast
-            # the remaining fp leaves (int8 weights + fp32 scales untouched)
-            params = quant.quantize_params(params)
-            params = quant.cast_quantized_params(params, self.compute_dtype)
-        else:
-            params = vit.cast_params(params, self.compute_dtype)
-        if self._dp_shard_map:
-            from vit_tpu.parallel import replicate
-
-            params = jax.device_put(params, replicate(mesh))
-        elif mesh is not None:
-            params = jax.device_put(params, param_shardings(mesh, params))
-        else:
-            params = jax.device_put(params)
-        self.params = params
+        self.params = self._prepare_params(params)
 
         jit_kwargs = {}
         if self._dp_shard_map:
@@ -114,18 +96,72 @@ class InferenceEngine:
         elif self._tp_shard_map:
             from vit_tpu.parallel.tp_forward import shard_forward_tp
 
+            # needs the PREPARED params: the quant path's in_specs cover
+            # the int8 weights + scale leaves, not the loader pytree
             fwd = shard_forward_tp(
-                cfg, mesh, self._ops.name, params, gelu_variant=gelu_variant
+                cfg, mesh, self._ops.name, self.params, gelu_variant=gelu_variant
             )
         else:
             fwd = vit.logits_fn(cfg, self._ops, gelu_variant=gelu_variant)
             if mesh is not None:
                 jit_kwargs["in_shardings"] = (
-                    param_shardings(mesh, params),
+                    param_shardings(mesh, self.params),
                     batch_sharding(mesh, 4),
                 )
         self._forward = jax.jit(fwd, **jit_kwargs)
         self._input_sharding = batch_sharding(mesh, 4) if mesh is not None else None
+
+    def _prepare_params(self, params):
+        """Loader-fresh fp32 pytree -> device-resident params under this
+        engine's dtype/quantization policy and mesh placement."""
+        params = jax.tree.map(jnp.asarray, params)
+        if self._ops.name == "quant":
+            from vit_tpu.ops import quant
+
+            # quantize the big GEMM weights from full precision, then cast
+            # the remaining fp leaves (int8 weights + fp32 scales untouched)
+            params = quant.quantize_params(params)
+            params = quant.cast_quantized_params(params, self.compute_dtype)
+        else:
+            params = vit.cast_params(params, self.compute_dtype)
+        if self._dp_shard_map:
+            from vit_tpu.parallel import replicate
+
+            params = jax.device_put(params, replicate(self.mesh))
+        elif self.mesh is not None:
+            params = jax.device_put(params, param_shardings(self.mesh, params))
+        else:
+            params = jax.device_put(params)
+        return params
+
+    def swap_params(self, params) -> None:
+        """Hot-swap the model weights in place (zero-downtime reload).
+
+        ``params`` is a loader-fresh pytree for the SAME config; it goes
+        through the engine's usual dtype/quantization/placement policy and
+        then replaces ``self.params`` atomically.  Every compiled program
+        (forward, features, attention probe) keys on shapes/dtypes only,
+        so no recompile happens; calls already in flight complete with the
+        old weights, later calls use the new ones.  The reference has no
+        analog — its weights load once per process (Network.c:99-194)."""
+        new = self._prepare_params(params)
+        old = self.params
+        if jax.tree.structure(new) != jax.tree.structure(old):
+            raise ValueError(
+                "swap_params: new checkpoint's pytree structure differs "
+                "from the loaded model (wrong config or source?)"
+            )
+        mismatch = [
+            f"{a.shape}/{a.dtype} vs {b.shape}/{b.dtype}"
+            for a, b in zip(jax.tree.leaves(new), jax.tree.leaves(old))
+            if a.shape != b.shape or a.dtype != b.dtype
+        ]
+        if mismatch:
+            raise ValueError(
+                "swap_params: new checkpoint's leaf shapes/dtypes differ "
+                f"from the loaded model: {mismatch[:3]}"
+            )
+        self.params = new
 
     # -- core API ---------------------------------------------------------
 

@@ -381,6 +381,15 @@ class InferenceServer(_ServerBase):
                 f"max_batch={self.max_batch}; split into smaller requests"
             )
 
+    def swap_params(self, params) -> None:
+        """Zero-downtime weight reload: stage the new checkpoint through the
+        engine's dtype/quantization/placement policy, then swap it in
+        atomically.  No drain, no recompile (same shapes -> same compiled
+        programs): batches already dispatched finish on the old weights,
+        the next `_gather`'d batch serves the new ones.  Raises ValueError
+        (and keeps serving the old weights) on a shape/structure mismatch."""
+        self.engine.swap_params(params)
+
     # -- internals ----------------------------------------------------------
 
     def _gather(self) -> Optional[List[_Request]]:
