@@ -260,6 +260,66 @@ def test_kernel_tp_train_step_matches_fused_train(tiny_cfg, mesh_shape):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.parametrize("ops", ["fused", "quant"])
+def test_tp_long_seq_routes_through_flash(tiny_cfg, tiny_params, tiny_images,
+                                          ops, monkeypatch):
+    """Past VMEM_ATTENTION_MAX_T the TP block must switch to the local-head
+    flash-attention composition (tp_forward._ctx_long_seq_tp) instead of
+    compiling a (T,T)-in-VMEM tile per head — same dispatch the
+    single-device fused path has (fused_block._long_seq_block)."""
+    from vit_tpu.ops.pallas import fused_block as FB
+
+    monkeypatch.setattr(FB, "VMEM_ATTENTION_MAX_T", 4)  # T=5 > 4
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    single = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", ops=ops,
+                             batch_pad=4)
+    sharded = InferenceEngine(tiny_cfg, tiny_params, dtype="float32", ops=ops,
+                              mesh=mesh, batch_pad=4)
+    a = np.asarray(single.logits(tiny_images))
+    b = np.asarray(sharded.logits(tiny_images))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_kernel_tp_train_long_seq_matches_fused_train(tiny_cfg, monkeypatch):
+    """TP *training* past VMEM_ATTENTION_MAX_T: the flash-attention VJP must
+    transpose correctly under shard_map (local heads) and match the
+    single-device long-sequence fused_train step."""
+    from vit_tpu.ops.dispatch import get_ops
+    from vit_tpu.ops.pallas import fused_block as FB
+
+    monkeypatch.setattr(FB, "VMEM_ATTENTION_MAX_T", 4)  # T=5 > 4
+    optimizer = optax.sgd(0.05)
+    params, opt0 = trainer.init_train_state(jax.random.key(9), tiny_cfg, optimizer)
+    rng = np.random.default_rng(9)
+    images = jnp.asarray(
+        rng.normal(size=(8, 3, tiny_cfg.image_size, tiny_cfg.image_size)),
+        jnp.float32,
+    )
+    labels = jnp.asarray(rng.integers(0, tiny_cfg.num_classes, 8), jnp.int32)
+
+    step_ref = jax.jit(
+        trainer.make_train_step(tiny_cfg, optimizer, get_ops("fused_train"),
+                                remat=False)
+    )
+    p_ref, _, l_ref = step_ref(params, opt0, images, labels)
+
+    mesh = make_mesh({"dp": 2, "tp": 2}, jax.devices()[:4])
+    p_s = shard_params(jax.device_get(params), mesh)
+    o_s = jax.device_put(
+        jax.device_get(opt0),
+        trainer._opt_state_shardings(opt0, p_s, param_shardings(mesh, p_s), mesh),
+    )
+    step_tp = trainer.jit_train_step_kernel_tp(tiny_cfg, optimizer, mesh, p_s, o_s)
+    p_tp, _, l_tp = step_tp(
+        p_s, o_s,
+        jax.device_put(images, batch_sharding(mesh, 4)),
+        jax.device_put(labels, batch_sharding(mesh, 1)),
+    )
+    assert abs(float(l_ref) - float(l_tp)) < 1e-6
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(jax.device_get(p_tp))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_unfused_kernel_paths_reject_tp_mesh(tiny_cfg, tiny_params):
     # Per-op pallas and the custom-VJP trainable path still shard dp-only.
     mesh = make_mesh({"dp": 4, "tp": 2})

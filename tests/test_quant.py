@@ -101,6 +101,24 @@ def test_full_model_quant_close_to_fp(tiny_cfg, tiny_params, tiny_images):
     assert np.abs(fp - q8).max() < 0.15
 
 
+def test_q8_long_seq_fallback_matches_kernel(tiny_cfg, tiny_params,
+                                             tiny_images, monkeypatch):
+    """Past VMEM_ATTENTION_MAX_T the quant block must switch to the
+    flash-attention composition (quant_kernels._long_seq_block_q8) with the
+    SAME W8A8 QKV grouping — not fail to compile a (T,T) VMEM tile."""
+    from vit_tpu.models import vit
+    from vit_tpu.ops.dispatch import get_ops
+    from vit_tpu.ops.pallas import fused_block as FB
+
+    x = jnp.asarray(tiny_images)
+    qparams = quant.quantize_params(tiny_params)
+    want = np.asarray(vit.forward(qparams, x, tiny_cfg, ops=get_ops("quant")))
+    monkeypatch.setattr(FB, "VMEM_ATTENTION_MAX_T", 4)  # T=5 > 4
+    got = np.asarray(vit.forward(qparams, x, tiny_cfg, ops=get_ops("quant")))
+    # identical int8 codes; only the attention accumulation order differs
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_engine_int8_path(tiny_cfg, tiny_params, tiny_images):
     from vit_tpu.runtime import InferenceEngine
 

@@ -104,6 +104,67 @@ def _row_mask(rows_total, block_rows):
 # -- kernel C backward: d[LN2 + FC1 + GELU + FC2 + residual] ------------------
 
 
+def _mlp_bwd_core(
+    dy, x1, s_ref, b_ref, w1_ref, b1_ref, w2_ref, u_ref, mask, eps, variant,
+    cdtype,
+):
+    """The MLP-backward body shared by the split C' kernel and the merged
+    C'+B' kernel (one definition, so the two forms cannot drift): recompute
+    LN2 (+ pre-GELU u unless the forward stashed it), GELU grad, and the
+    LN input gradient.  Returns everything both kernels' accumulators need:
+    (h2, g, du, du_c, dh2, dx_ln, xhat)."""
+    prec = dot_precision(cdtype)
+    gamma = s_ref[:].astype(jnp.float32)
+    # recompute LN in VMEM; use the stashed pre-GELU u when the forward
+    # saved it (skips the FC1 recompute GEMM), else recompute it too
+    xhat, inv = _ln_stats(x1, eps)
+    h2 = (xhat * gamma + b_ref[:].astype(jnp.float32)).astype(cdtype)
+    if u_ref is not None:
+        u = jnp.where(mask, u_ref[:].astype(jnp.float32), 0.0)
+    else:
+        u = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32, precision=prec)
+        u = u + b1_ref[:].astype(jnp.float32)
+    fast = use_fast_erf(cdtype)
+    g = _gelu(u, variant, fast_erf=fast)
+
+    # dm = dy (any residual add passes gradient through — handled by caller)
+    dg = jax.lax.dot_general(
+        dy.astype(cdtype), w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    du = dg * _gelu_grad(u, variant, fast_erf=fast)
+    du_c = du.astype(cdtype)
+    dh2 = jax.lax.dot_general(
+        du_c, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dx_ln = _ln_bwd_dx(dh2, xhat, inv, gamma)
+    return h2, g, du, du_c, dh2, dx_ln, xhat
+
+
+def _mlp_grad_accum(
+    dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbeta_ref,
+    h2, g, du, du_c, dy, dh2, xhat, cdtype,
+):
+    """The six shared fp32 weight-grad accumulator updates (zeroing on grid
+    step 0 stays in each kernel — the merged form has extra accumulators)."""
+    prec = dot_precision(cdtype)
+    g_c = g.astype(cdtype)
+    dy_c = dy.astype(cdtype)
+    dw1_ref[:] += jax.lax.dot_general(
+        h2, du_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    db1_ref[:] += jnp.sum(du, axis=0, keepdims=True)
+    dw2_ref[:] += jax.lax.dot_general(
+        g_c, dy_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    db2_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+    dg_ref[:] += jnp.sum(dh2 * xhat, axis=0, keepdims=True)
+    dbeta_ref[:] += jnp.sum(dh2, axis=0, keepdims=True)
+
+
 def _ln_mlp_bwd_kernel(*refs, eps, variant, rows_total, have_u, residual=True):
     if have_u:
         (dy_ref, x1_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, u_ref,
@@ -112,36 +173,15 @@ def _ln_mlp_bwd_kernel(*refs, eps, variant, rows_total, have_u, residual=True):
         (dy_ref, x1_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
          dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbeta_ref) = refs
         u_ref = None
-    prec = dot_precision(dy_ref.dtype)
+    cdtype = dy_ref.dtype
     mask = _row_mask(rows_total, dy_ref.shape[0])
     dy = jnp.where(mask, dy_ref[:].astype(jnp.float32), 0.0)
     x1 = jnp.where(mask, x1_ref[:].astype(jnp.float32), 0.0)
-    gamma = s_ref[:].astype(jnp.float32)
 
-    # recompute LN in VMEM; use the stashed pre-GELU u when the forward
-    # saved it (skips the FC1 recompute GEMM), else recompute it too
-    xhat, inv = _ln_stats(x1, eps)
-    h2 = (xhat * gamma + b_ref[:].astype(jnp.float32)).astype(dy_ref.dtype)
-    if u_ref is not None:
-        u = jnp.where(mask, u_ref[:].astype(jnp.float32), 0.0)
-    else:
-        u = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32, precision=prec)
-        u = u + b1_ref[:].astype(jnp.float32)
-    fast = use_fast_erf(dy_ref.dtype)
-    g = _gelu(u, variant, fast_erf=fast)
-
-    # dm = dy (residual add passes gradient through)
-    dg = jax.lax.dot_general(
-        dy.astype(dy_ref.dtype), w2_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
+    h2, g, du, du_c, dh2, dx_ln, xhat = _mlp_bwd_core(
+        dy, x1, s_ref, b_ref, w1_ref, b1_ref, w2_ref, u_ref, mask, eps,
+        variant, cdtype,
     )
-    du = dg * _gelu_grad(u, variant, fast_erf=fast)
-    du_c = du.astype(dy_ref.dtype)
-    dh2 = jax.lax.dot_general(
-        du_c, w1_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    dx_ln = _ln_bwd_dx(dh2, xhat, inv, gamma)
     # the partial (TP row-parallel) form has no residual passthrough
     dx_ref[:] = ((dy + dx_ln) if residual else dx_ln).astype(dx_ref.dtype)
 
@@ -155,20 +195,10 @@ def _ln_mlp_bwd_kernel(*refs, eps, variant, rows_total, have_u, residual=True):
         dg_ref[:] = jnp.zeros_like(dg_ref)
         dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
 
-    g_c = g.astype(dy_ref.dtype)
-    dy_c = dy.astype(dy_ref.dtype)
-    dw1_ref[:] += jax.lax.dot_general(
-        h2, du_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=prec,
+    _mlp_grad_accum(
+        dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbeta_ref,
+        h2, g, du, du_c, dy, dh2, xhat, cdtype,
     )
-    db1_ref[:] += jnp.sum(du, axis=0, keepdims=True)
-    dw2_ref[:] += jax.lax.dot_general(
-        g_c, dy_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=prec,
-    )
-    db2_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
-    dg_ref[:] += jnp.sum(dh2 * xhat, axis=0, keepdims=True)
-    dbeta_ref[:] += jnp.sum(dh2, axis=0, keepdims=True)
 
 
 def ln_mlp_residual_bwd(
@@ -261,38 +291,22 @@ def _ln_mlp_out_bwd_kernel(*refs, eps, variant, rows_total, have_u):
          dx_ref, dctx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref,
          dbeta_ref, dwo_ref, dbo_ref) = refs
         u_ref = None
-    prec = dot_precision(dy_ref.dtype)
+    cdtype = dy_ref.dtype
+    prec = dot_precision(cdtype)
     mask = _row_mask(rows_total, dy_ref.shape[0])
     dy = jnp.where(mask, dy_ref[:].astype(jnp.float32), 0.0)
     x1 = jnp.where(mask, x1_ref[:].astype(jnp.float32), 0.0)
     ctx = jnp.where(mask, ctx_ref[:].astype(jnp.float32), 0.0)
-    gamma = s_ref[:].astype(jnp.float32)
 
-    xhat, inv = _ln_stats(x1, eps)
-    h2 = (xhat * gamma + b_ref[:].astype(jnp.float32)).astype(dy_ref.dtype)
-    if u_ref is not None:
-        u = jnp.where(mask, u_ref[:].astype(jnp.float32), 0.0)
-    else:
-        u = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32, precision=prec)
-        u = u + b1_ref[:].astype(jnp.float32)
-    fast = use_fast_erf(dy_ref.dtype)
-    g = _gelu(u, variant, fast_erf=fast)
-
-    dg = jax.lax.dot_general(
-        dy.astype(dy_ref.dtype), w2_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
+    h2, g, du, du_c, dh2, dx_ln, xhat = _mlp_bwd_core(
+        dy, x1, s_ref, b_ref, w1_ref, b1_ref, w2_ref, u_ref, mask, eps,
+        variant, cdtype,
     )
-    du = dg * _gelu_grad(u, variant, fast_erf=fast)
-    du_c = du.astype(dy_ref.dtype)
-    dh2 = jax.lax.dot_general(
-        du_c, w1_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    dx1 = dy + _ln_bwd_dx(dh2, xhat, inv, gamma)
+    dx1 = dy + dx_ln
     dx_ref[:] = dx1.astype(dx_ref.dtype)
 
     # chain directly into the out_proj backward while dx1 is in VMEM
-    dx1_c = dx1.astype(dy_ref.dtype)
+    dx1_c = dx1.astype(cdtype)
     dctx_ref[:] = jax.lax.dot_general(
         dx1_c, wo_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
@@ -309,20 +323,10 @@ def _ln_mlp_out_bwd_kernel(*refs, eps, variant, rows_total, have_u):
         dwo_ref[:] = jnp.zeros_like(dwo_ref)
         dbo_ref[:] = jnp.zeros_like(dbo_ref)
 
-    g_c = g.astype(dy_ref.dtype)
-    dy_c = dy.astype(dy_ref.dtype)
-    dw1_ref[:] += jax.lax.dot_general(
-        h2, du_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=prec,
+    _mlp_grad_accum(
+        dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbeta_ref,
+        h2, g, du, du_c, dy, dh2, xhat, cdtype,
     )
-    db1_ref[:] += jnp.sum(du, axis=0, keepdims=True)
-    dw2_ref[:] += jax.lax.dot_general(
-        g_c, dy_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=prec,
-    )
-    db2_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
-    dg_ref[:] += jnp.sum(dh2 * xhat, axis=0, keepdims=True)
-    dbeta_ref[:] += jnp.sum(dh2, axis=0, keepdims=True)
     dwo_ref[:] += jax.lax.dot_general(
         ctx.astype(ctx_ref.dtype), dx1_c, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
@@ -462,13 +466,15 @@ def out_residual_bwd(dx1, ctx, wo, block_rows=512, interpret=False):
 
 
 def _ln_qkv_attn_bwd_kernel(*refs, eps, num_heads, scale, have_qkv, have_dres=True):
-    if have_qkv:
-        (dctx_ref, dres_ref, x_ref, s_ref, b_ref, w_ref, bias_ref, qkv_ref,
-         dx_ref, dw_ref, dbq_ref, dg_ref, dbeta_ref, dqkv_scr) = refs
-    else:
-        (dctx_ref, dres_ref, x_ref, s_ref, b_ref, w_ref, bias_ref,
-         dx_ref, dw_ref, dbq_ref, dg_ref, dbeta_ref, dqkv_scr) = refs
-        qkv_ref = None
+    # optional operands are simply absent from the call (not dummy-aliased):
+    # [dctx, dres?, x, s, b, w, bias, qkv?] + outputs + scratch
+    rest = list(refs)
+    dctx_ref = rest.pop(0)
+    dres_ref = rest.pop(0) if have_dres else None
+    x_ref, s_ref, b_ref, w_ref, bias_ref = rest[:5]
+    rest = rest[5:]
+    qkv_ref = rest.pop(0) if have_qkv else None
+    (dx_ref, dw_ref, dbq_ref, dg_ref, dbeta_ref, dqkv_scr) = rest
     d3 = w_ref.shape[-1]
     dh = d3 // (3 * num_heads)
     cdtype = x_ref.dtype
@@ -554,8 +560,7 @@ def ln_qkv_attn_bwd(
     interpret=False, qkv=None,
 ):
     # ``dres=None`` skips the residual join (standalone-kernel VJP); the
-    # kernel still wants a same-shaped ref, so zeros are substituted and
-    # the add is compiled out via have_dres.
+    # operand is omitted from the call entirely — no dummy DMA per block.
     """VJP of fused_block.ln_qkv_attn, fused with the first residual's
     gradient join: dx = dres + d(LN1+QKV+attention)/dx.
 
@@ -569,15 +574,11 @@ def ln_qkv_attn_bwd(
     scale = 1.0 / ((d_ctx // num_heads) ** 0.5)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
     have_dres = dres is not None
-    if not have_dres:
-        # the kernel still wants a same-shaped operand but never reads it
-        # (the add is compiled out via have_dres): alias the resident x2d
-        # instead of materializing + streaming a full zeros tensor
-        dres = x2d
+    img_blk = pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        *([img_blk] if have_dres else []),
+        img_blk,
         const((1, d)),
         const((1, d)),
         const((d, d3)),
@@ -585,7 +586,7 @@ def ln_qkv_attn_bwd(
     ]
     inputs = [
         dctx.reshape(b, seq_len, d_ctx),
-        dres.reshape(b, seq_len, d),
+        *([dres.reshape(b, seq_len, d)] if have_dres else []),
         x2d.reshape(b, seq_len, d),
         ln_scale.reshape(1, d),
         ln_bias.reshape(1, d),

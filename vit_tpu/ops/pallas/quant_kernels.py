@@ -35,31 +35,45 @@ def _quant_rows(h):
     return q, scale
 
 
+def _qkv_q8(x, ln_scale, ln_bias, wq, ws, bias, eps):
+    """LN -> per-row dynamic int8 quant -> int8 QKV GEMM -> dequant + bias
+    (fp32 out).  The one definition of the W8A8 QKV grouping — shared by
+    the kernel-A twin below and the jnp long-sequence form, so they cannot
+    drift."""
+    h = _ln(x, ln_scale, ln_bias, eps)  # fp32
+    hq, hs = _quant_rows(h)
+    acc = jax.lax.dot_general(
+        hq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    qkv = acc.astype(jnp.float32) * hs * ws.reshape(1, -1).astype(jnp.float32)
+    return qkv + bias.reshape(1, -1).astype(jnp.float32)
+
+
 def _ln_qkv_attn_q8_kernel(
-    x_ref, s_ref, b_ref, wq_ref, ws_ref, bias_ref, out_ref, *, eps, num_heads, scale
+    x_ref, s_ref, b_ref, wq_ref, ws_ref, bias_ref, out_ref, *, eps, num_heads,
+    scale, attn_q8, quant_pv,
 ):
     # head_dim from the weight (tensor parallelism: the kernel may hold only
     # this shard's head columns; see fused_block._ln_qkv_attn_kernel)
     dh = wq_ref.shape[-1] // (3 * num_heads)
-    h = _ln(x_ref[0], s_ref[:], b_ref[:], eps)  # fp32
-    hq, hs = _quant_rows(h)
-    acc = jax.lax.dot_general(
-        hq, wq_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    qkv = acc.astype(jnp.float32) * hs * ws_ref[:].astype(jnp.float32)
-    qkv = (qkv + bias_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    qkv = _qkv_q8(
+        x_ref[0], s_ref[:], b_ref[:], wq_ref[:], ws_ref[:], bias_ref[:], eps
+    ).astype(x_ref.dtype)
     for hh in range(num_heads):  # shared per-head attention math
-        out_ref[0, :, hh * dh : (hh + 1) * dh] = _head_context(
-            qkv, hh, dh, scale
-        ).astype(out_ref.dtype)
+        ctx = (
+            _head_context_q8(qkv, hh, dh, scale, quant_pv)
+            if attn_q8
+            else _head_context(qkv, hh, dh, scale)
+        )
+        out_ref[0, :, hh * dh : (hh + 1) * dh] = ctx.astype(out_ref.dtype)
 
 
-def ln_qkv_attn_q8(
+def _ln_qkv_attn_q8_call(
     x2d, ln_scale, ln_bias, wq, w_scale, bqkv, num_heads, seq_len, eps,
-    interpret=False,
+    attn_q8, quant_pv, interpret,
 ):
-    """int8 twin of fused_block.ln_qkv_attn: LN -> dynamic-int8 row quant ->
-    int8 QKV GEMM -> dequant -> attention, all in one kernel per image."""
+    """Shared pallas_call scaffold for both kernel-A int8 twins (the only
+    divergence is the per-head context helper, switched by ``attn_q8``)."""
     rows, d = x2d.shape
     d3 = wq.shape[-1]
     d_ctx = d3 // 3
@@ -67,7 +81,8 @@ def ln_qkv_attn_q8(
     scale = 1.0 / ((d_ctx // num_heads) ** 0.5)
     out = pl.pallas_call(
         functools.partial(
-            _ln_qkv_attn_q8_kernel, eps=eps, num_heads=num_heads, scale=scale
+            _ln_qkv_attn_q8_kernel, eps=eps, num_heads=num_heads, scale=scale,
+            attn_q8=attn_q8, quant_pv=quant_pv,
         ),
         grid=(b,),
         in_specs=[
@@ -93,6 +108,18 @@ def ln_qkv_attn_q8(
         bqkv.reshape(1, d3),
     )
     return out.reshape(rows, d_ctx)
+
+
+def ln_qkv_attn_q8(
+    x2d, ln_scale, ln_bias, wq, w_scale, bqkv, num_heads, seq_len, eps,
+    interpret=False,
+):
+    """int8 twin of fused_block.ln_qkv_attn: LN -> dynamic-int8 row quant ->
+    int8 QKV GEMM -> dequant -> attention, all in one kernel per image."""
+    return _ln_qkv_attn_q8_call(
+        x2d, ln_scale, ln_bias, wq, w_scale, bqkv, num_heads, seq_len, eps,
+        attn_q8=False, quant_pv=True, interpret=interpret,
+    )
 
 
 def _out_ln_mlp_q8_kernel(
@@ -221,63 +248,18 @@ def _head_context_q8(qkv, h, dh, scale, quant_pv=True):
     return ctx.astype(jnp.float32) * (inv * (1.0 / 127.0)) * vs
 
 
-def _ln_qkv_attn_q8a_kernel(
-    x_ref, s_ref, b_ref, wq_ref, ws_ref, bias_ref, out_ref, *, eps, num_heads,
-    scale, quant_pv,
-):
-    dh = wq_ref.shape[-1] // (3 * num_heads)
-    h = _ln(x_ref[0], s_ref[:], b_ref[:], eps)
-    hq, hs = _quant_rows(h)
-    acc = jax.lax.dot_general(
-        hq, wq_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    qkv = acc.astype(jnp.float32) * hs * ws_ref[:].astype(jnp.float32)
-    qkv = (qkv + bias_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
-    for hh in range(num_heads):
-        out_ref[0, :, hh * dh : (hh + 1) * dh] = _head_context_q8(
-            qkv, hh, dh, scale, quant_pv
-        ).astype(out_ref.dtype)
-
-
 def ln_qkv_attn_q8a(
     x2d, ln_scale, ln_bias, wq, w_scale, bqkv, num_heads, seq_len, eps,
     quant_pv=True, interpret=False,
 ):
-    """Kernel A with int8 QKV GEMM *and* int8 attention dots."""
-    rows, d = x2d.shape
-    d3 = wq.shape[-1]
-    d_ctx = d3 // 3
-    b = rows // seq_len
-    scale = 1.0 / ((d_ctx // num_heads) ** 0.5)
-    out = pl.pallas_call(
-        functools.partial(
-            _ln_qkv_attn_q8a_kernel, eps=eps, num_heads=num_heads,
-            scale=scale, quant_pv=quant_pv,
-        ),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, seq_len, d_ctx), x2d.dtype),
-        compiler_params=_VMEM_LIMIT,
-        interpret=interpret,
-    )(
-        x2d.reshape(b, seq_len, d),
-        ln_scale.reshape(1, d),
-        ln_bias.reshape(1, d),
-        wq,
-        w_scale.reshape(1, d3),
-        bqkv.reshape(1, d3),
+    """Kernel A with int8 QKV GEMM *and* int8 attention dots.
+
+    ``quant_pv=False`` quantizes only the score dot (isolates the two
+    halves for the kernel study in scripts/bench_kernels.py)."""
+    return _ln_qkv_attn_q8_call(
+        x2d, ln_scale, ln_bias, wq, w_scale, bqkv, num_heads, seq_len, eps,
+        attn_q8=True, quant_pv=quant_pv, interpret=interpret,
     )
-    return out.reshape(rows, d_ctx)
 
 
 # -- tensor-parallel (partial-form) MLP kernels -------------------------------
@@ -378,6 +360,36 @@ def fc2_q8_partial(mid, ms, w2q, block_rows=128, interpret=False):
     )(mid, ms, w2q)
 
 
+def _long_seq_block_q8(x2d, blk, num_heads, seq_len, eps, gelu_variant, interpret):
+    """Long-sequence W8A8 block (seq_len past the single-tile VMEM
+    attention): the q8 QKV projection runs in jnp through the SAME
+    ``_qkv_q8`` grouping as the kernel, the T^2 work runs through the
+    blockwise flash-attention kernel (attention stays bf16 on the quant
+    path by design), and the row-blocked q8 MLP kernel is unchanged.
+    Mirrors fused_block._long_seq_block."""
+    from vit_tpu.ops.pallas.flash_attention import flash_attention
+
+    rows, d = x2d.shape
+    b = rows // seq_len
+    d3 = blk["wqkv"].shape[-1]
+    dh = (d3 // 3) // num_heads
+    qkv = _qkv_q8(
+        x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
+        blk["wqkv_scale"], blk["bqkv"], eps,
+    ).astype(x2d.dtype)
+    qkv = qkv.reshape(b, seq_len, num_heads, 3, dh)
+    q = jnp.moveaxis(qkv[..., 0, :], -2, -3)  # (b, H, T, Dh)
+    k = jnp.moveaxis(qkv[..., 1, :], -2, -3)
+    v = jnp.moveaxis(qkv[..., 2, :], -2, -3)
+    ctx = flash_attention(q, k, v, interpret=interpret)
+    ctx2 = jnp.moveaxis(ctx, -3, -2).reshape(rows, num_heads * dh)
+    return out_ln_mlp_residual_q8(
+        ctx2, x2d, blk["wo"], blk["bo"], blk["ln2_scale"], blk["ln2_bias"],
+        blk["w1"], blk["w1_scale"], blk["b1"], blk["w2"], blk["w2_scale"],
+        blk["b2"], eps, gelu_variant, interpret=interpret,
+    )
+
+
 def fused_encoder_block_q8(
     x2d: jax.Array,
     blk,
@@ -399,6 +411,12 @@ def fused_encoder_block_q8(
         from vit_tpu.ops.pallas import interpret_default
 
         interpret = interpret_default()
+    from vit_tpu.ops.pallas import fused_block as _fb  # dynamic: tests patch it
+
+    if seq_len > _fb.VMEM_ATTENTION_MAX_T:
+        return _long_seq_block_q8(
+            x2d, blk, num_heads, seq_len, eps, gelu_variant, interpret
+        )
     ctx = ln_qkv_attn_q8(
         x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["wqkv_scale"],
         blk["bqkv"], num_heads, seq_len, eps, interpret=interpret,

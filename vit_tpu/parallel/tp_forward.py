@@ -41,30 +41,32 @@ from vit_tpu.parallel.sharding import param_pspecs
 # the jnp epilogues transpose natively under shard_map.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _ln_qkv_attn_diff(x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps):
-    from vit_tpu.ops.pallas import interpret_default
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _ln_qkv_attn_diff(
+    x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps, interpret
+):
     from vit_tpu.ops.pallas.fused_block import ln_qkv_attn
 
     return ln_qkv_attn(
         x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps,
-        interpret=interpret_default(),
+        interpret=interpret,
     )
 
 
-def _lqa_fwd(x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps):
-    out = _ln_qkv_attn_diff(x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps)
+def _lqa_fwd(x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps, interpret):
+    out = _ln_qkv_attn_diff(
+        x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps, interpret
+    )
     return out, (x2d, ln_scale, ln_bias, wqkv, bqkv)
 
 
-def _lqa_bwd(num_heads, seq_len, eps, res, g):
-    from vit_tpu.ops.pallas import interpret_default
+def _lqa_bwd(num_heads, seq_len, eps, interpret, res, g):
     from vit_tpu.ops.pallas.backward import ln_qkv_attn_bwd
 
     x2d, s, b, w, bq = res
     dx, ds, db, dw, dbq = ln_qkv_attn_bwd(
         g, None, x2d, s, b, w, bq, num_heads, seq_len, eps,
-        interpret=interpret_default(),
+        interpret=interpret,
     )
     return dx, ds.astype(s.dtype), db.astype(b.dtype), dw.astype(w.dtype), dbq.astype(bq.dtype)
 
@@ -72,30 +74,30 @@ def _lqa_bwd(num_heads, seq_len, eps, res, g):
 _ln_qkv_attn_diff.defvjp(_lqa_fwd, _lqa_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _ln_mlp_partial_diff(x2d, ln_scale, ln_bias, w1, b1, w2, eps, gelu_variant):
-    from vit_tpu.ops.pallas import interpret_default
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _ln_mlp_partial_diff(x2d, ln_scale, ln_bias, w1, b1, w2, eps, gelu_variant, interpret):
     from vit_tpu.ops.pallas.fused_block import ln_mlp_residual
 
     return ln_mlp_residual(
         x2d, ln_scale, ln_bias, w1, b1, w2, jnp.zeros((w2.shape[-1],), x2d.dtype),
-        eps, gelu_variant, interpret=interpret_default(), partial=True,
+        eps, gelu_variant, interpret=interpret, partial=True,
     )
 
 
-def _lmp_fwd(x2d, ln_scale, ln_bias, w1, b1, w2, eps, gelu_variant):
-    out = _ln_mlp_partial_diff(x2d, ln_scale, ln_bias, w1, b1, w2, eps, gelu_variant)
+def _lmp_fwd(x2d, ln_scale, ln_bias, w1, b1, w2, eps, gelu_variant, interpret):
+    out = _ln_mlp_partial_diff(
+        x2d, ln_scale, ln_bias, w1, b1, w2, eps, gelu_variant, interpret
+    )
     return out, (x2d, ln_scale, ln_bias, w1, b1, w2)
 
 
-def _lmp_bwd(eps, gelu_variant, res, g):
-    from vit_tpu.ops.pallas import interpret_default
+def _lmp_bwd(eps, gelu_variant, interpret, res, g):
     from vit_tpu.ops.pallas.backward import ln_mlp_residual_bwd
 
     x2d, s, b, w1, b1, w2 = res
     dx, ds, db, dw1, db1, dw2, _db2 = ln_mlp_residual_bwd(
         g.astype(x2d.dtype), x2d, s, b, w1, b1, w2, eps, gelu_variant,
-        interpret=interpret_default(), residual=False,
+        interpret=interpret, residual=False,
     )
     return (
         dx, ds.astype(s.dtype), db.astype(b.dtype),
@@ -106,10 +108,36 @@ def _lmp_bwd(eps, gelu_variant, res, g):
 _ln_mlp_partial_diff.defvjp(_lmp_fwd, _lmp_bwd)
 
 
-def _precision_for(dtype):
-    # This JAX build computes fp32 dots in bf16 at DEFAULT precision; pin
-    # HIGHEST for fp32 operands (matches ops/reference.py's policy).
-    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+def _ctx_long_seq_tp(x2d, blk, heads_local, seq_len, eps, quant, interpret):
+    """Local-head attention context past VMEM_ATTENTION_MAX_T: LN + QKV in
+    jnp (thin at long T; the quant path keeps the kernel's exact W8A8
+    grouping via quant_kernels._qkv_q8), T^2 work through the blockwise
+    flash-attention kernel — which carries its own Pallas VJP, so the fp
+    path stays trainable.  Mirrors fused_block._long_seq_block's entry."""
+    from vit_tpu.ops.pallas.flash_attention import flash_attention
+
+    rows, d = x2d.shape
+    b = rows // seq_len
+    d3 = blk["wqkv"].shape[-1]
+    dh = (d3 // 3) // heads_local
+    if quant:
+        from vit_tpu.ops.pallas.quant_kernels import _qkv_q8
+
+        qkv = _qkv_q8(
+            x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
+            blk["wqkv_scale"], blk["bqkv"], eps,
+        ).astype(x2d.dtype)
+        qkv = qkv.reshape(b, seq_len, heads_local, 3, dh)
+    else:
+        x3 = x2d.reshape(b, seq_len, d)
+        h = reference.layer_norm(x3, blk["ln1_scale"], blk["ln1_bias"], eps)
+        qkv = reference.linear(h, blk["wqkv"], blk["bqkv"])
+        qkv = qkv.reshape(b, seq_len, heads_local, 3, dh)
+    q = jnp.moveaxis(qkv[..., 0, :], -2, -3)  # (b, H_local, T, Dh)
+    k = jnp.moveaxis(qkv[..., 1, :], -2, -3)
+    v = jnp.moveaxis(qkv[..., 2, :], -2, -3)
+    ctx = flash_attention(q, k, v, interpret=interpret)
+    return jnp.moveaxis(ctx, -3, -2).reshape(rows, heads_local * dh)
 
 
 def fused_block_tp(
@@ -129,8 +157,14 @@ def fused_block_tp(
     The fp path is differentiable (the two pallas_calls carry custom VJPs
     backed by the backward megakernels), so TP *training* of the fused
     path is jax.grad through this function."""
+    from vit_tpu.ops.pallas import fused_block as _fb  # dynamic: tests patch it
+
     dtype = x2d.dtype
-    if quant:
+    if seq_len > _fb.VMEM_ATTENTION_MAX_T:
+        ctx = _ctx_long_seq_tp(
+            x2d, blk, heads_local, seq_len, eps, quant, interpret
+        )
+    elif quant:
         from vit_tpu.ops.pallas.quant_kernels import ln_qkv_attn_q8
 
         ctx = ln_qkv_attn_q8(
@@ -141,12 +175,12 @@ def fused_block_tp(
     else:
         ctx = _ln_qkv_attn_diff(
             x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["bqkv"],
-            heads_local, seq_len, eps,
+            heads_local, seq_len, eps, interpret,
         )
     # row-parallel out_proj: fp32 partial -> psum -> bias+residual epilogue
     part = jnp.dot(
         ctx, blk["wo"], preferred_element_type=jnp.float32,
-        precision=_precision_for(dtype),
+        precision=_fb.dot_precision(dtype),
     )
     part = jax.lax.psum(part, axis)
     x2d = (
@@ -157,7 +191,7 @@ def fused_block_tp(
         return _mlp_q8_tp(x2d, blk, eps, gelu_variant, axis, interpret)
     part2 = _ln_mlp_partial_diff(
         x2d, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
-        blk["w2"], eps, gelu_variant,
+        blk["w2"], eps, gelu_variant, interpret,
     )
     part2 = jax.lax.psum(part2, axis)
     return (
