@@ -79,9 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--freeze-backbone", action="store_true",
-        help="linear probe: update only the classification head "
-        "(optax.masked over the optimizer); pairs with --init-weights "
-        "and --num-classes",
+        help="linear probe: update only the classification head (frozen "
+        "leaves get optax.set_to_zero via multi_transform — masked would "
+        "pass raw grads through); pairs with --init-weights and "
+        "--num-classes",
     )
     p.add_argument("--allow-synth-weights", action="store_true")
     p.add_argument("--save", help="save final params to this .npz")
@@ -119,7 +120,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated on-device augmentations applied inside the "
         "jitted train step (runtime/augment.py): any of flip,crop,mixup,"
         "cutmix (e.g. --augment crop,flip,mixup). mixup+cutmix alternate "
-        "50/50 per step. Not supported with --pp or --tp>1",
+        "50/50 per step. dp paths only (not with --pp, --tp>1, or --sp)",
     )
     p.add_argument(
         "--label-smoothing", type=float, default=0.0, metavar="EPS",
@@ -137,7 +138,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--grad-accum", type=int, default=1, metavar="K",
         help="accumulate gradients over K scanned microbatches per step "
         "(K x less activation memory, one optimizer update). K must divide "
-        "the per-dp-shard batch. Not supported with --pp or --tp>1",
+        "the per-dp-shard batch. dp paths only (not with --pp, --tp>1, "
+        "or --sp)",
     )
     p.add_argument(
         "--dropout", type=float, default=0.0,

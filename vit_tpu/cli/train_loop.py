@@ -65,19 +65,21 @@ def run(args, st) -> int:
         pass
 
     last_step = st.start_step
+    last_eval_step = None
     try:
         for s in range(st.start_step, st.start_step + args.steps):
             if stream is not None:
                 xb, yb = next(stream)
             else:
-                i0 = (s * args.batch) % max(n - args.batch + 1, 1)
+                # n_static is a multiple of args.batch (prepare() drops the
+                # ragged tail), so this cycles clean aligned batches; one
+                # sharded host->device transfer (no jnp.asarray staging hop)
+                i0 = (s * args.batch) % n
                 xb = jax.device_put(
-                    jnp.asarray(images[i0 : i0 + args.batch]),
-                    batch_sharding(st.mesh, 4),
+                    images[i0 : i0 + args.batch], batch_sharding(st.mesh, 4)
                 )
                 yb = jax.device_put(
-                    jnp.asarray(labels[i0 : i0 + args.batch]),
-                    batch_sharding(st.mesh, 1),
+                    labels[i0 : i0 + args.batch], batch_sharding(st.mesh, 1)
                 )
             t0 = time.perf_counter()
             if st.step_needs_rng:
@@ -107,10 +109,9 @@ def run(args, st) -> int:
                           file=sys.stderr)
                 else:
                     print("non-finite loss; aborting", file=sys.stderr)
-                    if stream is not None:
-                        stream.close()  # don't strand the prefetch thread
-                    return 1
+                    return 1  # stream closed by the finally below
             if st.run_eval is not None and (s + 1) % args.eval_every == 0:
+                last_eval_step = s + 1
                 acc = st.run_eval(ema if ema is not None else params)
                 which = "ema" if ema is not None else "params"
                 print(f"step {s:4d}  eval top-1 {acc:.4f} ({which})")
@@ -144,8 +145,28 @@ def run(args, st) -> int:
                 signal.SIGTERM,
                 prev_handler if prev_handler is not None else signal.SIG_DFL,
             )
-    if stream is not None:
-        stream.close()  # stop the prefetch producer thread
+        if stream is not None:
+            # stop the prefetch producer thread even when a step raises —
+            # a stranded producer holds a staged device batch (and on some
+            # backends a daemon thread dying inside the runtime aborts the
+            # process; see runtime/prefetch.py)
+            stream.close()
+    # final held-out evaluation ("--eval-every ... and at the end") unless
+    # the last loop step already evaluated (skipped on preemption: the
+    # SIGTERM budget is for checkpointing, not scoring)
+    if (st.run_eval is not None and last_eval_step != last_step
+            and not preempted["flag"]):
+        acc = st.run_eval(ema if ema is not None else params)
+        which = "ema" if ema is not None else "params"
+        print(f"final eval top-1 {acc:.4f} ({which})")
+        if args.log_jsonl and jax.process_index() == 0:
+            import json
+
+            with open(args.log_jsonl, "a") as fh:
+                fh.write(json.dumps(
+                    {"step": last_step, "eval_top1": round(acc, 6),
+                     "final": True}
+                ) + "\n")
     if args.save_state:
         save_state(last_step)
     if args.save and jax.process_index() == 0:

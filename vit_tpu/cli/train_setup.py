@@ -95,12 +95,15 @@ def _build_mesh(args, cfg, n_dev, procs):
                 f"error: mesh {mesh_axes} needs {need} devices, have {n_dev}"
             )
         return make_mesh(mesh_axes, jax.devices()[:need]), mesh_axes
-    mesh_axes = mesh_shape_for(
-        args.dp * args.tp if args.dp else n_dev, tp=args.tp, dp=args.dp
-    )
-    mesh = make_mesh(
-        mesh_axes, jax.devices()[: mesh_axes["dp"] * mesh_axes["tp"]]
-    )
+    try:
+        mesh_axes = mesh_shape_for(
+            args.dp * args.tp if args.dp else n_dev, tp=args.tp, dp=args.dp
+        )
+        mesh = make_mesh(
+            mesh_axes, jax.devices()[: mesh_axes["dp"] * mesh_axes["tp"]]
+        )
+    except ValueError as e:  # keep the module's SetupError/exit-2 contract
+        raise SetupError(f"error: {e}") from e
     return mesh, mesh_axes
 
 
@@ -644,31 +647,38 @@ def prepare(args) -> TrainSetup:
     stream, images, labels = _build_data(
         args, cfg, mesh, start_step, procs, rng
     )
-    n_static = 0
-    if stream is None:
-        if len(images) < args.batch:
-            raise SetupError(
-                f"error: {len(images)} image(s) < --batch {args.batch}; "
-                "reduce --batch or provide more data"
-            )
-        n_static = (len(images) // args.batch) * args.batch  # drop ragged
-        images, labels = images[:n_static], labels[:n_static]
+    try:
+        n_static = 0
+        if stream is None:
+            if len(images) < args.batch:
+                raise SetupError(
+                    f"error: {len(images)} image(s) < --batch {args.batch}; "
+                    "reduce --batch or provide more data"
+                )
+            n_static = (len(images) // args.batch) * args.batch  # drop ragged
+            images, labels = images[:n_static], labels[:n_static]
 
-    run_eval = _build_eval(args, cfg, mesh) if args.eval_data_dir else None
+        run_eval = _build_eval(args, cfg, mesh) if args.eval_data_dir else None
 
-    ema = ema_update = None
-    if args.ema_decay:
-        from vit_tpu.cli.train_loop import ema_sidecar
-        from vit_tpu.io import checkpoint as _ckpt
+        ema = ema_update = None
+        if args.ema_decay:
+            from vit_tpu.cli.train_loop import ema_sidecar
+            from vit_tpu.io import checkpoint as _ckpt
 
-        ema = jax.tree.map(jnp.copy, params)
-        if args.resume and ema_sidecar(args.resume).exists():
-            ema_r = _ckpt.load_npz(ema_sidecar(args.resume))
-            ema = jax.device_put(jax.tree.map(jnp.asarray, ema_r),
-                                 jax.tree.map(lambda a: a.sharding, ema))
-            print(f"resumed EMA from {ema_sidecar(args.resume)}")
-        ema_update = trainer.make_ema_update(args.ema_decay)
-        print(f"ema: decay {args.ema_decay}")
+            ema = jax.tree.map(jnp.copy, params)
+            if args.resume and ema_sidecar(args.resume).exists():
+                ema_r = _ckpt.load_npz(ema_sidecar(args.resume))
+                ema = jax.device_put(jax.tree.map(jnp.asarray, ema_r),
+                                     jax.tree.map(lambda a: a.sharding, ema))
+                print(f"resumed EMA from {ema_sidecar(args.resume)}")
+            ema_update = trainer.make_ema_update(args.ema_decay)
+            print(f"ema: decay {args.ema_decay}")
+    except BaseException:
+        # a SetupError after the stream was built (e.g. bad --eval flags)
+        # must not strand the prefetch producer thread
+        if stream is not None:
+            stream.close()
+        raise
 
     step_needs_rng = augment_fn is not None or use_dropout
     aug_key = jax.random.key(args.seed ^ 0xA46) if step_needs_rng else None

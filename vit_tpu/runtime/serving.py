@@ -203,10 +203,14 @@ class _ServerBase:
         return self
 
     def stop(self) -> None:
-        if not self._running:
-            return
-        self._running = False
-        self._q.put(_STOP)
+        # flip + _STOP under the same lock submit() enqueues under: any
+        # request that saw _running=True is already in the queue AHEAD of
+        # _STOP (FIFO), so nothing can land behind it and hang its caller
+        with self._pending_lock:
+            if not self._running:
+                return
+            self._running = False
+            self._q.put(_STOP)
         self._dispatcher.join()
         self._completer.join()
 
@@ -235,10 +239,18 @@ class _ServerBase:
         if images.ndim != 4:
             raise ValueError(f"expected (n, C, H, W), got {images.shape}")
         self._validate(images)
-        if not self._running:
-            raise RuntimeError("server not started")
         n = len(images)
+        deadline = (
+            time.perf_counter() + deadline_ms / 1e3
+            if deadline_ms is not None else None
+        )
+        req = _Request(images, return_probs, deadline)
         with self._pending_lock:
+            # running-check and enqueue are one atomic section vs stop():
+            # see stop() — prevents a request landing behind _STOP and
+            # never resolving
+            if not self._running:
+                raise RuntimeError("server not started")
             if (self.max_queue_images is not None
                     and self._pending + n > self.max_queue_images):
                 raise ServerOverloadedError(
@@ -246,12 +258,7 @@ class _ServerBase:
                     f"max_queue_images={self.max_queue_images}"
                 )
             self._pending += n
-        deadline = (
-            time.perf_counter() + deadline_ms / 1e3
-            if deadline_ms is not None else None
-        )
-        req = _Request(images, return_probs, deadline)
-        self._q.put(req)
+            self._q.put(req)
         return req.future
 
     def classify(self, images, timeout: Optional[float] = None,
@@ -540,11 +547,18 @@ def measure_throughput(
     See ``_prepare_selftest`` for the ``device_staged`` semantics.
     """
     requests = _prepare_selftest(server, request_sizes, cfg, seed, device_staged)
-    t0 = time.perf_counter()
-    futures = [server.submit(r) for r in requests]
-    for f in futures:
-        f.result()
-    dt = time.perf_counter() - t0
+    # the whole stream is enqueued at t=0 BY DESIGN (backlog-drain
+    # measurement): suspend load-shedding for the burst so a default
+    # max_queue_images can't shed the benchmark's own traffic mid-submit
+    cap, server.max_queue_images = server.max_queue_images, None
+    try:
+        t0 = time.perf_counter()
+        futures = [server.submit(r) for r in requests]
+        for f in futures:
+            f.result()
+        dt = time.perf_counter() - t0
+    finally:
+        server.max_queue_images = cap
     total = sum(request_sizes)
     return total / dt, total
 
