@@ -245,9 +245,9 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
         local_b = args.batch // mesh_axes["dp"]
         if args.batch % mesh_axes["dp"] or local_b % m:
             raise SetupError(
-                f"error: --batch {args.batch} must divide dp="
-                f"{mesh_axes['dp']} and the per-shard batch {local_b} must "
-                f"divide --microbatches {m}"
+                f"error: dp={mesh_axes['dp']} must divide --batch "
+                f"{args.batch}, and --microbatches {m} must divide the "
+                f"per-shard batch {local_b}"
             )
         params = jax.device_put(
             params,

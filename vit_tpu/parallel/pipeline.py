@@ -51,8 +51,8 @@ def shard_forward_pp(
 ):
     """Build ``forward(params, images) -> logits`` pipelined over 'pp'.
 
-    Params must be placed with :func:`pp_param_pspecs` shardings; the batch
-    must divide ``num_microbatches``.  The per-stage body is a lax.scan
+    Params must be placed with :func:`pp_param_pspecs` shardings;
+    ``num_microbatches`` must divide the per-dp-shard batch.  The per-stage body is a lax.scan
     over the local layers with either the jnp ops (``ops_name='xla'``,
     differentiable — training), the fused Pallas megakernels
     (``ops_name='fused'`` — inference), or the differentiable fused block
@@ -94,7 +94,10 @@ def shard_forward_pp(
     def local_fn(params, images):
         b = images.shape[0]
         if b % m:
-            raise ValueError(f"batch {b} must divide microbatches {m}")
+            raise ValueError(
+                f"num_microbatches {m} must divide the per-dp-shard "
+                f"batch {b}"
+            )
         compute_dtype = params["pos_embed"].dtype
         x = images.astype(compute_dtype)
         x = reference.patch_embed(

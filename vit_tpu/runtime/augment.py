@@ -24,7 +24,6 @@ Images are (B, C, H, W) — the reference's NCHW layout (Network.c:36-93).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Sequence
 
 import jax
@@ -34,11 +33,12 @@ import jax.numpy as jnp
 def soft_targets(labels: jax.Array, num_classes: int,
                  label_smoothing: float = 0.0) -> jax.Array:
     """Int labels (B,) -> soft rows (B, num_classes); already-soft labels
-    pass through.  Smoothing eps spreads eps/K mass over every class."""
+    pass through UNSMOOTHED (their producer — mixup, a distillation
+    teacher — owns the target distribution; smoothing twice would flatten
+    it).  Smoothing eps spreads eps/K mass over every class."""
     if labels.ndim == 2:
-        y = labels.astype(jnp.float32)
-    else:
-        y = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+        return labels.astype(jnp.float32)
+    y = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
     if label_smoothing:
         eps = float(label_smoothing)
         y = y * (1.0 - eps) + eps / num_classes

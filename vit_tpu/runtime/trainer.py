@@ -277,7 +277,7 @@ def jit_train_step_dp_shard_map(
     optimizer: optax.GradientTransformation,
     mesh,
     ops: OpsImpl,
-    remat: bool = True,
+    remat: bool = False,
     compute_dtype=None,
     fused_adamw: dict = None,
     label_smoothing: float = 0.0,
@@ -289,6 +289,11 @@ def jit_train_step_dp_shard_map(
     under shard_map with pmean'd loss/grads (the one collective), optimizer
     update on replicated params outside.  Params and optimizer state stay
     replicated; the batch splits over 'dp'.
+
+    ``remat`` defaults OFF: the fused_train backward megakernels already
+    recompute in VMEM, and jax.checkpoint on top redoes the forward
+    (+25%/step measured — CLAUDE.md).  Pass remat=True only for jnp op
+    tables that need activation rematerialization.
 
     ``fused_adamw`` (dict with lr/b1/b2/eps/weight_decay) swaps optax for
     the in-place Pallas AdamW kernel; state is then ``(count, mu, nu)``
