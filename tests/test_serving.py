@@ -327,6 +327,46 @@ def test_submit_sheds_load_past_max_queue(tiny_cfg, tiny_params):
         srv._running = False
 
 
+def test_submit_after_stop_raises_not_hangs(tiny_cfg, tiny_params):
+    """submit() on a stopped server must fail fast (RuntimeError), never
+    enqueue behind _STOP where no dispatcher will ever resolve the Future
+    — the running-check and enqueue are atomic vs stop()."""
+    from vit_tpu.runtime.serving import InferenceServer
+
+    eng = InferenceEngine(tiny_cfg, tiny_params, dtype="float32",
+                          batch_pad=4)
+    srv = InferenceServer(eng, max_batch=4)
+    srv.start()
+    imgs = np.zeros(
+        (2, 3, tiny_cfg.image_size, tiny_cfg.image_size), np.float32
+    )
+    srv.classify(imgs, timeout=120)
+    srv.stop()
+    with pytest.raises(RuntimeError, match="not started"):
+        srv.submit(imgs)
+    assert srv._q.empty()  # nothing stranded behind _STOP
+    assert srv._pending == 0
+
+
+def test_measure_throughput_restores_queue_cap(tiny_cfg, tiny_params):
+    """The whole-stream-at-t0 helper suspends load-shedding for its own
+    burst and restores the configured cap afterwards."""
+    from vit_tpu.runtime import serving as S
+
+    eng = InferenceEngine(tiny_cfg, tiny_params, dtype="float32",
+                          batch_pad=4)
+    srv = S.InferenceServer(eng, max_batch=4, max_queue_images=4)
+    srv.start()
+    try:
+        # 3 requests x 4 images > the 4-image cap: would shed mid-submit
+        # if the helper didn't lift it
+        ips, total = S.measure_throughput(srv, [4, 4, 4], tiny_cfg)
+        assert total == 12 and ips > 0
+        assert srv.max_queue_images == 4  # restored
+    finally:
+        srv.stop()
+
+
 def test_serve_cli_selftest_multihost(tiny_cfg, tmp_path, monkeypatch, capsys):
     """--multihost lockstep mode, single process: distributed.initialize
     degrades to a no-op and the LockstepServer serves over the global
