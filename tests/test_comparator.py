@@ -73,3 +73,33 @@ def test_compare_files(tmp_path):
     C.write_result_file([1, 2], [0.5, 0.6], a)
     C.write_result_file([1, 2], [0.505, 0.595], b)
     assert C.compare_files(a, b) == []
+
+
+def test_corrupt_line_reports_itself_not_misaligns(tmp_path):
+    """A dropped/corrupt line ('prob: nan' — exactly what %.6f prints for
+    NaN) must surface as its own format error and must NOT shift every
+    later row: pairing is by the parsed [i] index, not list position."""
+    from vit_tpu.eval.comparator import compare_files
+
+    golden = tmp_path / "golden.txt"
+    result = tmp_path / "result.txt"
+    golden.write_text(
+        "[0] label: 5 / prob: 0.900000\n[1] label: 6 / prob: 0.800000\n"
+        "[2] label: 7 / prob: 0.700000\n[3] label: 8 / prob: 0.600000\n"
+    )
+    result.write_text(
+        "[0] label: 5 / prob: 0.900000\n[1] label: 6 / prob: nan\n"
+        "[2] label: 7 / prob: 0.700000\n[3] label: 8 / prob: 0.600000\n"
+    )
+    errors = compare_files(result, golden)
+    kinds = {(e.index, e.kind) for e in errors}
+    assert (1, "format") in kinds      # the bad row reports itself
+    assert (1, "missing") in kinds     # and its comparison is missing
+    assert not any(e.index in (2, 3) for e in errors)  # no bogus shift
+
+
+def test_parse_line_rejects_unfloatable_prob():
+    from vit_tpu.eval.comparator import parse_line
+
+    assert parse_line("[0] label: 5 / prob: 1.2.3") is None
+    assert parse_line("[0] label: 5 / prob: 1e+-3") is None

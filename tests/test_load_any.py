@@ -92,3 +92,24 @@ def test_train_cli_init_from_npz(tmp_path, tiny_cfg, capsys, monkeypatch):
     ])
     assert rc == 0
     assert "step    0" in capsys.readouterr().out
+
+
+def test_train_state_npz_yields_params(tmp_path, tiny_cfg):
+    """Pointing --weights at a --save-state archive must extract the params
+    subtree (not unflatten params./opt./__step__ into a garbled tree)."""
+    import optax
+
+    from vit_tpu.io.checkpoint import save_train_state
+    from vit_tpu.io.load_any import load_params_any
+    from vit_tpu.io import weights as wio
+
+    tensors = wio.synth_reference_tensors(tiny_cfg, seed=5)
+    params = wio.params_from_tensors(tensors, tiny_cfg)
+    opt = optax.sgd(0.1).init(params)
+    p = tmp_path / "state.npz"
+    save_train_state(params, opt, 7, p)
+    got = load_params_any(p, tiny_cfg)
+    assert "cls_token" in got and "blocks" in got
+    np.testing.assert_allclose(
+        np.asarray(got["cls_token"]), np.asarray(params["cls_token"])
+    )

@@ -227,3 +227,34 @@ def test_cli_images_flag(tmp_path, tiny_cfg, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "photo0.jpg" in out and "photo1.jpg" in out
     assert "label:" in out
+
+
+def test_resize_and_crop_match_torchvision_formulas():
+    """torchvision F.resize TRUNCATES the long side (int(size*long/short))
+    and F.center_crop offsets with int(round(diff/2.0)) — both off-by-one
+    traps vs the naive round()/floor (the bug class that makes outputs not
+    bit-comparable with torchvision-preprocessed golden data)."""
+    rng = np.random.default_rng(7)
+    h, w = 13, 20  # int(16*20/13)=24 but round(24.615)=25
+    arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    out = preprocess_image(arr, image_size=14, resize_size=16)
+    img = Image.fromarray(arr).convert("RGB")
+    new_w, new_h = int(16 * w / h), 16  # torchvision: truncate
+    left = int(round((new_w - 14) / 2.0))
+    top = int(round((new_h - 14) / 2.0))
+    ref = img.resize((new_w, new_h), Image.Resampling.BILINEAR).crop(
+        (left, top, left + 14, top + 14)
+    )
+    want = (np.asarray(ref, np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(out, want.transpose(2, 0, 1), atol=1e-6)
+
+
+def test_center_crop_offset_rounds_half_up_like_torchvision():
+    """Odd diff with a .5 offset: torchvision computes
+    int(round((29-14)/2.0)) = int(round(7.5)) = 8, not floor's 7."""
+    h, w = 16, 29
+    col = np.arange(w, dtype=np.uint8)[None, :, None].repeat(h, 0).repeat(3, 2)
+    out = preprocess_image(col, image_size=14, resize_size=16)
+    # resize is identity here (short side already 16, long int(16*29/16)=29)
+    first_col_value = out[0, 0, 0] * IMAGENET_STD[0] + IMAGENET_MEAN[0]
+    assert round(float(first_col_value) * 255) == 8  # crop starts at col 8

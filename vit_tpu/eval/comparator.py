@@ -46,17 +46,34 @@ def parse_line(line: str) -> Optional[ResultLine]:
     m = _LINE_RE.match(line.strip())
     if not m:
         return None
-    return ResultLine(int(m.group(1)), int(m.group(2)), float(m.group(3)))
+    try:
+        prob = float(m.group(3))
+    except ValueError:  # the char class admits strings float() rejects
+        return None     # (e.g. '1.2.3', '1e+-3') — a format error, not a crash
+    return ResultLine(int(m.group(1)), int(m.group(2)), prob)
+
+
+def _parse_lines(path) -> tuple[List[ResultLine], List[int]]:
+    """-> (parsed lines, ordinals of non-empty lines that failed to parse).
+    The ordinal (position among non-empty lines) is the best available
+    index for a corrupt line — e.g. 'prob: nan', which %.6f prints."""
+    lines: List[ResultLine] = []
+    bad: List[int] = []
+    ordinal = 0
+    for raw in Path(path).read_text().splitlines():
+        if not raw.strip():
+            continue
+        parsed = parse_line(raw)
+        if parsed is None:
+            bad.append(ordinal)
+        else:
+            lines.append(parsed)
+        ordinal += 1
+    return lines, bad
 
 
 def parse_result_file(path) -> List[ResultLine]:
-    lines = []
-    for raw in Path(path).read_text().splitlines():
-        if raw.strip():
-            parsed = parse_line(raw)
-            if parsed is not None:
-                lines.append(parsed)
-    return lines
+    return _parse_lines(path)[0]
 
 
 def format_result_line(index: int, label: int, prob: float) -> str:
@@ -78,13 +95,19 @@ def compare_results(
     count: Optional[int] = None,
     prob_tolerance: float = PROB_TOLERANCE,
 ) -> List[Mismatch]:
-    """Label exact + |dprob| <= tol, over the first ``count`` lines
-    (default: all golden lines — stricter than the reference's 1)."""
-    n = len(want) if count is None else count
+    """Label exact + |dprob| <= tol, over the first ``count`` golden
+    indices (default: all golden lines — stricter than the reference's 1).
+
+    Rows pair by their PARSED [i] index, not list position, so one
+    dropped/corrupt line misreports only itself — it cannot misalign
+    every comparison after it."""
+    want_by = {w.index: w for w in want}
+    got_by = {g.index: g for g in got}
+    indices = sorted(want_by) if count is None else range(count)
     errors: List[Mismatch] = []
-    for i in range(n):
-        w = want[i] if i < len(want) else None
-        g = got[i] if i < len(got) else None
+    for i in indices:
+        w = want_by.get(i)
+        g = got_by.get(i)
         if w is None or g is None:
             errors.append(Mismatch(i, "missing", g, w))
             continue
@@ -101,9 +124,16 @@ def compare_files(
     count: Optional[int] = None,
     prob_tolerance: float = PROB_TOLERANCE,
 ) -> List[Mismatch]:
-    return compare_results(
-        parse_result_file(result_path),
-        parse_result_file(golden_path),
-        count=count,
-        prob_tolerance=prob_tolerance,
+    got, got_bad = _parse_lines(result_path)
+    want, want_bad = _parse_lines(golden_path)
+    # corrupt lines surface as their own 'format' mismatches (ordinal
+    # position as the index) instead of silently vanishing
+    errors = [
+        Mismatch(i, "format", None, None)
+        for i in sorted(set(got_bad) | set(want_bad))
+        if count is None or i < count
+    ]
+    errors += compare_results(
+        got, want, count=count, prob_tolerance=prob_tolerance
     )
+    return errors

@@ -16,10 +16,19 @@ import numpy as np
 from vit_tpu.utils import flatten_tree, unflatten_tree
 
 
+def _savez_exact(path, **arrays) -> None:
+    """np.savez to EXACTLY ``path``: bare np.savez silently appends '.npz'
+    to a suffixless name, so '--save-state ckpt' would write 'ckpt.npz'
+    while the log and a later '--resume ckpt' refer to 'ckpt'.  Writing
+    through an open file handle pins the name."""
+    with open(path, "wb") as fh:
+        np.savez(fh, **arrays)
+
+
 def save_npz(tree: Any, path) -> None:
     """Save a (possibly nested-dict) pytree of arrays to one .npz file."""
     flat = {k: np.asarray(v) for k, v in flatten_tree(tree).items()}
-    np.savez(path, **flat)
+    _savez_exact(path, **flat)
 
 
 def load_npz(path, dtype=None) -> Any:
@@ -44,7 +53,24 @@ def save_train_state(params: Any, opt_state: Any, step: int, path) -> None:
     flat_o = {
         f"opt.{i}": np.asarray(x) for i, x in enumerate(jax.tree.leaves(opt_state))
     }
-    np.savez(path, __step__=np.int64(step), **flat_p, **flat_o)
+    _savez_exact(path, __step__=np.int64(step), **flat_p, **flat_o)
+
+
+def is_train_state(path) -> bool:
+    """True when ``path`` is a save_train_state archive (params + optimizer
+    + step) rather than a bare params .npz."""
+    with np.load(path) as z:
+        return "__step__" in z.files
+
+
+def load_params_from_state(path, dtype=None) -> Any:
+    """Extract just the params pytree from a save_train_state archive."""
+    with np.load(path) as z:
+        flat = {
+            k[len("params."):]: (z[k].astype(dtype) if dtype else z[k])
+            for k in z.files if k.startswith("params.")
+        }
+    return unflatten_tree(flat)
 
 
 def load_train_state(path, opt_state_like: Any):
@@ -58,6 +84,15 @@ def load_train_state(path, opt_state_like: Any):
             {k[len("params."):]: z[k] for k in z.files if k.startswith("params.")}
         )
         template_leaves = jax.tree.leaves(opt_state_like)
+        n_ckpt = sum(1 for k in z.files if k.startswith("opt."))
+        if n_ckpt != len(template_leaves):
+            # a leaf-COUNT mismatch must not restore a shape-coincident
+            # prefix (mu/nu/count come first in most optax states) —
+            # that is a semantically wrong optimizer state, silently
+            raise ValueError(
+                f"checkpoint has {n_ckpt} optimizer leaves, template has "
+                f"{len(template_leaves)} (optimizer mismatch?)"
+            )
         leaves = [z[f"opt.{i}"] for i in range(len(template_leaves))]
         for i, (got, want) in enumerate(zip(leaves, template_leaves)):
             if tuple(got.shape) != tuple(np.shape(want)):

@@ -42,6 +42,11 @@ def load_params_any(
     if p.suffix == ".npz":
         from vit_tpu.io import checkpoint as ckpt
 
+        if ckpt.is_train_state(p):
+            # a --save-state archive: pull the params subtree instead of
+            # unflattening 'params.*'/'opt.N'/'__step__' into a garbled
+            # tree that dies later with KeyError('cls_token')
+            return ckpt.load_params_from_state(p)
         return ckpt.load_npz(p)
     if p.suffix in (".pth", ".pt"):
         from vit_tpu.io.torch_convert import load_pth

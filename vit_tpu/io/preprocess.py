@@ -84,14 +84,18 @@ def preprocess_image(
         img = img.resize((image_size, image_size), Image.Resampling.BILINEAR)
     else:
         w, h = img.size
+        # torchvision semantics exactly (F.resize int-size path): the long
+        # side TRUNCATES — int(size*long/short), not round — and the crop
+        # offset is int(round(diff/2.0)) with Python banker's rounding;
+        # either off-by-one shifts pixels vs torchvision-preprocessed data
         if w <= h:
-            new_w, new_h = resize_size, max(round(h * resize_size / w), 1)
+            new_w, new_h = resize_size, int(resize_size * h / w)
         else:
-            new_w, new_h = max(round(w * resize_size / h), 1), resize_size
+            new_w, new_h = int(resize_size * w / h), resize_size
         img = img.resize((new_w, new_h), Image.Resampling.BILINEAR)
 
-        left = (new_w - image_size) // 2
-        top = (new_h - image_size) // 2
+        left = int(round((new_w - image_size) / 2.0))
+        top = int(round((new_h - image_size) / 2.0))
         if left < 0 or top < 0:
             raise PreprocessError(
                 f"crop {image_size} exceeds resized image {new_w}x{new_h}"
