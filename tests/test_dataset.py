@@ -285,3 +285,51 @@ def test_train_cli_data_dir(tiny_cfg, tmp_path, monkeypatch, capsys):
     assert rc == 0
     assert "data: 12 images in 2 shard(s)" in out
     assert out.count("loss") >= 4
+
+
+def test_out_of_range_labels_rejected(tmp_path, tiny_cfg):
+    """Labels outside [0, num_classes) must fail at LOAD: the training
+    loss gathers with take_along_axis, which clamps silently on XLA."""
+    rng = np.random.default_rng(3)
+    imgs = rng.normal(size=(4, 3, tiny_cfg.image_size,
+                            tiny_cfg.image_size)).astype(np.float32)
+    save_image_bin(imgs, tmp_path / "s.bin")
+    np.array([0, 1, tiny_cfg.num_classes, 2], "<i4").tofile(
+        tmp_path / "s.labels.bin"
+    )
+    with pytest.raises(ValueError, match="labels outside"):
+        BinShardDataset(tmp_path, require_labels=True,
+                        num_classes=tiny_cfg.num_classes)
+    # without the bound the same shard set loads (back-compat)
+    BinShardDataset(tmp_path, require_labels=True)
+
+
+def test_skip_batches_fast_forward_is_arithmetic(tmp_path):
+    """Resume fast-forward across whole epochs must yield exactly the
+    batches an uninterrupted run would see (and not regenerate a
+    permutation per skipped epoch — whole epochs are index arithmetic)."""
+    rng = np.random.default_rng(5)
+    imgs = rng.normal(size=(10, 3, 8, 8)).astype(np.float32)
+    save_image_bin(imgs, tmp_path / "s.bin")
+    rng.integers(0, 5, 10).astype("<i4").tofile(tmp_path / "s.labels.bin")
+    ds = BinShardDataset(tmp_path)
+    full = list(ds.batches(batch_size=4, seed=9, epochs=4))  # 2/epoch
+    skipped = list(ds.batches(batch_size=4, seed=9, epochs=4,
+                              skip_batches=5))  # 2.5 epochs in
+    assert len(skipped) == len(full) - 5
+    for (xa, ya), (xb, yb) in zip(skipped, full[5:]):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+
+
+def test_image_folder_train_mode_rejects_resize_size(tmp_path):
+    from vit_tpu.io.dataset import ImageFolderDataset
+
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    d = tmp_path / "cls0"
+    d.mkdir()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(d / "a.png")
+    with pytest.raises(ValueError, match="eval-transform knob"):
+        ImageFolderDataset(tmp_path, 8, resize_size=16, mode="train")

@@ -123,3 +123,43 @@ def test_lockstep_queued_deadline_fails_fast(mesh_engine, tiny_cfg):
         assert labels.shape == (2,)
     assert srv.stats.deadline_expired == 1
     assert srv.stats.latency.count >= 2  # per-request latency recorded
+
+
+def test_local_rows_dedups_replicating_axis(tiny_cfg, tiny_params):
+    """On a dp x tp mesh a P('dp')-sharded output has tp addressable
+    REPLICAS per dp index; _local_rows must keep one shard per distinct
+    row range or the completer slices wrong labels for any batch past
+    the first dp shard."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh({"dp": 2, "tp": 2}, jax.devices()[:4])
+    arr = jax.device_put(
+        np.arange(8, dtype=np.int32), NamedSharding(mesh, P("dp"))
+    )
+    assert len(arr.addressable_shards) == 4  # 2 dp x 2 tp replicas
+    eng = InferenceEngine(
+        tiny_cfg, tiny_params, dtype="float32", batch_pad=8, mesh=mesh,
+        ops="fused",
+    )
+    srv = LockstepServer(eng, local_batch=8)
+    np.testing.assert_array_equal(srv._local_rows(arr), np.arange(8))
+
+
+def test_lockstep_serves_correct_rows_on_dp_tp_mesh(tiny_cfg, tiny_params):
+    """End-to-end: two requests spanning past the first dp shard on a
+    dp=2/tp=2 engine must classify like the unsharded engine."""
+    mesh = make_mesh({"dp": 2, "tp": 2}, jax.devices()[:4])
+    eng = InferenceEngine(
+        tiny_cfg, tiny_params, dtype="float32", batch_pad=8, mesh=mesh,
+        ops="fused",
+    )
+    ref = InferenceEngine(tiny_cfg, tiny_params, dtype="float32",
+                          batch_pad=8, ops="fused")
+    imgs = iio.synth_images(6, tiny_cfg, seed=44)
+    with LockstepServer(eng, local_batch=8) as srv:
+        f1 = srv.submit(imgs[:3])
+        f2 = srv.submit(imgs[3:])
+        l1, _, _ = f1.result(timeout=300)
+        l2, _, _ = f2.result(timeout=300)
+    want, _ = ref.classify(imgs)
+    np.testing.assert_array_equal(np.concatenate([l1, l2]), want)

@@ -336,12 +336,18 @@ def test_tp_must_divide_heads(tiny_cfg, tiny_params):
         InferenceEngine(cfg3, tiny_params, ops="fused", mesh=mesh)
 
 
-def test_distributed_helpers_single_host():
+def test_distributed_initialize_rejects_late_explicit_args():
+    """After an arg-less initialize degraded to single-process, a LATER
+    call with explicit cluster args must raise — silently ignoring it
+    would leave this host solo while pod peers block in
+    jax.distributed.initialize forever."""
     from vit_tpu.runtime import distributed
 
-    assert not distributed.is_multi_host()
-    assert distributed.local_batch_slice(16) == slice(0, 16)
-    assert distributed.local_batch_slice(7) == slice(0, 7)  # 1 host: whole batch
+    distributed.initialize()  # single process: degrades to no-op, latches
+    with pytest.raises(RuntimeError, match="too late"):
+        distributed.initialize(
+            coordinator_address="host:1234", num_processes=8, process_id=0
+        )
 
 
 def test_mesh_train_step_mixed_precision(tiny_cfg):

@@ -52,3 +52,15 @@ def test_timing_spread_stateful_threads_state():
     med, lo, hi, state = timing_spread_stateful(fn, 5, (0, 1))
     assert state == (3, 8)
     assert (lo, med, hi) == (0.25, 0.5, 0.75)
+
+
+def test_roofline_rejects_unknown_chip_dtype():
+    """The gated metric must not silently fall back to the v5e bf16 peak
+    for a typo'd chip/dtype."""
+    import pytest
+
+    from vit_tpu.config import VIT_B_16
+    from vit_tpu.runtime.profiler import roofline
+
+    with pytest.raises(KeyError, match="v6e_fp32"):
+        roofline(VIT_B_16, 8, 0.01, chip="v6e", dtype="fp32")

@@ -107,7 +107,8 @@ def main(argv=None) -> int:
     elif args.data_dir:
         from vit_tpu.io.dataset import BinShardDataset
 
-        ds = BinShardDataset(args.data_dir, require_labels=True)
+        ds = BinShardDataset(args.data_dir, require_labels=True,
+                             num_classes=cfg.num_classes)
         n_total = min(args.limit, len(ds)) if args.limit else len(ds)
         bs = min(args.batch, n_total)
         # first batch materialized for engine batch_pad sizing; the rest

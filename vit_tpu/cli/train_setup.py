@@ -335,7 +335,8 @@ def _build_data(args, cfg, mesh, start_step, procs, rng):
 
         if args.data_dir:
             ds = BinShardDataset(
-                args.data_dir, require_labels=True, threads=args.data_threads
+                args.data_dir, require_labels=True, threads=args.data_threads,
+                num_classes=cfg.num_classes,
             )
             data_desc = (
                 f"{len(ds)} images in {len(ds.paths)} shard(s), "
@@ -440,7 +441,8 @@ def _build_eval(args, cfg, mesh):
     from vit_tpu.io.dataset import BinShardDataset as _EvalDS
     from vit_tpu.models import vit as vit_mod
 
-    eval_ds = _EvalDS(args.eval_data_dir, require_labels=True)
+    eval_ds = _EvalDS(args.eval_data_dir, require_labels=True,
+                      num_classes=cfg.num_classes)
     n_eval = min(len(eval_ds), args.eval_batches * args.batch)
     n_eval -= n_eval % args.batch
     if n_eval == 0:

@@ -72,8 +72,15 @@ class EpochStream:
             raise ValueError(
                 f"batch_size {batch_size} not in [1, {local_n}]"
             )
-        epoch = 0
+        # the per-epoch batch count is a constant of (local_n, batch_size),
+        # and each epoch's permutation is independently seeded — so whole
+        # skipped epochs are pure arithmetic, not thousands of discarded
+        # len(self)-sized permutations at resume time
+        end = local_n - (local_n % batch_size) if drop_remainder else local_n
+        n_batches = -(-end // batch_size)
         to_skip = int(skip_batches)
+        epoch = to_skip // n_batches
+        to_skip -= epoch * n_batches
         while epochs is None or epoch < epochs:
             if shuffle:
                 perm = np.random.default_rng(
@@ -82,12 +89,6 @@ class EpochStream:
             else:
                 perm = np.arange(len(self))
             perm = perm[sid::nsh][:local_n]
-            end = len(perm) - (len(perm) % batch_size) if drop_remainder else len(perm)
-            n_batches = -(-end // batch_size)
-            if to_skip >= n_batches:
-                to_skip -= n_batches
-                epoch += 1
-                continue
             for i in range(to_skip * batch_size, end, batch_size):
                 take = perm[i : i + batch_size]
                 imgs = self.read(take)
@@ -106,6 +107,8 @@ class BinShardDataset(EpochStream):
       require_labels: insist every shard has a ``<stem>.labels.bin``
         (raw int32, one per image) — labels() then never fabricates.
       threads: worker threads for the native gather reader.
+      num_classes: when given, reject labels outside [0, num_classes) at
+        load (the training loss clamps out-of-range gathers silently).
     """
 
     def __init__(
@@ -113,6 +116,7 @@ class BinShardDataset(EpochStream):
         sources,
         require_labels: bool = False,
         threads: int = 8,
+        num_classes: "Optional[int]" = None,
     ):
         if isinstance(sources, (str, Path)) and Path(sources).is_dir():
             paths = sorted(
@@ -152,6 +156,16 @@ class BinShardDataset(EpochStream):
                 lab = np.fromfile(lp, dtype="<i4")
                 if len(lab) != n:
                     raise ValueError(f"{lp}: {len(lab)} labels != {n} images")
+                if num_classes is not None and lab.size and (
+                    lab.min() < 0 or lab.max() >= num_classes
+                ):
+                    # out-of-range labels would NOT error downstream: the
+                    # loss gathers with take_along_axis, which clamps on
+                    # XLA — the model silently trains toward the last class
+                    raise ValueError(
+                        f"{lp}: labels outside [0, {num_classes}) "
+                        f"(min {lab.min()}, max {lab.max()})"
+                    )
                 labels.append(lab)
             elif require_labels:
                 raise FileNotFoundError(f"{lp} (require_labels=True)")
@@ -253,6 +267,12 @@ class ImageFolderDataset(EpochStream):
 
         from vit_tpu.io.preprocess import folder_dataset
 
+        if mode == "train" and resize_size is not None:
+            raise ValueError(
+                "resize_size is an eval-transform knob; mode='train' "
+                "stages the full frame at image_size (the on-device "
+                "RandomResizedCrop does the cropping)"
+            )
         self.paths, self._labels, self.class_names = folder_dataset(root)
         self.image_size = image_size
         self.resize_size = resize_size

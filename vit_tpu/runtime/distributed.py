@@ -32,7 +32,18 @@ def initialize(
     ``jax.process_count()`` stays 1 and every multi-host code path runs in
     its single-process form."""
     global _initialized
+    explicit = bool(coordinator_address or num_processes or process_id is not None)
     if _initialized:
+        if explicit and jax.process_count() == 1:
+            # an earlier arg-less call degraded to single-process and
+            # latched; swallowing EXPLICIT cluster args now would leave
+            # this host serving alone while its peers block in
+            # jax.distributed.initialize forever
+            raise RuntimeError(
+                "distributed.initialize already ran (single-process); "
+                "explicit cluster args came too late — call initialize "
+                "with them before any other jax use"
+            )
         return
     try:
         jax.distributed.initialize(
@@ -43,22 +54,7 @@ def initialize(
     except (ValueError, RuntimeError):
         # ValueError: no cluster detectable; RuntimeError: XLA backend
         # already initialized (single-process use after other jax calls).
-        if coordinator_address or num_processes or process_id is not None:
+        if explicit:
             raise  # explicit cluster args that don't work ARE an error
         # undetectable cluster + no args -> single process
     _initialized = True
-
-
-def is_multi_host() -> bool:
-    return jax.process_count() > 1
-
-
-def local_batch_slice(global_batch: int) -> slice:
-    """The slice of a global batch this process should feed (per-host input
-    sharding for dp over pods)."""
-    n = jax.process_count()
-    if global_batch % n:
-        raise ValueError(f"global batch {global_batch} not divisible by {n} hosts")
-    per = global_batch // n
-    i = jax.process_index()
-    return slice(i * per, (i + 1) * per)

@@ -136,6 +136,12 @@ class LockstepServer(_ServerBase):
             [_Request(np.zeros(self._local_shape(), np.float32), False)]
         )
         float(self._local_rows(top).sum())  # host sync (tunnel-safe)
+        if self._procs > 1:
+            # the control collective is its own jit program: compile it
+            # now too, or the first real tick stalls every queued request
+            # behind a multi-second compile (symmetric across hosts —
+            # every host runs warmup before start())
+            self._tick_control(0, False)
 
     # -- internals ------------------------------------------------------------
 
@@ -285,11 +291,20 @@ class LockstepServer(_ServerBase):
         self._inflight.put(_STOP)
 
     def _local_rows(self, arr) -> np.ndarray:
-        """This host's rows of a dp-sharded output, in global index order."""
-        shards = sorted(
-            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        """This host's rows of a dp-sharded output, in global index order.
+
+        One shard per distinct row range: a replicating mesh axis (tp)
+        gives every dp index multiple addressable replicas, and naively
+        concatenating them duplicates rows — the completer would then
+        slice the WRONG labels for any batch past the first dp shard."""
+        by_start = {}
+        for s in arr.addressable_shards:
+            start = s.index[0].start or 0
+            if start not in by_start:
+                by_start[start] = s
+        return np.concatenate(
+            [np.asarray(by_start[k].data) for k in sorted(by_start)], axis=0
         )
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
     def _to_host(self, arr) -> np.ndarray:
         return self._local_rows(arr)

@@ -92,6 +92,15 @@ def prefetch_to_device(
         # teardown — a daemon thread dying inside the device runtime
         # aborts the process (std::terminate) on some backends.
         t.join(timeout=60.0)
+        if t.is_alive():
+            import sys
+
+            print(
+                "warning: prefetch producer still blocked in the device "
+                "runtime after 60s (wedged transfer?) — interpreter "
+                "teardown may abort the process",
+                file=sys.stderr,
+            )
 
 
 def batched(array_like, batch_size: int, drop_remainder: bool = False):

@@ -95,7 +95,14 @@ def roofline(
     """Achieved FLOP/s and MXU utilization for a timed forward pass."""
     flops = cfg.flops_per_image() * batch
     achieved = flops / seconds
-    peak = CHIP_PEAKS_TFLOPS.get(f"{chip}_{dtype}", CHIP_PEAKS_TFLOPS["v5e_bf16"])
+    key = f"{chip}_{dtype}"
+    if key not in CHIP_PEAKS_TFLOPS:
+        # this is the metric BASELINE gates on: a typo'd chip/dtype must
+        # not silently compute utilization against the v5e bf16 peak
+        raise KeyError(
+            f"no peak for {key!r}; known: {sorted(CHIP_PEAKS_TFLOPS)}"
+        )
+    peak = CHIP_PEAKS_TFLOPS[key]
     peak_total = peak * 1e12 * n_chips
     return {
         "flops": float(flops),
