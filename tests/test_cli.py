@@ -298,3 +298,30 @@ def test_wd_exempt_rejects_fused_adamw(tiny_cfg, monkeypatch, capsys):
     ])
     assert rc == 2
     assert "wd-exempt-norm-bias" in capsys.readouterr().err
+
+
+def test_resolve_mesh_floors_to_tp_multiple():
+    """--tp without --dp floors the device count to a tp multiple (the
+    behavior main/serve always had; eval's copy used to crash on --tp 3
+    over 8 devices — now all three share cli/common.resolve_mesh)."""
+    import io
+
+    from vit_tpu.cli.common import resolve_mesh
+
+    out = io.StringIO()
+    mesh = resolve_mesh(0, 3, out=out)
+    assert dict(mesh.shape) == {"dp": 2, "tp": 3}  # 6 of 8 devices
+    assert resolve_mesh(0, 1) is None  # single-device default
+
+
+def test_cast_params_preserves_integer_leaves(tiny_params):
+    """cast_params must not corrupt a quantized pytree's int8 weights."""
+    import jax.numpy as jnp
+
+    from vit_tpu.models.vit import cast_params
+    from vit_tpu.ops.quant import quantize_params
+
+    q = quantize_params(tiny_params)
+    c = cast_params(q, jnp.bfloat16)
+    assert c["blocks"]["wqkv"].dtype == jnp.int8  # untouched
+    assert c["pos_embed"].dtype == jnp.bfloat16

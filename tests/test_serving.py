@@ -676,6 +676,12 @@ def test_serve_http_reload_endpoint(tiny_cfg, tmp_path, monkeypatch):
     bad2 = conn.getresponse()
     assert bad2.status == 400, bad2.status
     bad2.read()
+    # valid JSON but not an object -> client error (400), not 500
+    for shape_body in (b"null", b"[1]", b'"x"'):
+        conn.request("POST", "/reload", body=shape_body)
+        bad3 = conn.getresponse()
+        assert bad3.status == 400, (shape_body, bad3.status)
+        bad3.read()
     assert classify_labels(conn) == [int(x) for x in want_b]
 
     bound["httpd"].shutdown()

@@ -69,7 +69,6 @@ def main(argv=None) -> int:
 
     import jax
 
-    from vit_tpu.config import get_config
     from vit_tpu.eval import accuracy
     from vit_tpu.io.load_any import load_params_any
     from vit_tpu.runtime import InferenceEngine
@@ -79,14 +78,10 @@ def main(argv=None) -> int:
 
         enable_compilation_cache()
 
-    cfg = get_config(args.config)
-    if args.num_classes:
-        import dataclasses as _dc
+    from vit_tpu.cli.common import resolve_config, resolve_mesh, resolve_ops_name
 
-        cfg = _dc.replace(cfg, num_classes=args.num_classes)
-    ops = args.ops
-    if ops == "auto":
-        ops = "fused" if jax.default_backend() == "tpu" else "xla"
+    cfg = resolve_config(args.config, args.num_classes)
+    ops = resolve_ops_name(args.ops)
 
     ds = None
     if args.image_dir:
@@ -127,16 +122,7 @@ def main(argv=None) -> int:
         if args.limit:
             images, labels = images[: args.limit], labels[: args.limit]
 
-    mesh = None
-    if args.tp > 1 or args.dp:
-        from vit_tpu.parallel import make_mesh, mesh_shape_for
-
-        shape = mesh_shape_for(
-            args.dp * args.tp if args.dp else jax.device_count(),
-            tp=args.tp, dp=args.dp,
-        )
-        mesh = make_mesh(shape, jax.devices()[: shape["dp"] * shape["tp"]])
-        print(f"mesh: {shape}", file=sys.stderr)
+    mesh = resolve_mesh(args.dp, args.tp, out=sys.stderr)
 
     params = load_params_any(
         args.weights, cfg, allow_synth=args.allow_synth_weights

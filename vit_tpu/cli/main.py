@@ -114,7 +114,6 @@ def main(argv=None) -> int:
 
     import jax
 
-    from vit_tpu.config import get_config
     from vit_tpu.eval import comparator
     from vit_tpu.io import images as iio
     from vit_tpu.io import weights as wio
@@ -126,26 +125,11 @@ def main(argv=None) -> int:
 
         enable_compilation_cache()
 
-    cfg = get_config(args.config)
-    if args.num_classes:
-        import dataclasses as _dc
+    from vit_tpu.cli.common import resolve_config, resolve_mesh, resolve_ops_name
 
-        cfg = _dc.replace(cfg, num_classes=args.num_classes)
-
-    ops = args.ops
-    if ops == "auto":
-        ops = "fused" if jax.default_backend() == "tpu" else "xla"
-
-    mesh = None
-    if args.tp > 1 or args.dp:
-        from vit_tpu.parallel import make_mesh, mesh_shape_for
-
-        shape = mesh_shape_for(
-            (args.dp or jax.device_count() // args.tp) * args.tp,
-            tp=args.tp, dp=args.dp,
-        )
-        mesh = make_mesh(shape, jax.devices()[: shape["dp"] * shape["tp"]])
-        print(f"mesh: {shape} over {jax.device_count()} device(s)")
+    cfg = resolve_config(args.config, args.num_classes)
+    ops = resolve_ops_name(args.ops)
+    mesh = resolve_mesh(args.dp, args.tp)
 
     t_load0 = time.perf_counter()
     source_names = None
@@ -159,7 +143,10 @@ def main(argv=None) -> int:
         images = iio.synth_images(args.synth, cfg, seed=0)
     load_cfg = cfg
     if args.interpolate_pos_from:
-        load_cfg = get_config(args.interpolate_pos_from)
+        # the head-width override applies to the LOAD config too — the
+        # checkpoint being adapted carries the fine-tuned head, and
+        # adapt_params_resolution only reconciles patch/pos, not classes
+        load_cfg = resolve_config(args.interpolate_pos_from, args.num_classes)
     from vit_tpu.io.load_any import load_params_any
 
     params = load_params_any(

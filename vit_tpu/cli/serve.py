@@ -103,7 +103,6 @@ def build_parser() -> argparse.ArgumentParser:
 def _build_server(args):
     import jax
 
-    from vit_tpu.config import get_config
     from vit_tpu.io.load_any import load_params_any
     from vit_tpu.runtime import InferenceEngine
     from vit_tpu.runtime.serving import InferenceServer
@@ -113,11 +112,9 @@ def _build_server(args):
 
         enable_compilation_cache()
 
-    cfg = get_config(args.config)
-    if args.num_classes:
-        import dataclasses as _dc
+    from vit_tpu.cli.common import resolve_config, resolve_mesh, resolve_ops_name
 
-        cfg = _dc.replace(cfg, num_classes=args.num_classes)
+    cfg = resolve_config(args.config, args.num_classes)
     if args.multihost:
         from vit_tpu.parallel import make_mesh
         from vit_tpu.runtime import distributed
@@ -131,9 +128,7 @@ def _build_server(args):
             num_processes=args.num_processes,
             process_id=args.process_id,
         )
-    ops = args.ops
-    if ops == "auto":
-        ops = "fused" if jax.default_backend() == "tpu" else "xla"
+    ops = resolve_ops_name(args.ops)
     if args.multihost:
         mesh = make_mesh({"dp": jax.device_count()}, jax.devices())
         print(
@@ -152,16 +147,7 @@ def _build_server(args):
             max_queue_images=args.max_queue,
         )
         return cfg, ops, server
-    mesh = None
-    if args.tp > 1 or args.dp:
-        from vit_tpu.parallel import make_mesh, mesh_shape_for
-
-        shape = mesh_shape_for(
-            (args.dp or jax.device_count() // args.tp) * args.tp,
-            tp=args.tp, dp=args.dp,
-        )
-        mesh = make_mesh(shape, jax.devices()[: shape["dp"] * shape["tp"]])
-        print(f"mesh: {shape} over {jax.device_count()} device(s)")
+    mesh = resolve_mesh(args.dp, args.tp)
     params = load_params_any(
         args.weights, cfg, allow_synth=args.allow_synth_weights
     )
@@ -276,6 +262,8 @@ def _http_daemon(args, cfg, ops, server) -> int:
                     return
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):  # valid JSON, wrong shape -> 400
+                    raise ValueError('body must be {"weights": "<path>"}')
                 path = req.get("weights")
                 if not isinstance(path, str) or not path:
                     raise ValueError('body must be {"weights": "<path>"}')
@@ -416,9 +404,11 @@ def _http_daemon(args, cfg, ops, server) -> int:
             except Exception as e:  # keep the daemon alive on bad requests
                 self._send(500, {"error": repr(e)})
 
+    # bind FIRST (cheap): a port conflict must fail fast, not after
+    # minutes of jit warmup compiles
+    httpd = ThreadingHTTPServer((args.host, args.port), Handler)
     print("warming up jit cache (one program per padded batch size)...")
     server.warmup()
-    httpd = ThreadingHTTPServer((args.host, args.port), Handler)
     print(
         f"vit-tpu-serve: {cfg.name} ops={ops} dtype={args.dtype} "
         f"listening on http://{args.host}:{httpd.server_address[1]}"

@@ -132,8 +132,8 @@ def forward(
     `Softmax` (ViT_seq.c:304).
 
     ``dropout_rng`` enables training-mode dropout (per-layer keys split
-    here); unsupported on the fused megakernel paths — train with 'xla' or
-    'fused_train' ops.
+    here); supported only on the unfused jnp block path ('xla' ops) — the
+    megakernel paths (incl. 'fused_train') have no dropout hooks.
     """
     if dropout_rng is not None and ops.encoder_block is not None:
         raise ValueError("dropout requires the unfused block path (ops='xla')")
@@ -329,5 +329,14 @@ def num_params(params: Params) -> int:
 
 
 def cast_params(params: Params, dtype) -> Params:
-    """Cast all floating-point leaves (bf16 policy lives in runtime.engine)."""
-    return jax.tree.map(lambda a: a.astype(dtype), params)
+    """Cast all floating-point leaves (bf16 policy lives in runtime.engine).
+
+    Non-float leaves pass through untouched, so a quantized pytree's int8
+    weights survive (its fp32 SCALES still cast — use
+    quant.cast_quantized_params for quantized trees, which keeps scales
+    fp32)."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+        params,
+    )

@@ -42,7 +42,8 @@ REFERENCE_OPS = OpsImpl(
 
 
 def get_ops(impl: str = "xla") -> OpsImpl:
-    """Return the op table for ``impl`` ∈ {'xla', 'pallas'}.
+    """Return the op table for ``impl`` ∈ {'xla', 'pallas', 'fused',
+    'quant', 'fused_train', 'qat'}.
 
     'xla' is the pure-jnp reference (oracle) path; 'pallas' swaps in the
     fused TPU kernels (vit_tpu.ops.pallas), which replace the reference's
