@@ -30,11 +30,21 @@ inline float round6(float v) { return std::roundf(v * 1e6f) / 1e6f; }
 long long file_size_impl(const char* path) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
-  if (std::fseek(f, 0, SEEK_END) != 0) {
+  // 64-bit tell: plain ftell returns a long, which truncates >2 GiB
+  // sizes on LLP64 (Windows) — same treatment as the gather path's seek
+#ifdef _WIN32
+  if (_fseeki64(f, 0, SEEK_END) != 0) {
     std::fclose(f);
     return -1;
   }
-  long long size = std::ftell(f);
+  long long size = _ftelli64(f);
+#else
+  if (fseeko(f, 0, SEEK_END) != 0) {
+    std::fclose(f);
+    return -1;
+  }
+  long long size = static_cast<long long>(ftello(f));
+#endif
   std::fclose(f);
   return size;
 }

@@ -53,3 +53,26 @@ def test_adapt_rejects_architecture_mismatch(tiny_cfg, tiny_params):
     bad = dataclasses.replace(tiny_cfg, embed_dim=tiny_cfg.embed_dim * 2)
     with pytest.raises(ValueError):
         adapt_params_resolution(tiny_params, tiny_cfg, bad)
+
+
+def test_bicubic_matches_torch_exactly():
+    """The resize must reproduce torch F.interpolate bicubic (Keys kernel
+    a=-0.75, border replicate) — torchvision's interpolate_embeddings uses
+    align_corners=True; jax.image.resize's a=-0.5 kernel drifts off a
+    torchvision-interpolated checkpoint."""
+    torch = pytest.importorskip("torch")
+    import numpy as np
+
+    from vit_tpu.io.interpolate import bicubic_resize_grid
+
+    rng = np.random.default_rng(11)
+    for (h, w, th, tw, ac) in [(14, 14, 24, 24, True), (14, 14, 24, 24, False),
+                               (7, 7, 3, 5, True), (4, 6, 9, 8, False)]:
+        grid = rng.normal(size=(h, w, 5)).astype(np.float32)
+        got = np.asarray(bicubic_resize_grid(grid, (th, tw), align_corners=ac))
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(grid).permute(2, 0, 1)[None],
+            size=(th, tw), mode="bicubic", align_corners=ac,
+        )[0].permute(1, 2, 0).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=f"{(h, w, th, tw, ac)}")

@@ -72,10 +72,27 @@ def main(argv=None) -> int:
             print("error: --hf needs the transformers package",
                   file=sys.stderr)
             return 2
-        from vit_tpu.io.hf_convert import params_from_hf_state_dict
+        from vit_tpu.io.hf_convert import config_from_hf, params_from_hf_state_dict
 
         try:
             model = ViTForImageClassification.from_pretrained(args.src)
+            hf_cfg = config_from_hf(model.config)
+            # the checkpoint knows its own head width: adopt it (the
+            # structural fields must still match the named --config)
+            if hf_cfg.num_classes != cfg.num_classes:
+                import dataclasses as _dc
+
+                print(f"note: adopting the checkpoint's num_classes="
+                      f"{hf_cfg.num_classes} (config had {cfg.num_classes})")
+                cfg = _dc.replace(cfg, num_classes=hf_cfg.num_classes)
+            for field in ("image_size", "patch_size", "embed_dim", "depth",
+                          "num_heads"):
+                got, want = getattr(hf_cfg, field), getattr(cfg, field)
+                if got != want:
+                    print(f"error: HF checkpoint has {field}={got} but "
+                          f"--config {cfg.name} expects {want}; pick the "
+                          "matching --config", file=sys.stderr)
+                    return 2
             params = params_from_hf_state_dict(model.state_dict(), cfg)
         except Exception as e:  # bad path / incompatible checkpoint
             print(f"error: cannot load HF checkpoint {args.src!r}: {e}",
@@ -89,7 +106,9 @@ def main(argv=None) -> int:
                 args.src, cfg, round_to_6dp=not args.no_round6,
                 allow_synth=args.allow_synth_weights,
             )
-        except (ValueError, FileNotFoundError) as e:
+        except (ValueError, KeyError, FileNotFoundError, RuntimeError) as e:
+            # KeyError: incompatible .pth state dict; RuntimeError:
+            # corrupt torch file — all client errors, not tracebacks
             print(f"error: {e}", file=sys.stderr)
             return 2
 

@@ -22,7 +22,8 @@ from vit_tpu.config import ViTConfig
 def _np(x) -> np.ndarray:
     if isinstance(x, np.ndarray):
         return x.astype(np.float32)
-    return x.detach().cpu().numpy().astype(np.float32)
+    # .float() first: .numpy() rejects bfloat16 tensors
+    return x.detach().cpu().float().numpy().astype(np.float32)
 
 
 def params_from_hf_state_dict(
@@ -35,6 +36,23 @@ def params_from_hf_state_dict(
         if key not in sd:
             raise KeyError(f"HF state dict missing {key!r}")
         return _np(sd[key])
+
+    # fail with actionable messages BEFORE reshape turns a config mismatch
+    # into "cannot reshape array of size ..."
+    head_w = get("classifier.weight")
+    if head_w.shape != (cfg.num_classes, d):
+        raise ValueError(
+            f"HF classifier is {head_w.shape}, config {cfg.name} expects "
+            f"({cfg.num_classes}, {d}) — pass --num-classes "
+            f"{head_w.shape[0]} (and check --config)"
+        )
+    pos = get("vit.embeddings.position_embeddings")
+    if pos.size != cfg.seq_len * d:
+        raise ValueError(
+            f"HF position embeddings have {pos.size // max(d, 1)} tokens, "
+            f"config {cfg.name} expects {cfg.seq_len} "
+            f"(image_size/patch_size mismatch — pick the matching --config)"
+        )
 
     def pack_qkv(l):
         """3 separate [D, D] (torch [out,in]) -> (D, 3D) packed

@@ -45,14 +45,22 @@ def load_image_bin(path) -> np.ndarray:
 def parse_image_bytes(data: bytes) -> np.ndarray:
     """In-memory variant of load_image_bin (e.g. an HTTP request body in the
     serving daemon): same int32[4]-header + fp32-NCHW wire format."""
-    header = np.frombuffer(data, dtype="<i4", count=4)
-    if header.size != 4:
+    # length-check BEFORE frombuffer: it raises its own generic errors
+    # ("buffer is smaller than requested size" / "multiple of element
+    # size") for short or ragged bodies, masking the format message
+    if len(data) < 16:
         raise ValueError("truncated header (Network.c:36-44 format)")
+    header = np.frombuffer(data, dtype="<i4", count=4)
     n, c, h, w = (int(v) for v in header)
+    if min(n, c, h, w) < 0:
+        raise ValueError(f"negative header field ({n}, {c}, {h}, {w})")
     want = n * c * h * w
-    body = np.frombuffer(data, dtype="<f4", offset=16, count=-1)
-    if body.size != want:
-        raise ValueError(f"expected {want} fp32 values, got {body.size}")
+    if len(data) - 16 != 4 * want:
+        raise ValueError(
+            f"expected {want} fp32 values ({4 * want} bytes), got "
+            f"{len(data) - 16} bytes"
+        )
+    body = np.frombuffer(data, dtype="<f4", offset=16, count=want)
     return body.reshape(n, c, h, w).copy()
 
 

@@ -3,11 +3,18 @@
 A ViT trained at 224px has a (197, D) position table; running it at 384px
 needs (577, D).  torchvision's ``interpolate_embeddings`` solves this by
 bicubic-resizing the patch-grid part of the table (the CLS row passes
-through); this is the same operation (jax.image.resize), enabling the
-BASELINE @384 configs to reuse the reference's @224 checkpoint.
+through).  This reimplements torch's bicubic EXACTLY — the Keys kernel
+with a=-0.75, border replicate, align_corners=True by default (what
+torchvision's ``interpolate_embeddings`` passes) — rather than calling
+``jax.image.resize``, whose cubic kernel uses a=-0.5 and therefore drifts
+off a torchvision-interpolated checkpoint.  Gated against
+``torch.nn.functional.interpolate`` directly (tests/test_interpolate.py).
+Enables the BASELINE @384 configs to reuse the reference's @224 checkpoint.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -15,10 +22,54 @@ import jax.numpy as jnp
 from vit_tpu.config import ViTConfig
 
 
+def _cubic_kernel(s: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel; a=-0.75 is torch's constant
+    (jax.image.resize uses a=-0.5 — a different curve)."""
+    s = np.abs(s)
+    near = (a + 2.0) * s**3 - (a + 3.0) * s**2 + 1.0
+    far = a * s**3 - 5.0 * a * s**2 + 8.0 * a * s - 4.0 * a
+    return np.where(s <= 1.0, near, np.where(s < 2.0, far, 0.0))
+
+
+def _bicubic_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+    """(n_out, n_in) weights of torch F.interpolate(mode='bicubic') along
+    one axis.  Border handling matches torch: taps clamp to the edge
+    sample (accumulating weight into the clamped index == replicate)."""
+    j = np.arange(n_out, dtype=np.float64)
+    if align_corners:
+        x = j * ((n_in - 1) / (n_out - 1)) if n_out > 1 else np.zeros_like(j)
+    else:
+        x = (j + 0.5) * (n_in / n_out) - 0.5
+    x0 = np.floor(x)
+    t = x - x0
+    w = np.zeros((n_out, n_in), np.float64)
+    for m in (-1, 0, 1, 2):
+        idx = np.clip(x0 + m, 0, n_in - 1).astype(np.int64)
+        np.add.at(w, (np.arange(n_out), idx), _cubic_kernel(t - m))
+    return w
+
+
+def bicubic_resize_grid(
+    grid, to_hw: tuple, align_corners: bool = True
+) -> jax.Array:
+    """(H, W, D) -> (to_h, to_w, D), bit-matching torch bicubic."""
+    h, w, _ = grid.shape
+    th, tw = to_hw
+    wh = jnp.asarray(_bicubic_matrix(h, th, align_corners), jnp.float32)
+    ww = jnp.asarray(_bicubic_matrix(w, tw, align_corners), jnp.float32)
+    g = jnp.asarray(grid, jnp.float32)
+    g = jnp.einsum("oh,hwd->owd", wh, g)
+    return jnp.einsum("ow,hwd->hod", ww, g)
+
+
 def interpolate_pos_embed(
     pos_embed: jax.Array, from_grid: int, to_grid: int, method: str = "bicubic"
 ) -> jax.Array:
-    """(1 + from_grid^2, D) -> (1 + to_grid^2, D); CLS row untouched."""
+    """(1 + from_grid^2, D) -> (1 + to_grid^2, D); CLS row untouched.
+
+    ``method='bicubic'`` (default) is the torch-exact path above with
+    align_corners=True — torchvision interpolate_embeddings semantics;
+    other methods fall through to ``jax.image.resize``."""
     t, d = pos_embed.shape
     if t != 1 + from_grid * from_grid:
         raise ValueError(
@@ -29,7 +80,10 @@ def interpolate_pos_embed(
         return pos_embed
     cls_row = pos_embed[:1]
     grid = pos_embed[1:].reshape(from_grid, from_grid, d).astype(jnp.float32)
-    resized = jax.image.resize(grid, (to_grid, to_grid, d), method=method)
+    if method == "bicubic":
+        resized = bicubic_resize_grid(grid, (to_grid, to_grid))
+    else:
+        resized = jax.image.resize(grid, (to_grid, to_grid, d), method=method)
     out = jnp.concatenate(
         [cls_row.astype(jnp.float32), resized.reshape(to_grid * to_grid, d)], axis=0
     )

@@ -92,9 +92,8 @@ def gather_read(
     Returns a flat uint8 array of ``len(sample_path) * sample_bytes`` — the
     native threaded hot path of the training data loader (io/dataset.py)."""
     lib = _load()
-    assert lib is not None and hasattr(lib, "vitio_gather_read"), (
-        "native gather reader not built (make -C native)"
-    )
+    if lib is None or not hasattr(lib, "vitio_gather_read"):
+        raise RuntimeError("native gather reader not built (make -C native)")
     sample_path = np.ascontiguousarray(sample_path, dtype=np.int32)
     sample_offset = np.ascontiguousarray(sample_offset, dtype=np.int64)
     n = len(sample_path)
@@ -121,7 +120,8 @@ def read_fp32(path, round_to_6dp: bool = True) -> np.ndarray:
     """Read a whole file of little-endian fp32, optionally applying the
     reference's 6-decimal rounding (Network.c:184-187) in C++."""
     lib = _load()
-    assert lib is not None, "native vitio library not built (make -C native)"
+    if lib is None:  # not assert: must survive python -O
+        raise RuntimeError("native vitio library not built (make -C native)")
     cpath = str(path).encode()
     nbytes = lib.vitio_file_size(cpath)
     if nbytes < 0:
@@ -142,7 +142,12 @@ def read_fp32(path, round_to_6dp: bool = True) -> np.ndarray:
 def read_image_bin(path) -> np.ndarray:
     """Native read of the input-100.bin format -> (N, C, H, W) float32."""
     lib = _load()
-    assert lib is not None, "native vitio library not built (make -C native)"
+    if lib is None:  # not assert: must survive python -O
+        raise RuntimeError("native vitio library not built (make -C native)")
+    import os
+
+    if not os.path.exists(path):  # the C side returns the same -1 for
+        raise FileNotFoundError(path)  # fopen failure and short reads
     cpath = str(path).encode()
     header = (ctypes.c_int * 4)()
     if lib.vitio_read_image_bin_header(cpath, header) != 0:

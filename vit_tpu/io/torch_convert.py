@@ -24,8 +24,9 @@ from vit_tpu.io import weights as wio
 def _to_numpy(x) -> np.ndarray:
     if isinstance(x, np.ndarray):
         return x.astype(np.float32)
-    # torch tensor (avoid importing torch unless given one)
-    return x.detach().cpu().numpy().astype(np.float32)
+    # torch tensor (avoid importing torch unless given one); .float()
+    # first: .numpy() rejects bfloat16 tensors
+    return x.detach().cpu().float().numpy().astype(np.float32)
 
 
 def state_dict_key(name: str) -> str:

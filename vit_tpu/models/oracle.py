@@ -46,9 +46,7 @@ def forward_one(
     ``params`` is the same pytree layout as vit_tpu.models.vit (weights
     pre-transposed to [in, out]); leaves may be jax or numpy arrays.
     """
-    p = {  # materialize to numpy at the requested precision
-        k: v for k, v in _np_tree(params, dtype).items()
-    }
+    p = _np_tree(params, dtype)  # numpy at the requested precision
     ps = cfg.patch_size
     c, h, w = image.shape
     gh, gw = h // ps, w // ps
