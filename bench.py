@@ -200,7 +200,16 @@ def main(argv=None) -> None:
     got = np.asarray(engine.logits(sub))
     want = oracle.forward(params, sub, cfg)
     bf16_logit_dev = float(np.abs(got - want).max())
-    label_match = bool((got.argmax(-1) == want.argmax(-1)).all())
+    # same decisive-margin rule as the full-batch gate below: synthetic
+    # weights give near-uniform probs whose argmax flips on statistical
+    # ties under bf16 noise — only count a mismatch when the oracle's
+    # top-1 beats its top-2 by more than the comparator tolerance
+    wp = np.exp(want - want.max(-1, keepdims=True))
+    wp /= wp.sum(-1, keepdims=True)
+    top2o = np.partition(wp, -2, axis=-1)[:, -2:]
+    decisive4 = (top2o[:, 1] - top2o[:, 0]) > 0.01
+    mismatch4 = got.argmax(-1) != want.argmax(-1)
+    label_match = bool(not (mismatch4 & decisive4).any())
 
     # fp32 engine path vs oracle (the <1e-3 north-star gate).
     fp32_engine = InferenceEngine(cfg, params, dtype="float32", ops="xla",

@@ -70,9 +70,7 @@ def bench_config(name, cfg, mesh_axes, batch, iters, ops, dtype="bfloat16"):
         float(acc)
         return (time.perf_counter() - t0) / n
 
-    timed(2)  # warm (compile incl. the accumulator ops)
-    dts = sorted(timed(iters) for _ in range(3))
-    dt = dts[1]
+    dt, dt_min, dt_max = _timed_spread(timed, iters)  # warm + 3-sample median
     stats = roofline(cfg, batch, dt, chip="v5e",
                      dtype="bf16" if dtype == "bfloat16" else "fp32",
                      n_chips=n_chips)
@@ -83,8 +81,8 @@ def bench_config(name, cfg, mesh_axes, batch, iters, ops, dtype="bfloat16"):
         "unit": "images/sec",
         "vs_baseline": round(stats["mxu_utilization"] / 0.50, 4),
         "batch_latency_ms": round(dt * 1e3, 3),
-        "batch_latency_ms_spread": [round(dts[0] * 1e3, 3),
-                                    round(dts[-1] * 1e3, 3)],
+        "batch_latency_ms_spread": [round(dt_min * 1e3, 3),
+                                    round(dt_max * 1e3, 3)],
         "images_per_sec_per_chip": round(batch / dt / n_chips, 2),
         "mxu_utilization": round(stats["mxu_utilization"], 4),
         "n_chips": n_chips,
@@ -237,13 +235,10 @@ def bench_train_dp(name, cfg, mesh_axes, batch, iters, ops_name,
         float(loss)
         return (time.perf_counter() - t0) / n, p, o
 
+    from vit_tpu.runtime.profiler import timing_spread_stateful
+
     _, p, o = t_pass(1, p, o)  # warm (compile)
-    dts = []
-    for _ in range(3):
-        dt_i, p, o = t_pass(iters, p, o)
-        dts.append(dt_i)
-    dts.sort()
-    dt, dt_min, dt_max = dts[1], dts[0], dts[-1]
+    dt, dt_min, dt_max, _ = timing_spread_stateful(t_pass, iters, (p, o))
     return {
         "metric": f"train images/sec, {name} {mesh_desc} batch={batch} "
                   f"{ops_name}",

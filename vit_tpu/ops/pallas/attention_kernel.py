@@ -82,6 +82,8 @@ def scaled_dot_product_attention(
     v3 = v.reshape(bh, t, dh)
     scale = 1.0 / math.sqrt(dh)
 
+    from vit_tpu.ops.pallas.fused_block import _VMEM_LIMIT
+
     spec = pl.BlockSpec((1, t, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
@@ -89,6 +91,9 @@ def scaled_dot_product_attention(
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
+        # fp32 near the T=1024 ceiling holds ~12 MB of T^2 temps — past
+        # the 16 MB default scoped-VMEM budget once q/k/v blocks join it
+        compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * t * t * dh,
             bytes_accessed=4 * bh * t * dh * q.dtype.itemsize,

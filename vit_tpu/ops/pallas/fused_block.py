@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 from vit_tpu.ops.pallas.mlp_kernel import _erf
 
 # v5e default scoped-VMEM limit is 16 MB; larger configs (L/16: W1+W2 =
-# 16.8 MB bf16 resident) need it raised.  64 MB verified working on-chip.
+# 16.8 MB bf16 resident) need it raised.  96 MB verified working on-chip
+# (the merged B+C kernel's accumulators pushed it past the earlier 64).
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
