@@ -64,3 +64,39 @@ def test_missing_key_raises(hf_model):
     del sd["vit.layernorm.weight"]
     with pytest.raises(KeyError):
         params_from_hf_state_dict(sd, cfg)
+
+
+def test_num_classes_mismatch_actionable_error(hf_model):
+    """A config/checkpoint head-width mismatch must fail with a message
+    naming --num-classes, not die inside reshape."""
+    import dataclasses
+
+    hf_cfg, model = hf_model
+    cfg = dataclasses.replace(config_from_hf(hf_cfg), num_classes=1000)
+    with pytest.raises(ValueError, match="--num-classes"):
+        params_from_hf_state_dict(model.state_dict(), cfg)
+
+
+def test_resolution_mismatch_actionable_error(hf_model):
+    import dataclasses
+
+    hf_cfg, model = hf_model
+    cfg = config_from_hf(hf_cfg)
+    cfg = dataclasses.replace(cfg, image_size=cfg.image_size * 2)
+    with pytest.raises(ValueError, match="position embeddings"):
+        params_from_hf_state_dict(model.state_dict(), cfg)
+
+
+def test_bf16_state_dict_converts(hf_model):
+    """.numpy() rejects bfloat16 tensors; the converter must go through
+    .float() (same fix in torch_convert._to_numpy)."""
+    hf_cfg, model = hf_model
+    cfg = config_from_hf(hf_cfg)
+    sd = {k: v.to(torch.bfloat16) for k, v in model.state_dict().items()}
+    params = params_from_hf_state_dict(sd, cfg)
+    assert params["head"]["kernel"].dtype == np.float32
+
+    from vit_tpu.io.torch_convert import _to_numpy
+
+    out = _to_numpy(torch.ones(3, dtype=torch.bfloat16))
+    assert out.dtype == np.float32
