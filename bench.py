@@ -87,14 +87,14 @@ def main(argv=None) -> None:
     # weak" #1): shared measurement discipline lives in profiler.py.
     from vit_tpu.runtime.profiler import (
         timing_spread as spread,
-        timing_spread_stateful as spread_stateful,
+        train_step_timing,
     )
 
     def bench_train_step(tcfg, tb, warm_iters, timed_iters):
         """fused_train bf16 adamw step timing -> (median, min, max) s/step.
 
-        One donation-safe recipe shared by the b64 and @384 train numbers
-        (and mirrored by scripts/bench_train_longseq.py)."""
+        Setup only; the donation-safe timing recipe itself is
+        profiler.train_step_timing (shared with scripts/bench_train*.py)."""
         import optax
 
         from vit_tpu.ops.dispatch import get_ops
@@ -115,16 +115,9 @@ def main(argv=None) -> None:
             donate_argnums=(0, 1),
             compiler_options=trainer.kernel_backward_compiler_options(),
         )
-
-        def t_pass(iters, p, o):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                p, o, loss = step(p, o, timgs, tlbls)
-            float(loss)
-            return (time.perf_counter() - t0) / iters, p, o
-
-        _, p, o = t_pass(warm_iters, p, o)
-        dt, dt_min, dt_max, _ = spread_stateful(t_pass, timed_iters, (p, o))
+        dt, dt_min, dt_max, _ = train_step_timing(
+            step, p, o, timgs, tlbls, timed_iters, warm=warm_iters
+        )
         return dt, dt_min, dt_max
 
     timed_pass(3)  # warm EVERYTHING in the timed expression (incl. sum/add ops

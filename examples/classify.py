@@ -52,7 +52,10 @@ def main(argv=None) -> int:
     engine = InferenceEngine(cfg, params, dtype="bfloat16", ops=args.ops)
     labels, top_probs = engine.classify(images)
 
-    names = load_labels()
+    # num_classes must follow the config (like cli/main.py does): with a
+    # non-ImageNet head the packaged 1000-name table would be wrong or
+    # out of range; load_labels falls back to class_i placeholders.
+    names = load_labels(num_classes=cfg.num_classes)
     for i, (lbl, p) in enumerate(zip(labels, top_probs)):
         # the reference driver's output line format (Main.c:62-72)
         print(f"[{i}] label: {lbl} / prob: {p:.6f}   ({names[lbl]})")

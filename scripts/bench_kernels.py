@@ -24,28 +24,35 @@ import numpy as np
 
 from vit_tpu.ops.pallas import fused_block as FB
 from vit_tpu.ops.pallas import quant_kernels as QK
+from vit_tpu.runtime.profiler import timing_spread
 
 L = 12
 
 
 def timeit_scan(body, x, weights, iters=30):
-    """Time scan(body, x, weights) / L per-layer, one jit."""
+    """Time scan(body, x, weights) / L per-layer, one jit.
+
+    Median of >=3 samples (timing_spread) like every other bench; the
+    per-layer spread is small but the median resists a one-off host stall
+    landing in the docs' kernel table."""
 
     def fn(x, weights):
         out, _ = jax.lax.scan(lambda c, w: (body(c, w), None), x, weights)
         return out
 
     f = jax.jit(fn)
-    acc = jnp.zeros((), jnp.float32)
-    for _ in range(3):
-        acc = acc + jnp.sum(f(x, weights).astype(jnp.float32))
-    float(acc)
-    acc = jnp.zeros((), jnp.float32)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        acc = acc + jnp.sum(f(x, weights).astype(jnp.float32))
-    float(acc)
-    return (time.perf_counter() - t0) / iters / L
+
+    def timed(n):
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            acc = acc + jnp.sum(f(x, weights).astype(jnp.float32))
+        float(acc)
+        return (time.perf_counter() - t0) / n
+
+    timed(3)  # compile + warm the full timed expression
+    dt, _, _ = timing_spread(timed, iters)
+    return dt / L
 
 
 def main():

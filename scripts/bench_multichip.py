@@ -42,54 +42,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def bench_config(name, cfg, mesh_axes, batch, iters, ops, dtype="bfloat16"):
     """-> one BENCH-format dict for `cfg` over a mesh of `mesh_axes`."""
-    import jax
-    import jax.numpy as jnp
-
     from vit_tpu.io import synth_images, weights as wio
-    from vit_tpu.parallel import make_mesh
     from vit_tpu.runtime import InferenceEngine
-    from vit_tpu.runtime.profiler import roofline
 
-    n_chips = 1
-    for v in mesh_axes.values():
-        n_chips *= v
-    mesh = make_mesh(mesh_axes, jax.devices()[:n_chips])
+    mesh, n_chips, mesh_desc = _mesh_and_result_stub(mesh_axes, batch)
     params = wio.params_from_tensors(wio.synth_reference_tensors(cfg, 0), cfg)
     engine = InferenceEngine(
         cfg, params, dtype=dtype, ops=ops, mesh=mesh, batch_pad=batch
     )
     x, _ = engine._stage(synth_images(batch, cfg, seed=0))
-
-    def timed(n):
-        # device-side accumulator + one scalar readback: the only reliable
-        # sync on remote backends (docs/performance.md)
-        acc = jnp.zeros((), jnp.float32)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            acc = acc + jnp.sum(engine._forward(engine.params, x))
-        float(acc)
-        return (time.perf_counter() - t0) / n
-
-    dt, dt_min, dt_max = _timed_spread(timed, iters)  # warm + 3-sample median
-    stats = roofline(cfg, batch, dt, chip="v5e",
-                     dtype="bf16" if dtype == "bfloat16" else "fp32",
-                     n_chips=n_chips)
-    mesh_desc = "x".join(f"{k}{v}" for k, v in mesh_axes.items())
-    return {
-        "metric": f"images/sec, {name} {mesh_desc} batch={batch}",
-        "value": round(batch / dt, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(stats["mxu_utilization"] / 0.50, 4),
-        "batch_latency_ms": round(dt * 1e3, 3),
-        "batch_latency_ms_spread": [round(dt_min * 1e3, 3),
-                                    round(dt_max * 1e3, 3)],
-        "images_per_sec_per_chip": round(batch / dt / n_chips, 2),
-        "mxu_utilization": round(stats["mxu_utilization"], 4),
-        "n_chips": n_chips,
-        "mesh": dict(mesh_axes),
-        "ops_impl": ops,
-        "dtype": dtype,
-    }
+    return _forward_result(
+        f"images/sec, {name} {mesh_desc} batch={batch}", ops,
+        cfg, mesh_axes, n_chips, batch, iters, dtype,
+        lambda: engine._forward(engine.params, x),
+    )
 
 
 def _mesh_and_result_stub(mesh_axes, batch):
@@ -113,37 +79,32 @@ def _timed_spread(timed, iters, warm=2):
     return timing_spread(timed, iters)
 
 
-def bench_forward_fn(name, kind, cfg, mesh_axes, batch, iters, fwd_builder,
-                     dtype="bfloat16"):
-    """Time a sharded forward built by ``fwd_builder(cfg, mesh, params)``
-    -> (jitted_fn, params) — shared by the SP-ring and PP rows."""
-    import jax
+def _forward_result(metric, ops_label, cfg, mesh_axes, n_chips, batch,
+                    iters, dtype, forward):
+    """Time ``forward()`` (one sharded batch -> array) and build the
+    BENCH-format dict — the one timed loop + JSON contract shared by every
+    inference row (engine-backed and builder-backed), so a contract change
+    lands in all rows at once."""
     import jax.numpy as jnp
 
-    from vit_tpu.io import synth_images, weights as wio
     from vit_tpu.runtime.profiler import roofline
 
-    mesh, n_chips, mesh_desc = _mesh_and_result_stub(mesh_axes, batch)
-    params = wio.params_from_tensors(wio.synth_reference_tensors(cfg, 0), cfg)
-    if dtype == "bfloat16":
-        params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
-    fwd, params = fwd_builder(cfg, mesh, params)
-    x = jnp.asarray(synth_images(batch, cfg, seed=0))
-
     def timed(n):
+        # device-side accumulator + one scalar readback: the only reliable
+        # sync on remote backends (docs/performance.md)
         acc = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(n):
-            acc = acc + jnp.sum(fwd(params, x).astype(jnp.float32))
+            acc = acc + jnp.sum(forward().astype(jnp.float32))
         float(acc)
         return (time.perf_counter() - t0) / n
 
-    dt, dt_min, dt_max = _timed_spread(timed, iters)
+    dt, dt_min, dt_max = _timed_spread(timed, iters)  # warm + 3-sample median
     stats = roofline(cfg, batch, dt, chip="v5e",
                      dtype="bf16" if dtype == "bfloat16" else "fp32",
                      n_chips=n_chips)
     return {
-        "metric": f"images/sec, {name} {kind} {mesh_desc} batch={batch}",
+        "metric": metric,
         "value": round(batch / dt, 2),
         "unit": "images/sec",
         "vs_baseline": round(stats["mxu_utilization"] / 0.50, 4),
@@ -154,9 +115,31 @@ def bench_forward_fn(name, kind, cfg, mesh_axes, batch, iters, fwd_builder,
         "mxu_utilization": round(stats["mxu_utilization"], 4),
         "n_chips": n_chips,
         "mesh": dict(mesh_axes),
-        "ops_impl": kind,
+        "ops_impl": ops_label,
         "dtype": dtype,
     }
+
+
+def bench_forward_fn(name, kind, cfg, mesh_axes, batch, iters, fwd_builder,
+                     dtype="bfloat16"):
+    """Time a sharded forward built by ``fwd_builder(cfg, mesh, params)``
+    -> (jitted_fn, params) — shared by the SP-ring and PP rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.io import synth_images, weights as wio
+
+    mesh, n_chips, mesh_desc = _mesh_and_result_stub(mesh_axes, batch)
+    params = wio.params_from_tensors(wio.synth_reference_tensors(cfg, 0), cfg)
+    if dtype == "bfloat16":
+        params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+    fwd, params = fwd_builder(cfg, mesh, params)
+    x = jnp.asarray(synth_images(batch, cfg, seed=0))
+    return _forward_result(
+        f"images/sec, {name} {kind} {mesh_desc} batch={batch}", kind,
+        cfg, mesh_axes, n_chips, batch, iters, dtype,
+        lambda: fwd(params, x),
+    )
 
 
 def sp_builder(cfg, mesh, params):
@@ -319,10 +302,14 @@ def main(argv=None) -> int:
             # sp shards the 5 tokens over 4 chips (padded ring); pp stages
             # the 2-layer stack; the dp train row runs the fused_train
             # megakernels (interpret mode on CPU) exactly as a pod would.
+            # dp clamped like the non-smoke sp_dp: with only 2-3 devices
+            # visible (backend initialized before the 8-wide flag landed)
+            # w // 4 would build a 0-device mesh and fail the smoke on a
+            # device-count artifact rather than real rot.
             ("dpxsp-infer", lambda: bench_forward_fn(
                 "vit_tiny_smoke", "sp_ring", tiny,
-                {"dp": w // 4, "sp": 4}, w // 2, iters, sp_builder,
-                dtype=dtype)),
+                {"dp": max(w // 4, 1), "sp": min(w, 4)},
+                max(w // 2, 1), iters, sp_builder, dtype=dtype)),
             ("pp-infer", lambda: bench_forward_fn(
                 "vit_tiny_smoke", "pp", tiny, {"pp": 2}, 4, iters,
                 pp_builder(num_microbatches=2, ops_name="xla"),

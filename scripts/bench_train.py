@@ -10,7 +10,6 @@ Run alone (the chip is shared; see docs/performance.md pitfalls).
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -28,6 +27,7 @@ from vit_tpu.config import get_config
 from vit_tpu.models import vit
 from vit_tpu.ops.dispatch import get_ops
 from vit_tpu.runtime import trainer
+from vit_tpu.runtime.profiler import train_step_timing
 
 
 def main():
@@ -111,19 +111,13 @@ def main():
             ),
         )
 
-        def run(n, params, opt_state):
-            t0 = time.perf_counter()
-            loss = None
-            for _ in range(n):
-                params, opt_state, loss = step(params, opt_state, imgs, labels)
-            lv = float(loss)  # host sync
-            return (time.perf_counter() - t0) / n, lv, params, opt_state
-
-        _, _, params, opt_state = run(3, params, opt_state)  # warm/compile
-        dt, lv, params, opt_state = run(args.iters, params, opt_state)
+        dt, dt_min, dt_max, lv = train_step_timing(
+            step, params, opt_state, imgs, labels, args.iters, warm=3
+        )
         print(
             f"{ops_name}{'+fadamw' if fused_opt else ''}: {dt*1e3:.1f} ms/step  "
-            f"({args.batch/dt:.0f} img/s)  loss={lv:.3f}"
+            f"({args.batch/dt:.0f} img/s, spread "
+            f"{args.batch/dt_max:.0f}-{args.batch/dt_min:.0f})  loss={lv:.3f}"
         )
 
 

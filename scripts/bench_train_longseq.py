@@ -27,7 +27,7 @@ import optax
 from vit_tpu.config import VIT_B_16, get_config
 from vit_tpu.ops.dispatch import get_ops
 from vit_tpu.runtime import trainer
-from vit_tpu.runtime.profiler import timing_spread_stateful
+from vit_tpu.runtime.profiler import train_step_timing
 
 
 def bench_step(cfg, batch, ops_name, iters, remat=False):
@@ -47,23 +47,20 @@ def bench_step(cfg, batch, ops_name, iters, remat=False):
             compute_dtype=jnp.bfloat16,
         ),
         donate_argnums=(0, 1),
-        compiler_options=trainer.kernel_backward_compiler_options(),
+        # Raised-VMEM options only where the backward Pallas kernels need
+        # them; the xla comparison row must compile under default settings
+        # (same rule as bench_train.py) or the baseline isn't comparable.
+        compiler_options=(
+            trainer.kernel_backward_compiler_options()
+            if ops_name != "xla" else None
+        ),
     )
 
-    last_loss = [None]  # loss rides outside the threaded (params, opt) state
-
-    def run(n, p, o):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            p, o, loss = step(p, o, x, y)
-        last_loss[0] = float(loss)  # host sync closes the timed window
-        return (time.perf_counter() - t0) / n, p, o
-
     t0 = time.perf_counter()
-    _, params, opt_state = run(2, params, opt_state)
-    print(f"  compile+warm {time.perf_counter() - t0:.1f}s  loss {last_loss[0]:.4f}")
-    dt, dt_min, dt_max, _ = timing_spread_stateful(run, iters, (params, opt_state))
-    loss = last_loss[0]
+    dt, dt_min, dt_max, loss = train_step_timing(
+        step, params, opt_state, x, y, iters, warm=2
+    )
+    print(f"  compile+warm+timed {time.perf_counter() - t0:.1f}s")
     assert np.isfinite(loss), loss
     print(
         f"  {cfg.name} b{batch} {ops_name}{'+remat' if remat else ''}: "

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from vit_tpu.config import get_config
 from vit_tpu.io import synth_images, weights as wio
 from vit_tpu.runtime import InferenceEngine
-from vit_tpu.runtime.profiler import roofline
+from vit_tpu.runtime.profiler import roofline, timing_spread
 
 
 def main():
@@ -50,11 +50,12 @@ def main():
             return (time.perf_counter() - t0) / n
 
         timed(3)
-        dt = timed(args.iters)
+        dt, dt_min, dt_max = timing_spread(timed, args.iters)
         stats = roofline(cfg, batch, dt, chip="v5e", dtype="bf16")
         print(
             f"{name} batch={batch}: {dt*1e3:7.2f} ms  "
             f"{stats['images_per_sec_per_chip']:7.1f} img/s  "
+            f"(spread {batch/dt_max:.1f}-{batch/dt_min:.1f})  "
             f"{stats['mxu_utilization']*100:4.1f}% MXU"
         )
 

@@ -71,6 +71,20 @@ def test_native_gather_matches_numpy(tmp_path, built_lib, monkeypatch):
     np.testing.assert_array_equal(got_native, imgs[idx])
 
 
+def test_native_gather_rejects_out_of_range_path_index(tmp_path, built_lib):
+    # The C worker indexes paths[sample_path[i]] unchecked; the ctypes
+    # wrapper must turn a corrupted/stale index into a Python ValueError
+    # instead of an out-of-bounds read (io/native.py gather_read).
+    _make_shards(tmp_path)
+    ds = BinShardDataset(tmp_path)
+    paths = [str(p) for p in ds.paths]
+    for bad in (np.array([0, 99], np.int32), np.array([-1], np.int32)):
+        with pytest.raises(ValueError, match="dataset index"):
+            native.gather_read(
+                paths, bad, np.zeros(len(bad), np.int64), sample_bytes=4
+            )
+
+
 def test_batches_shuffle_and_epoch_streams(tmp_path):
     imgs, labs = _make_shards(tmp_path)
     ds = BinShardDataset(tmp_path)

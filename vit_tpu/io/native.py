@@ -99,6 +99,15 @@ def gather_read(
     n = len(sample_path)
     if len(sample_offset) != n:
         raise ValueError("sample_path and sample_offset length mismatch")
+    # Range-check here, at the ctypes boundary: the C worker indexes
+    # paths[sample_path[i]] unchecked, so a corrupted/stale dataset index
+    # must fail as a Python exception, not an out-of-bounds read/segfault.
+    if n and (sample_path.min() < 0 or sample_path.max() >= len(paths)):
+        raise ValueError(
+            f"sample_path indexes outside paths[0:{len(paths)}] "
+            f"(min {sample_path.min()}, max {sample_path.max()}) — "
+            "corrupted or stale dataset index?"
+        )
     encoded = [str(p).encode() for p in paths]
     c_paths = (ctypes.c_char_p * len(encoded))(*encoded)
     out = np.empty(n * sample_bytes, dtype=np.uint8)

@@ -51,6 +51,36 @@ def timing_spread(fn, iters, samples=3):
     return timing_spread_stateful(lambda n: (fn(n),), iters, (), samples)[:3]
 
 
+def train_step_timing(step, params, opt_state, x, y, iters,
+                      warm=2, samples=3):
+    """Donation-safe train-step timing -> (median, min, max, last_loss).
+
+    THE one recipe for timing a jitted ``step(params, opt_state, x, y) ->
+    (params, opt_state, loss)`` compiled with ``donate_argnums=(0, 1)``:
+    state threads through every call (donated buffers are consumed), the
+    loss readback is the host sync that closes each timed window (through
+    the TPU tunnel ``block_until_ready`` returns early — see
+    docs/performance.md), warm-up covers compile + first-use, and the
+    measurement is >=3 independent samples via ``timing_spread_stateful``.
+    Shared by bench.py and scripts/bench_train*.py so the discipline
+    can't drift between the round artifact and the docs tables.
+    """
+    loss_box = [None]
+
+    def run(n, p, o):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            p, o, loss = step(p, o, x, y)
+        loss_box[0] = float(loss)  # host sync closes the timed window
+        return (time.perf_counter() - t0) / n, p, o
+
+    _, params, opt_state = run(warm, params, opt_state)
+    dt, dt_min, dt_max, _ = timing_spread_stateful(
+        run, iters, (params, opt_state), samples
+    )
+    return dt, dt_min, dt_max, loss_box[0]
+
+
 class PhaseTimer:
     """Accumulating wall-clock phase timer.
 
