@@ -277,6 +277,51 @@ def test_drop_path_training_deterministic_and_regularizing(tiny_cfg):
     np.testing.assert_array_equal(e1, e2)
 
 
+def test_dropout_torchvision_sites(tiny_cfg):
+    """torchvision's two in-MLP/pos dropout sites are live (the model
+    docstring claims the full four-site placement):
+
+    - reference.mlp / qat.mlp_qat apply ``inner_dropout`` between GELU
+      and FC2 (and are identity at rate 0);
+    - vit.forward applies dropout to input+pos_embedding — proved with
+      zeroed block weights, where every in-block site acts on zeros and
+      any train/eval difference must come from the pos-embed site.
+    """
+    import dataclasses
+
+    from vit_tpu.models import vit
+    from vit_tpu.ops import qat, reference
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(6, 16)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(16, 32)) * 0.3, jnp.float32)
+    b1 = jnp.zeros(32)
+    w2 = jnp.asarray(rng.normal(size=(32, 16)) * 0.3, jnp.float32)
+    b2 = jnp.zeros(16)
+    for mlp_fn in (reference.mlp, qat.mlp_qat):
+        base = np.asarray(mlp_fn(x, w1, b1, w2, b2))
+        dropped = np.asarray(
+            mlp_fn(x, w1, b1, w2, b2,
+                   inner_dropout=(jax.random.key(3), 0.5))
+        )
+        assert not np.array_equal(base, dropped), mlp_fn
+        kept = np.asarray(
+            mlp_fn(x, w1, b1, w2, b2,
+                   inner_dropout=(jax.random.key(3), 0.0))
+        )
+        np.testing.assert_array_equal(base, kept)
+
+    cfg = dataclasses.replace(tiny_cfg, dropout=0.5)
+    params = vit.init_params(jax.random.key(0), cfg)
+    params["blocks"] = jax.tree.map(jnp.zeros_like, params["blocks"])
+    imgs = jnp.asarray(rng.normal(size=(2, 3, 32, 32)), jnp.float32)
+    eval_logits = np.asarray(vit.forward(params, imgs, cfg))
+    train_logits = np.asarray(
+        vit.forward(params, imgs, cfg, dropout_rng=jax.random.key(1))
+    )
+    assert not np.array_equal(eval_logits, train_logits)
+
+
 def test_train_cli_dropout_drop_path(tiny_cfg, monkeypatch, capsys):
     import vit_tpu.config as config_mod
     from vit_tpu.cli.train import main as train_main

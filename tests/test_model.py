@@ -44,6 +44,17 @@ def test_param_count_matches_config(tiny_cfg, tiny_params):
     assert vit.num_params(tiny_params) == tiny_cfg.num_params()
 
 
+def test_with_image_size_rejects_non_patch_multiple(tiny_cfg):
+    # fail at config time, not as a raw reshape error deep in the forward
+    import pytest
+
+    from vit_tpu.config import VIT_H_14
+
+    with pytest.raises(ValueError, match="patch_size"):
+        VIT_H_14.with_image_size(384)  # 384 % 14 != 0
+    assert tiny_cfg.with_image_size(64).seq_len == 17  # (64/16)^2 + 1
+
+
 def test_probabilities_agree_with_oracle(tiny_cfg, tiny_params, tiny_images):
     from vit_tpu.ops import reference as R
 

@@ -207,6 +207,38 @@ def test_train_cli_sp_rejects_tp(cfg_sp, monkeypatch, capsys):
     assert "--sp composes with --dp only" in capsys.readouterr().err
 
 
+def test_sp_train_step_does_not_donate_aliased_params(cfg_sp):
+    """cli/train_setup places params with device_put(NamedSharding(mesh,
+    P())), which ALIASES the source when the sharding already matches; the
+    sp step must not donate (same rule as make_pp_train_step) or the
+    caller's buffers — still held by checkpoint/eval code — get deleted."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from vit_tpu.parallel.sequence import make_sp_train_step
+    from vit_tpu.runtime import trainer
+
+    optimizer = optax.adamw(1e-3)
+    params, opt_state = trainer.init_train_state(
+        jax.random.key(8), cfg_sp, optimizer
+    )
+    mesh = make_mesh({"sp": 4}, jax.devices()[:4])
+    rep = NamedSharding(mesh, PartitionSpec())
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(opt_state, rep)
+    # second device_put with matching sharding aliases the same buffers
+    p_alias = jax.device_put(params, rep)
+    o_alias = jax.device_put(opt_state, rep)
+    step = make_sp_train_step(cfg_sp, optimizer, mesh)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(4, 3, 32, 32)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, cfg_sp.num_classes, 4), jnp.int32)
+    step(p_alias, o_alias, x, y)
+    # the original (aliased) arrays must still be readable after the step
+    for leaf in jax.tree.leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_sp_train_step_matches_single_device(cfg_sp):
     """Grads through the ring (transposed ppermute hops) must reproduce the
     unsharded train step: same loss, same updated params."""

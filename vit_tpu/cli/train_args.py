@@ -143,8 +143,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--dropout", type=float, default=0.0,
-        help="training dropout after the attention/MLP sublayers "
-        "(torchvision placement); requires --ops xla",
+        help="training dropout at torchvision's four sites (input+pos "
+        "embedding, post-attention, intra-MLP after GELU, post-MLP); "
+        "requires --ops xla or qat",
     )
     p.add_argument(
         "--drop-path", type=float, default=0.0,

@@ -60,6 +60,15 @@ class ViTConfig:
         return self.in_channels * self.patch_size * self.patch_size
 
     def with_image_size(self, image_size: int) -> "ViTConfig":
+        if image_size % self.patch_size != 0:
+            # fail at config time: grid_size would silently floor and the
+            # forward's patch reshape would die with a raw shape error
+            raise ValueError(
+                f"image_size {image_size} is not a multiple of "
+                f"{self.name}'s patch_size {self.patch_size} "
+                f"(nearest valid: {image_size // self.patch_size * self.patch_size} "
+                f"or {-(-image_size // self.patch_size) * self.patch_size})"
+            )
         return dataclasses.replace(
             self, image_size=image_size, name=f"{self.name}_{image_size}"
         )

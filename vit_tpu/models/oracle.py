@@ -44,9 +44,10 @@ def forward_one(
     """One image (C, H, W) -> logits (num_classes,), sequential like ViT_seq.
 
     ``params`` is the same pytree layout as vit_tpu.models.vit (weights
-    pre-transposed to [in, out]); leaves may be jax or numpy arrays.
+    pre-transposed to [in, out]); leaves may be jax or numpy arrays, or an
+    already-flattened ``_np_tree`` dict (so batch callers convert once).
     """
-    p = _np_tree(params, dtype)  # numpy at the requested precision
+    p = params if _is_np_tree(params) else _np_tree(params, dtype)
     ps = cfg.patch_size
     c, h, w = image.shape
     gh, gw = h // ps, w // ps
@@ -89,12 +90,24 @@ def forward_one(
 
 def forward(params, images: np.ndarray, cfg: ViTConfig, dtype=np.float64) -> np.ndarray:
     """Batch (B, C, H, W) -> logits (B, num_classes); serial per image like
-    the reference's outer loop (ViT_seq.c:354)."""
-    return np.stack([forward_one(params, img, cfg, dtype) for img in np.asarray(images)])
+    the reference's outer loop (ViT_seq.c:354).
+
+    Converts the params pytree to numpy ONCE (for ViT-B/16 at fp64 that's
+    ~0.7 GB of conversion — per image would dominate a batch-100 gate)."""
+    p = _np_tree(params, dtype)
+    return np.stack([forward_one(p, img, cfg, dtype) for img in np.asarray(images)])
 
 
 def probabilities(logits: np.ndarray) -> np.ndarray:
     return _softmax(logits, axis=-1)
+
+
+def _is_np_tree(params: Dict[str, Any]) -> bool:
+    """True when ``params`` is already a ``_np_tree`` output (flat dotted
+    keys, no nested dicts) rather than the nested pytree."""
+    return isinstance(params, dict) and not any(
+        isinstance(v, dict) for v in params.values()
+    )
 
 
 def _np_tree(params: Dict[str, Any], dtype) -> Dict[str, np.ndarray]:

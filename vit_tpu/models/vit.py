@@ -61,17 +61,20 @@ def encoder_block(
     """One pre-LN encoder block: LN1→MHA→residual; LN2→MLP→residual
     (Encoder, ViT_seq.c:271-302).
 
-    ``dropout_rng``: when given and cfg.dropout > 0, applies dropout after
-    the attention and MLP sublayers (torchvision's training placement; the
-    reference hard-codes all dropouts to 0, ViT_seq.c:10-21, so inference
-    parity is unaffected).  When given and cfg.drop_path > 0, additionally
+    ``dropout_rng``: when given and cfg.dropout > 0, applies dropout at
+    torchvision's in-block training placement — after the attention
+    out_proj, between the MLP's GELU and FC2 (via ops.mlp's
+    ``inner_dropout`` hook), and after FC2 (torchvision's fourth site,
+    on input+pos_embedding, lives in :func:`forward`; the reference
+    hard-codes all dropouts to 0, ViT_seq.c:10-21, so inference parity
+    is unaffected).  When given and cfg.drop_path > 0, additionally
     applies stochastic depth (per-SAMPLE residual-branch drop, the ViT
     regularizer the reference never needed) at ``drop_path_rate`` — a
     possibly-traced scalar, since the rate scales linearly with depth.
     """
     use_rng = dropout_rng is not None
     if use_rng:
-        k1, k2, k3, k4 = jax.random.split(dropout_rng, 4)
+        k1, k2, k3, k4, k5 = jax.random.split(dropout_rng, 5)
     h = ops.layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps)
     h = ops.attention(h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"], cfg.num_heads)
     if use_rng and cfg.dropout > 0:
@@ -80,8 +83,12 @@ def encoder_block(
         h = _drop_path(h, drop_path_rate, k3)
     x = x + h
     h = ops.layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps)
+    mlp_kw = (
+        {"inner_dropout": (k5, cfg.dropout)}
+        if use_rng and cfg.dropout > 0 else {}
+    )
     h = ops.mlp(x=h, w1=blk["w1"], b1=blk["b1"], w2=blk["w2"], b2=blk["b2"],
-                gelu_variant=gelu_variant)
+                gelu_variant=gelu_variant, **mlp_kw)
     if use_rng and cfg.dropout > 0:
         h = _dropout(h, cfg.dropout, k2)
     if use_rng and cfg.drop_path > 0:
@@ -97,9 +104,7 @@ def _dp_rates(cfg: ViTConfig):
     return [cfg.drop_path * l / (cfg.depth - 1) for l in range(cfg.depth)]
 
 
-def _dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
+_dropout = reference.dropout
 
 
 def _drop_path(x: jax.Array, rate, rng: jax.Array) -> jax.Array:
@@ -131,12 +136,20 @@ def forward(
     the caller (vit_tpu.ops.reference.softmax) like the reference separates
     `Softmax` (ViT_seq.c:304).
 
-    ``dropout_rng`` enables training-mode dropout (per-layer keys split
-    here); supported only on the unfused jnp block path ('xla' ops) — the
-    megakernel paths (incl. 'fused_train') have no dropout hooks.
+    ``dropout_rng`` enables training-mode dropout at torchvision's four
+    sites (input+pos_embedding here; post-attention, intra-MLP, post-MLP
+    in encoder_block); supported on the unfused jnp block paths ('xla'
+    and 'qat' ops) — the megakernel paths (incl. 'fused_train') have no
+    dropout hooks, and the per-op 'pallas' mlp kernel has no intra-MLP
+    hook.
     """
     if dropout_rng is not None and ops.encoder_block is not None:
         raise ValueError("dropout requires the unfused block path (ops='xla')")
+    if dropout_rng is not None and cfg.dropout > 0 and ops.name == "pallas":
+        raise ValueError(
+            "cfg.dropout > 0 needs ops.mlp's inner_dropout hook "
+            "(torchvision's intra-MLP site) — use ops='xla' or 'qat'"
+        )
     compute_dtype = params["pos_embed"].dtype
     x = images.astype(compute_dtype)
     x = ops.patch_embed(
@@ -144,6 +157,11 @@ def forward(
         cfg.patch_size,
     )
     x = reference.add_cls_and_pos(x, params["cls_token"], params["pos_embed"])
+    if dropout_rng is not None and cfg.dropout > 0:
+        # torchvision Encoder applies Dropout to input + pos_embedding
+        # before the first block (its fourth dropout site)
+        dropout_rng, k_pos = jax.random.split(dropout_rng)
+        x = _dropout(x, cfg.dropout, k_pos)
 
     blocks = params["blocks"]
     if ops.encoder_block is not None:
@@ -264,7 +282,13 @@ def attention_rollout(probs: jax.Array) -> jax.Array:
     a = a / a.sum(axis=-1, keepdims=True)
 
     def compose(carry, layer):
-        return jnp.einsum("bij,bjk->bik", layer, carry), None
+        # fp32 oracle-grade path: pin HIGHEST or this build's default
+        # bf16-dot drift (~2.6e-3 rel) compounds over the depth-long
+        # matrix-product chain (CLAUDE.md precision rule)
+        return jnp.einsum(
+            "bij,bjk->bik", layer, carry,
+            precision=jax.lax.Precision.HIGHEST,
+        ), None
 
     init = jnp.broadcast_to(jnp.eye(t, dtype=a.dtype), a.shape[1:])
     rollout, _ = jax.lax.scan(compose, init, a)

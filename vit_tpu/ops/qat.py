@@ -80,11 +80,18 @@ def attention_qat(x, wqkv, bqkv, wo, bo, num_heads):
     )
 
 
-def mlp_qat(x, w1, b1, w2, b2, gelu_variant: str = "exact"):
+def mlp_qat(x, w1, b1, w2, b2, gelu_variant: str = "exact",
+            inner_dropout=None):
     """reference.mlp with both GEMMs fake-quantized (input and post-GELU
-    activations per-row, w1/w2 per-channel)."""
+    activations per-row, w1/w2 per-channel).  ``inner_dropout``: optional
+    ``(rng, rate)`` between GELU and FC2, same contract as reference.mlp —
+    applied BEFORE FC2's activation fake-quant so the quantizer sees the
+    activations it will see at that point in training."""
     h = reference.linear(fake_quant_act(x), fake_quant_weight(w1), b1)
     h = reference.gelu_exact(h) if gelu_variant == "exact" else reference.gelu_tanh(h)
+    if inner_dropout is not None:
+        rng, rate = inner_dropout
+        h = reference.dropout(h, rate, rng)
     return reference.linear(fake_quant_act(h), fake_quant_weight(w2), b2)
 
 

@@ -168,6 +168,15 @@ def attention(
     return out
 
 
+def dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
+    """Inverted dropout (train-time scaling; eval applies nothing).
+
+    The reference hard-codes every dropout to 0 (ViT_seq.c:10-21); this
+    exists for the training recipe's torchvision-placement dropout."""
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
+
+
 def mlp(
     x: jax.Array,
     w1: jax.Array,
@@ -175,10 +184,18 @@ def mlp(
     w2: jax.Array,
     b2: jax.Array,
     gelu_variant: str = "exact",
+    inner_dropout=None,
 ) -> jax.Array:
-    """MLP block: Linear(D->F) -> GELU -> Linear(F->D) (ViT_seq.c:251-268)."""
+    """MLP block: Linear(D->F) -> GELU -> Linear(F->D) (ViT_seq.c:251-268).
+
+    ``inner_dropout``: optional ``(rng, rate)`` applying torchvision
+    MLPBlock's dropout between GELU and the second linear (the post-FC2
+    dropout is the caller's, models/vit.encoder_block)."""
     h = linear(x, w1, b1)
     h = gelu_exact(h) if gelu_variant == "exact" else gelu_tanh(h)
+    if inner_dropout is not None:
+        rng, rate = inner_dropout
+        h = dropout(h, rate, rng)
     return linear(h, w2, b2)
 
 

@@ -282,4 +282,9 @@ def make_sp_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    # no donation, same rationale as make_pp_train_step: the caller places
+    # params/opt_state with device_put (cli/train_setup.py), which ALIASES
+    # the source arrays when the sharding already matches (e.g. a
+    # resume/reload that re-enters already-replicated arrays) — donating
+    # would delete the caller's buffers out from under checkpoint/eval code
+    return jax.jit(step)
