@@ -620,3 +620,17 @@ def test_train_cli_rejects_augment_with_tp(tiny_cfg, monkeypatch, capsys):
     ])
     assert rc == 2
     assert "dp paths only" in capsys.readouterr().err
+
+
+def test_make_augment_fn_rejects_nonpositive_alpha():
+    """Beta(a, a) with a <= 0 samples NaN, silently poisoning every image
+    and target inside the jitted step — alpha validation must fire at
+    config time with a pointer to the right way to disable the transform."""
+    from vit_tpu.runtime.augment import make_augment_fn
+
+    with pytest.raises(ValueError, match="mixup_alpha"):
+        make_augment_fn(["mixup"], 10, mixup_alpha=0.0)
+    with pytest.raises(ValueError, match="cutmix_alpha"):
+        make_augment_fn(["mixup", "cutmix"], 10, cutmix_alpha=-1.0)
+    # alphas for transforms NOT requested are ignored
+    make_augment_fn(["flip"], 10, mixup_alpha=0.0, cutmix_alpha=0.0)

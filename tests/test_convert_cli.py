@@ -126,3 +126,17 @@ def test_bad_source(tiny_cfg, tmp_path, capsys, monkeypatch):
     ])
     assert rc == 2
     assert "error:" in capsys.readouterr().err
+
+
+def test_uppercase_dst_suffix_infers_format(ref_dir, tiny_cfg, tmp_path, capsys):
+    """--to out.NPZ must infer npz (not silently write reference .bin files
+    into a directory named 'out.NPZ')."""
+    npz = tmp_path / "OUT.NPZ"
+    rc = convert_main([
+        "--config", "vit_tiny_test", "--from", str(ref_dir), "--to",
+        str(npz), "--no-round6",
+    ])
+    assert rc == 0
+    assert npz.is_file()
+    got = load_params_any(npz, tiny_cfg)
+    assert "cls_token" in got

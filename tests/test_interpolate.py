@@ -76,3 +76,24 @@ def test_bicubic_matches_torch_exactly():
         )[0].permute(1, 2, 0).numpy()
         np.testing.assert_allclose(got, want, atol=2e-5,
                                    err_msg=f"{(h, w, th, tw, ac)}")
+
+
+def test_bicubic_resize_pins_highest_precision():
+    """This JAX build contracts fp32 matmuls in bf16 at DEFAULT precision
+    on TPU (CLAUDE.md); the torch-exact resize must pin HIGHEST or the
+    @384 pos-embed transfer drifts ~2.6e-3 on the real chip — the same
+    order as the a=-0.75 vs a=-0.5 kernel gap this module eliminates.
+    (CPU parity tests can't see it: CPU default precision is exact.)"""
+    import jax
+    import numpy as np
+
+    from vit_tpu.io.interpolate import bicubic_resize_grid
+
+    jaxpr = jax.make_jaxpr(lambda g: bicubic_resize_grid(g, (24, 24)))(
+        np.zeros((14, 14, 8), np.float32)
+    )
+    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert dots, "expected dot_general eqns in the resize jaxpr"
+    hi = jax.lax.Precision.HIGHEST
+    for e in dots:
+        assert e.params["precision"] == (hi, hi), e.params

@@ -113,3 +113,22 @@ def test_train_state_npz_yields_params(tmp_path, tiny_cfg):
     np.testing.assert_allclose(
         np.asarray(got["cls_token"]), np.asarray(params["cls_token"])
     )
+
+
+def test_uppercase_suffixes_dispatch(tmp_path, tiny_cfg):
+    """.NPZ / .PT names (case-insensitive filesystems, external tooling)
+    must dispatch like their lowercase twins, not fall through to
+    'unrecognized weight source'."""
+    from vit_tpu.io import checkpoint as ckpt
+    from vit_tpu.io import weights as wio
+    from vit_tpu.io.load_any import load_params_any
+
+    tensors = wio.synth_reference_tensors(tiny_cfg, seed=9)
+    params = wio.params_from_tensors(tensors, tiny_cfg)
+    p = tmp_path / "CKPT.NPZ"
+    ckpt.save_npz(params, p)
+    got = load_params_any(p, tiny_cfg)
+    assert "cls_token" in got
+    np.testing.assert_allclose(
+        np.asarray(got["cls_token"]), np.asarray(params["cls_token"])
+    )

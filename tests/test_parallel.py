@@ -445,3 +445,22 @@ def test_swap_params_on_meshed_quant_tp_engine(tiny_cfg, tiny_params, tiny_image
         np.asarray(engine.logits(tiny_images)),
         np.asarray(fresh.logits(tiny_images)),
     )
+
+
+def test_distributed_initialize_explicit_is_idempotent(monkeypatch):
+    """A REPEATED explicit single-process initialize is fine — the
+    'too late' guard exists for the arg-less-degraded case only (the
+    docstring promises idempotence)."""
+    from vit_tpu.runtime import distributed
+
+    monkeypatch.setattr(distributed, "_initialized", False)
+    monkeypatch.setattr(distributed, "_initialized_explicit", False)
+    calls = []
+    monkeypatch.setattr(
+        distributed.jax.distributed, "initialize",
+        lambda **kw: calls.append(kw),
+    )
+    args = dict(coordinator_address="host:1234", num_processes=1, process_id=0)
+    distributed.initialize(**args)
+    distributed.initialize(**args)  # must not raise
+    assert len(calls) == 1  # latched after the first real init

@@ -258,3 +258,12 @@ def test_center_crop_offset_rounds_half_up_like_torchvision():
     # resize is identity here (short side already 16, long int(16*29/16)=29)
     first_col_value = out[0, 0, 0] * IMAGENET_STD[0] + IMAGENET_MEAN[0]
     assert round(float(first_col_value) * 255) == 8  # crop starts at col 8
+
+
+def test_train_mode_rejects_resize_size():
+    """mode='train' stages the full frame; an explicit resize_size would
+    be silently ignored — the guard must live here, not only one level up
+    in dataset.py, so direct callers get the same error."""
+    img = np.zeros((8, 8, 3), np.uint8)
+    with pytest.raises(ValueError, match="eval-transform knob"):
+        preprocess_image(img, image_size=4, resize_size=16, mode="train")

@@ -114,7 +114,7 @@ def main(argv=None) -> int:
 
     fmt = args.format
     if fmt is None:
-        dst = str(args.dst)
+        dst = str(args.dst).lower()  # .NPZ etc. from case-insensitive fs
         if dst.endswith(".npz"):
             fmt = "npz"
         elif dst.endswith((".pth", ".pt")):

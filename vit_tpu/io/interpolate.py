@@ -58,8 +58,12 @@ def bicubic_resize_grid(
     wh = jnp.asarray(_bicubic_matrix(h, th, align_corners), jnp.float32)
     ww = jnp.asarray(_bicubic_matrix(w, tw, align_corners), jnp.float32)
     g = jnp.asarray(grid, jnp.float32)
-    g = jnp.einsum("oh,hwd->owd", wh, g)
-    return jnp.einsum("ow,hwd->hod", ww, g)
+    # HIGHEST: this JAX build contracts fp32 at DEFAULT precision in bf16
+    # on TPU, which would reintroduce exactly the ~2.6e-3 drift this
+    # torch-exact path exists to eliminate (CLAUDE.md precision rule).
+    hi = jax.lax.Precision.HIGHEST
+    g = jnp.einsum("oh,hwd->owd", wh, g, precision=hi)
+    return jnp.einsum("ow,hwd->hod", ww, g, precision=hi)
 
 
 def interpolate_pos_embed(

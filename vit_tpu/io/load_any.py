@@ -39,7 +39,8 @@ def load_params_any(
         from vit_tpu.io import checkpoint as ckpt
 
         return ckpt.load_orbax(p)
-    if p.suffix == ".npz":
+    suffix = p.suffix.lower()  # .NPZ/.PTH from case-insensitive filesystems
+    if suffix == ".npz":
         from vit_tpu.io import checkpoint as ckpt
 
         if ckpt.is_train_state(p):
@@ -48,7 +49,7 @@ def load_params_any(
             # tree that dies later with KeyError('cls_token')
             return ckpt.load_params_from_state(p)
         return ckpt.load_npz(p)
-    if p.suffix in (".pth", ".pt"):
+    if suffix in (".pth", ".pt"):
         from vit_tpu.io.torch_convert import load_pth
 
         return load_pth(p, cfg)

@@ -70,6 +70,13 @@ def preprocess_image(
     Image = _require_pil()
     if mode not in ("eval", "train"):
         raise ValueError(f"mode {mode!r}: need 'eval' or 'train'")
+    if mode == "train" and resize_size is not None:
+        # would otherwise be silently ignored (train stages the full frame)
+        raise ValueError(
+            "resize_size is an eval-transform knob; mode='train' "
+            "stages the full frame at image_size (the on-device "
+            "RandomResizedCrop does the cropping)"
+        )
     if resize_size is None:
         resize_size = image_size * 256 // 224
     if isinstance(source, (str, os.PathLike)):

@@ -145,6 +145,18 @@ def make_augment_fn(
     if bad:
         raise ValueError(f"unknown augmentation(s) {sorted(bad)}; "
                          f"choose from {sorted(known)}")
+    # Beta(a, a) with a <= 0 samples NaN, which would silently poison every
+    # image AND target in the jitted step — fail here, at config time.
+    if "mixup" in names and not mixup_alpha > 0.0:
+        raise ValueError(
+            f"mixup_alpha must be > 0 (got {mixup_alpha}); to disable "
+            "mixup, drop 'mixup' from the augmentation list instead"
+        )
+    if "cutmix" in names and not cutmix_alpha > 0.0:
+        raise ValueError(
+            f"cutmix_alpha must be > 0 (got {cutmix_alpha}); to disable "
+            "cutmix, drop 'cutmix' from the augmentation list instead"
+        )
 
     def fn(rng, images, labels):
         y = soft_targets(labels, num_classes, label_smoothing)

@@ -17,6 +17,7 @@ from typing import Optional
 import jax
 
 _initialized = False
+_initialized_explicit = False
 
 
 def initialize(
@@ -31,14 +32,15 @@ def initialize(
     process — e.g. local development or tests), this degrades to a no-op:
     ``jax.process_count()`` stays 1 and every multi-host code path runs in
     its single-process form."""
-    global _initialized
+    global _initialized, _initialized_explicit
     explicit = bool(coordinator_address or num_processes or process_id is not None)
     if _initialized:
-        if explicit and jax.process_count() == 1:
-            # an earlier arg-less call degraded to single-process and
+        if explicit and not _initialized_explicit and jax.process_count() == 1:
+            # an earlier ARG-LESS call degraded to single-process and
             # latched; swallowing EXPLICIT cluster args now would leave
             # this host serving alone while its peers block in
-            # jax.distributed.initialize forever
+            # jax.distributed.initialize forever.  (A repeated explicit
+            # single-process init is fine — idempotent by contract.)
             raise RuntimeError(
                 "distributed.initialize already ran (single-process); "
                 "explicit cluster args came too late — call initialize "
@@ -58,3 +60,4 @@ def initialize(
             raise  # explicit cluster args that don't work ARE an error
         # undetectable cluster + no args -> single process
     _initialized = True
+    _initialized_explicit = explicit

@@ -292,10 +292,9 @@ class InferenceEngine:
         head), the reference's per-encoder printf profiling done right
         (ViT_opencl.c:745-779 / PhaseTimer).  Runs the unfused op path so
         phases are separable; use bench.py for end-to-end numbers."""
-        import jax
-
-        from vit_tpu.ops import reference as R
         from vit_tpu.runtime.profiler import PhaseTimer
+
+        R = reference  # local alias for the phase expressions below
 
         if self._ops.name == "quant":
             raise NotImplementedError(
