@@ -9,7 +9,6 @@ isolated calls).  Used to locate where the int8 path loses its 2x MXU rate
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -24,7 +23,7 @@ import numpy as np
 
 from vit_tpu.ops.pallas import fused_block as FB
 from vit_tpu.ops.pallas import quant_kernels as QK
-from vit_tpu.runtime.profiler import timing_spread
+from vit_tpu.runtime.profiler import forward_timing
 
 L = 12
 
@@ -41,17 +40,7 @@ def timeit_scan(body, x, weights, iters=30):
         return out
 
     f = jax.jit(fn)
-
-    def timed(n):
-        acc = jnp.zeros((), jnp.float32)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            acc = acc + jnp.sum(f(x, weights).astype(jnp.float32))
-        float(acc)
-        return (time.perf_counter() - t0) / n
-
-    timed(3)  # compile + warm the full timed expression
-    dt, _, _ = timing_spread(timed, iters)
+    dt, _, _ = forward_timing(lambda: f(x, weights), iters)
     return dt / L
 
 

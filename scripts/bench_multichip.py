@@ -71,35 +71,16 @@ def _mesh_and_result_stub(mesh_axes, batch):
     return mesh, n_chips, mesh_desc
 
 
-def _timed_spread(timed, iters, warm=2):
-    """warm, then 3 independent samples -> (median, min, max) seconds."""
-    from vit_tpu.runtime.profiler import timing_spread
-
-    timed(warm)
-    return timing_spread(timed, iters)
-
-
 def _forward_result(metric, ops_label, cfg, mesh_axes, n_chips, batch,
                     iters, dtype, forward):
     """Time ``forward()`` (one sharded batch -> array) and build the
-    BENCH-format dict — the one timed loop + JSON contract shared by every
-    inference row (engine-backed and builder-backed), so a contract change
-    lands in all rows at once."""
-    import jax.numpy as jnp
+    BENCH-format dict — the timing recipe is profiler.forward_timing (the
+    accumulator + single-readback sync shared with bench.py) and the JSON
+    contract is shared by every inference row (engine-backed and
+    builder-backed), so a change lands in all rows at once."""
+    from vit_tpu.runtime.profiler import forward_timing, roofline
 
-    from vit_tpu.runtime.profiler import roofline
-
-    def timed(n):
-        # device-side accumulator + one scalar readback: the only reliable
-        # sync on remote backends (docs/performance.md)
-        acc = jnp.zeros((), jnp.float32)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            acc = acc + jnp.sum(forward().astype(jnp.float32))
-        float(acc)
-        return (time.perf_counter() - t0) / n
-
-    dt, dt_min, dt_max = _timed_spread(timed, iters)  # warm + 3-sample median
+    dt, dt_min, dt_max = forward_timing(forward, iters, warm=2)
     stats = roofline(cfg, batch, dt, chip="v5e",
                      dtype="bf16" if dtype == "bfloat16" else "fp32",
                      n_chips=n_chips)

@@ -6,7 +6,6 @@ Refreshes docs/performance.md's variant table; run alone (shared chip).
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -15,13 +14,10 @@ from vit_tpu.runtime.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-import jax
-import jax.numpy as jnp
-
 from vit_tpu.config import get_config
 from vit_tpu.io import synth_images, weights as wio
 from vit_tpu.runtime import InferenceEngine
-from vit_tpu.runtime.profiler import roofline, timing_spread
+from vit_tpu.runtime.profiler import forward_timing, roofline
 
 
 def main():
@@ -41,16 +37,9 @@ def main():
                                  batch_pad=batch)
         x, _ = engine._stage(synth_images(batch, cfg, seed=0))
 
-        def timed(n):
-            acc = jnp.zeros((), jnp.float32)
-            t0 = time.perf_counter()
-            for _ in range(n):
-                acc = acc + jnp.sum(engine._forward(engine.params, x))
-            float(acc)
-            return (time.perf_counter() - t0) / n
-
-        timed(3)
-        dt, dt_min, dt_max = timing_spread(timed, args.iters)
+        dt, dt_min, dt_max = forward_timing(
+            lambda: engine._forward(engine.params, x), args.iters
+        )
         stats = roofline(cfg, batch, dt, chip="v5e", dtype="bf16")
         print(
             f"{name} batch={batch}: {dt*1e3:7.2f} ms  "

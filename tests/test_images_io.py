@@ -33,6 +33,25 @@ def test_truncated_file_raises(tmp_path):
         iio.load_image_bin(path)
 
 
+def test_negative_header_field_raises(tmp_path, monkeypatch):
+    # both the native and the NumPy loader must reject garbage headers with
+    # the format message, not an opaque numpy negative-count/reshape error
+    path = tmp_path / "neg.bin"
+    path.write_bytes(
+        np.array([-2, -3, 4, 5], "<i4").tobytes()
+        + np.zeros(2 * 3 * 4 * 5, "<f4").tobytes()
+    )
+    from vit_tpu.io import native
+
+    if native.available():
+        with pytest.raises(ValueError, match="negative header field"):
+            native.read_image_bin(path)
+    # NumPy fallback path, regardless of whether the .so is built
+    monkeypatch.setattr(native, "available", lambda: False)
+    with pytest.raises(ValueError, match="negative header field"):
+        iio.load_image_bin(path)
+
+
 def test_synth_images_deterministic(tiny_cfg):
     a = iio.synth_images(3, tiny_cfg, seed=7)
     b = iio.synth_images(3, tiny_cfg, seed=7)

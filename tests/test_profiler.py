@@ -54,6 +54,23 @@ def test_timing_spread_stateful_threads_state():
     assert (lo, med, hi) == (0.25, 0.5, 0.75)
 
 
+def test_forward_timing_warm_plus_samples_and_bounds():
+    import jax.numpy as jnp
+
+    from vit_tpu.runtime.profiler import forward_timing
+
+    calls = []
+
+    def fwd():
+        calls.append(1)
+        return jnp.ones((4,), jnp.bfloat16)
+
+    med, lo, hi = forward_timing(fwd, iters=2, warm=1, samples=3)
+    # warm window runs the full timed expression once; then 3 samples x 2
+    assert len(calls) == 1 + 3 * 2
+    assert 0 <= lo <= med <= hi
+
+
 def test_roofline_rejects_unknown_chip_dtype():
     """The gated metric must not silently fall back to the v5e bf16 peak
     for a typo'd chip/dtype."""

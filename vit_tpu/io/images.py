@@ -36,6 +36,10 @@ def load_image_bin(path) -> np.ndarray:
         if header.size != 4:
             raise ValueError(f"{path}: truncated header (Network.c:36-44 format)")
         n, c, h, w = (int(v) for v in header)
+        if min(n, c, h, w) < 0:  # same gate as parse_image_bytes: a garbage
+            # header must fail with the format message, not a numpy
+            # negative-count/reshape error (count<0 means "read everything")
+            raise ValueError(f"{path}: negative header field ({n}, {c}, {h}, {w})")
         data = np.fromfile(f, dtype="<f4", count=n * c * h * w)
     if data.size != n * c * h * w:
         raise ValueError(f"{path}: expected {n*c*h*w} fp32 values, got {data.size}")

@@ -162,6 +162,9 @@ def read_image_bin(path) -> np.ndarray:
     if lib.vitio_read_image_bin_header(cpath, header) != 0:
         raise ValueError(f"{path}: truncated header (Network.c:36-44 format)")
     n, c, h, w = header[0], header[1], header[2], header[3]
+    if min(n, c, h, w) < 0:  # same gate as images.parse_image_bytes: fail
+        # with the format message, not numpy's negative-dimension error
+        raise ValueError(f"{path}: negative header field ({n}, {c}, {h}, {w})")
     out = np.empty(n * c * h * w, dtype=np.float32)
     got = lib.vitio_read_image_bin_data(
         cpath, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.size

@@ -51,6 +51,34 @@ def timing_spread(fn, iters, samples=3):
     return timing_spread_stateful(lambda n: (fn(n),), iters, (), samples)[:3]
 
 
+def forward_timing(forward, iters, warm=3, samples=3):
+    """THE recipe for timing a ``forward() -> array`` call chain ->
+    (median, min, max) seconds per call.
+
+    Each timed window folds every output into a device-side accumulator and
+    closes with ONE scalar readback — through the TPU tunnel
+    ``block_until_ready`` returns early, so the readback is the only
+    reliable sync, and it costs a ~20-50 ms RTT that must be amortized over
+    ``iters`` (docs/performance.md).  ``warm`` runs the FULL timed
+    expression first (the accumulator's sum/add ops have their own
+    first-use compile which must not land inside the timing).  Shared by
+    bench.py and scripts/bench_*.py so the sync discipline can't drift
+    between benches (same rule as :func:`train_step_timing`).
+    """
+    import jax.numpy as jnp
+
+    def timed(n):
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            acc = acc + jnp.sum(forward()).astype(jnp.float32)
+        float(acc)  # single host sync closes the timed window
+        return (time.perf_counter() - t0) / n
+
+    timed(warm)
+    return timing_spread(timed, iters, samples)
+
+
 def train_step_timing(step, params, opt_state, x, y, iters,
                       warm=2, samples=3):
     """Donation-safe train-step timing -> (median, min, max, last_loss).
