@@ -41,6 +41,37 @@ def main(argv=None) -> None:
 
     cfg = get_config(args.model)
     batch = args.batch
+
+    # Bounded preflight: a wedged TPU tunnel (docs/performance.md) would
+    # otherwise hang the whole bench and leave NO artifact — fail loudly
+    # with an error JSON line instead.  The probe thread absorbs backend
+    # initialization too (on a wedged tunnel even jax.default_backend()
+    # blocks forever), so nothing on the main thread touches the device
+    # before the probe returns.  VIT_TPU_PREFLIGHT_S overrides the budget;
+    # 0 disables the probe.
+    import os
+    import sys
+
+    preflight_s = float(os.environ.get("VIT_TPU_PREFLIGHT_S", "420"))
+    if preflight_s > 0:
+        from vit_tpu.runtime.profiler import device_preflight
+
+        if not device_preflight(preflight_s):
+            print(json.dumps({
+                "metric": f"images/sec/chip, {cfg.name} @{cfg.image_size} "
+                          f"batch={batch}",
+                "value": None,
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "error": f"device preflight matmul did not complete in "
+                         f"{preflight_s:.0f}s — wedged TPU tunnel? "
+                         "(docs/performance.md); no measurement possible",
+            }))
+            sys.stdout.flush()
+            # _exit: the abandoned probe thread is stuck in a native RPC
+            # and would block normal interpreter shutdown
+            os._exit(1)
+
     ops_impl = "xla"
     if jax.default_backend() == "tpu":
         try:

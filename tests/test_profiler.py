@@ -71,6 +71,22 @@ def test_forward_timing_warm_plus_samples_and_bounds():
     assert 0 <= lo <= med <= hi
 
 
+def test_device_preflight_passes_on_live_backend():
+    from vit_tpu.runtime.profiler import device_preflight
+
+    # default probe: a real (CPU here) matmul + readback completes fast
+    assert device_preflight(timeout_s=120.0) is True
+
+
+def test_device_preflight_times_out_on_hung_probe():
+    from vit_tpu.runtime.profiler import device_preflight
+
+    def hung():
+        time.sleep(30)
+
+    assert device_preflight(timeout_s=0.2, probe=hung) is False
+
+
 def test_roofline_rejects_unknown_chip_dtype():
     """The gated metric must not silently fall back to the v5e bf16 peak
     for a typo'd chip/dtype."""

@@ -51,6 +51,37 @@ def timing_spread(fn, iters, samples=3):
     return timing_spread_stateful(lambda n: (fn(n),), iters, (), samples)[:3]
 
 
+def device_preflight(timeout_s=420.0, probe=None):
+    """True iff a trivial device matmul completes within ``timeout_s``.
+
+    The TPU in this environment sits behind a remote tunnel that can wedge
+    for hours after a killed job (docs/performance.md): a benchmark started
+    against a wedged backend hangs forever and produces NO artifact.  A
+    bounded probe turns that failure mode into an explicit error report.
+    The probe runs in a daemon thread because a hung device RPC cannot be
+    cancelled from Python — on timeout the thread is abandoned, so the
+    caller should exit rather than retry in-process.  ``probe`` is
+    injectable for tests."""
+    import threading
+
+    if probe is None:
+        def probe():
+            import jax.numpy as jnp
+
+            x = jnp.ones((256, 256), jnp.float32)
+            float(jnp.sum(x @ x))  # scalar readback: the only reliable sync
+
+    done = threading.Event()
+
+    def run():
+        probe()
+        done.set()
+
+    t = threading.Thread(target=run, daemon=True, name="device-preflight")
+    t.start()
+    return done.wait(timeout_s)
+
+
 def forward_timing(forward, iters, warm=3, samples=3):
     """THE recipe for timing a ``forward() -> array`` call chain ->
     (median, min, max) seconds per call.
