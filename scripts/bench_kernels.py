@@ -45,6 +45,11 @@ def timeit_scan(body, x, weights, iters=30):
 
 
 def main():
+    from vit_tpu.runtime.profiler import device_preflight
+
+    if not device_preflight():  # bounded: a wedged tunnel must not hang us
+        sys.exit("device preflight timed out — wedged TPU tunnel? "
+                 "(docs/performance.md)")
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=100)
     ap.add_argument("--which", default="a,b,c,a8,c8")

@@ -253,8 +253,15 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     else:
         from vit_tpu.runtime.compile_cache import enable_compilation_cache
+        from vit_tpu.runtime.profiler import device_preflight
 
         enable_compilation_cache()
+        if not device_preflight():  # bounded: a wedged tunnel must not hang
+            print(json.dumps({
+                "error": "device preflight timed out — wedged TPU tunnel? "
+                         "(docs/performance.md)",
+            }))
+            return 1
 
     n_dev = jax.device_count()
     if n_dev < 2:

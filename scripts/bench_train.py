@@ -31,6 +31,11 @@ from vit_tpu.runtime.profiler import train_step_timing
 
 
 def main():
+    from vit_tpu.runtime.profiler import device_preflight
+
+    if not device_preflight():  # bounded: a wedged tunnel must not hang us
+        sys.exit("device preflight timed out — wedged TPU tunnel? "
+                 "(docs/performance.md)")
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="vit_b_16",
                     help="model config name (vit_b_16, vit_l_16, vit_h_14, "

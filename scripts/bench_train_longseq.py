@@ -71,6 +71,11 @@ def bench_step(cfg, batch, ops_name, iters, remat=False):
 
 
 def main():
+    from vit_tpu.runtime.profiler import device_preflight
+
+    if not device_preflight():  # bounded: a wedged tunnel must not hang us
+        sys.exit("device preflight timed out — wedged TPU tunnel? "
+                 "(docs/performance.md)")
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--skip-xla", action="store_true")

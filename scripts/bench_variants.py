@@ -21,6 +21,11 @@ from vit_tpu.runtime.profiler import forward_timing, roofline
 
 
 def main():
+    from vit_tpu.runtime.profiler import device_preflight
+
+    if not device_preflight():  # bounded: a wedged tunnel must not hang us
+        sys.exit("device preflight timed out — wedged TPU tunnel? "
+                 "(docs/performance.md)")
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--configs", default="vit_b_16_384:32,vit_l_16:64,vit_h_14:32"

@@ -87,6 +87,17 @@ def test_device_preflight_times_out_on_hung_probe():
     assert device_preflight(timeout_s=0.2, probe=hung) is False
 
 
+def test_device_preflight_env_zero_disables(monkeypatch):
+    from vit_tpu.runtime.profiler import device_preflight
+
+    monkeypatch.setenv("VIT_TPU_PREFLIGHT_S", "0")
+
+    def boom():
+        raise AssertionError("probe must not run when disabled")
+
+    assert device_preflight(probe=boom) is True
+
+
 def test_roofline_rejects_unknown_chip_dtype():
     """The gated metric must not silently fall back to the v5e bf16 peak
     for a typo'd chip/dtype."""

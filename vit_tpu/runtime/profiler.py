@@ -51,8 +51,9 @@ def timing_spread(fn, iters, samples=3):
     return timing_spread_stateful(lambda n: (fn(n),), iters, (), samples)[:3]
 
 
-def device_preflight(timeout_s=420.0, probe=None):
-    """True iff a trivial device matmul completes within ``timeout_s``.
+def device_preflight(timeout_s=None, probe=None):
+    """True iff a trivial device matmul completes within ``timeout_s``
+    (default: $VIT_TPU_PREFLIGHT_S or 420; <=0 skips the probe -> True).
 
     The TPU in this environment sits behind a remote tunnel that can wedge
     for hours after a killed job (docs/performance.md): a benchmark started
@@ -62,7 +63,13 @@ def device_preflight(timeout_s=420.0, probe=None):
     cancelled from Python — on timeout the thread is abandoned, so the
     caller should exit rather than retry in-process.  ``probe`` is
     injectable for tests."""
+    import os
     import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("VIT_TPU_PREFLIGHT_S", "420"))
+    if timeout_s <= 0:
+        return True
 
     if probe is None:
         def probe():
