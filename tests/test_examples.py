@@ -37,7 +37,16 @@ def test_serve_example(capsys):
     assert "served 4 requests" in out and "p99" in out
 
 
-@pytest.mark.parametrize("name", ["classify", "finetune", "serve_batching"])
+def test_parallel_example(capsys):
+    # conftest already provides the 8-device virtual CPU mesh
+    assert _run("parallel", ["--devices", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "dp=4 x tp=2" in out and "pp=2" in out and "OK" in out
+
+
+@pytest.mark.parametrize(
+    "name", ["classify", "finetune", "serve_batching", "parallel"]
+)
 def test_examples_have_cpu_flag(name):
     # the scripts promise --cpu works everywhere; keep the flag wired
     text = (EXAMPLES / f"{name}.py").read_text()
