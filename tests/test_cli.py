@@ -77,6 +77,26 @@ def test_cli_quant_ops(tiny_checkpoint, tiny_cfg, capsys, monkeypatch):
     assert "[0] label:" in stdout and "ops: quant" in stdout
 
 
+def test_cli_quant_rejects_fp_probes_upfront(tiny_checkpoint, tiny_cfg,
+                                             capsys, monkeypatch):
+    """--ops quant with --attn-rollout/--profile is knowable-at-parse-time
+    incompatible; it must exit 2 BEFORE loading weights or running
+    inference (the engine raises the same error only after minutes)."""
+    import vit_tpu.config as config_mod
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    for probe_flag in (["--attn-rollout", "x.npz"], ["--profile"]):
+        rc = _run([
+            "--config", "vit_tiny_test",
+            "--weights", tiny_checkpoint / "Network",
+            "--input", tiny_checkpoint / "input.bin",
+            "--ops", "quant", "--no-compile-cache", *probe_flag,
+        ])
+        assert rc == 2
+        err = capsys.readouterr().err
+        assert "need fp weights" in err
+
+
 def test_cli_fused_tp_mesh(tiny_checkpoint, tiny_cfg, capsys, monkeypatch):
     import jax
 

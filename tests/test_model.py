@@ -72,3 +72,23 @@ def test_bf16_forward_close_to_fp32(tiny_cfg, tiny_params, tiny_images):
     # bf16 activations: expect ~1e-2 absolute agreement on O(1) logits
     assert np.abs(a - b).max() < 5e-2
     assert (np.argmax(a, -1) == np.argmax(b, -1)).all()
+
+
+def test_init_head_matches_init_params_head_leaf(tiny_cfg):
+    """init_head (transfer-learning fast path) must produce the same
+    shapes/dtypes and init scale family as init_params' head leaf."""
+    import jax
+    import numpy as np
+
+    from vit_tpu.models import vit
+
+    full = vit.init_params(jax.random.key(0), tiny_cfg)["head"]
+    head = vit.init_head(jax.random.key(1), tiny_cfg)
+    assert head["kernel"].shape == full["kernel"].shape
+    assert head["bias"].shape == full["bias"].shape
+    assert head["kernel"].dtype == full["kernel"].dtype
+    # same truncated-normal scale rule: std ~ 1/sqrt(embed_dim)
+    std = float(np.asarray(head["kernel"], np.float32).std())
+    want = (1.0 / tiny_cfg.embed_dim) ** 0.5
+    assert 0.5 * want < std < 1.5 * want
+    assert not np.any(np.asarray(head["bias"]))

@@ -143,6 +143,10 @@ def test_mesh_shape_for():
     assert mesh_shape_for(8) == {"dp": 8, "tp": 1}
     with pytest.raises(ValueError):
         mesh_shape_for(8, tp=3)
+    # tp > device count must error loudly, not build an empty {'dp': 0}
+    # mesh that fails much later with an inscrutable sharding error
+    with pytest.raises(ValueError, match="dp=0"):
+        mesh_shape_for(0, tp=16)
 
 
 def test_fused_dp_shard_map_matches_single_device(tiny_cfg, tiny_params, tiny_images):

@@ -79,6 +79,22 @@ def test_submit_validates_shape(engine):
         srv.submit(np.zeros((1, 3, 32, 32)))  # stopped server
 
 
+def test_submit_rejects_wrong_image_dims(engine, tiny_cfg):
+    """A malformed-dimension request must fail ITSELF with a ValueError
+    (-> HTTP 400), not coalesce into a batch and 500 every innocent
+    request dispatched alongside it."""
+    s = tiny_cfg.image_size
+    with InferenceServer(engine) as srv:
+        with pytest.raises(ValueError, match="expected images of shape"):
+            srv.submit(np.zeros((1, 3, s // 2, s // 2), np.float32))
+        with pytest.raises(ValueError, match="expected images of shape"):
+            srv.submit(np.zeros((1, 1, s, s), np.float32))
+        # a valid request straight after still serves fine
+        fut = srv.submit(np.zeros((1, 3, s, s), np.float32))
+        labels, _, _ = fut.result(timeout=60)
+        assert len(labels) == 1
+
+
 def test_measure_throughput_runs(engine, tiny_cfg):
     with InferenceServer(engine, max_batch=8, max_delay_ms=1.0) as srv:
         rate, total = measure_throughput(srv, [1, 2, 3, 4], tiny_cfg)

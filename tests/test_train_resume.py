@@ -97,6 +97,54 @@ def test_train_cli_save_every_and_resume(tiny_cfg, monkeypatch, capsys, tmp_path
     assert "saved training state (step 5)" in out
 
 
+def test_resume_warmup_cosine_keeps_learning(tiny_cfg, monkeypatch, capsys,
+                                             tmp_path):
+    """--resume with --schedule warmup_cosine must NOT train at lr=0: the
+    loop runs args.steps MORE steps from the restored counter, so the
+    schedule horizon must extend past the restored step (train_setup
+    peeks the checkpoint's step).  With the old absolute-args.steps
+    horizon, every resumed step evaluated past decay end (lr=0) and
+    params never changed."""
+    import shutil
+
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+    from vit_tpu.io import checkpoint as cp
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    state = tmp_path / "state.npz"
+    common = [
+        "--config", "vit_tiny_test", "--batch", "4", "--dp", "1",
+        "--ops", "xla", "--no-compile-cache", "--schedule", "warmup_cosine",
+        "--save-state", str(state),
+    ]
+    assert train_main(common + ["--steps", "3"]) == 0
+    first = tmp_path / "state_step3.npz"
+    shutil.copy(state, first)
+    assert cp.peek_step(first) == 3
+
+    assert train_main(common + ["--steps", "2", "--resume", str(state)]) == 0
+    capsys.readouterr()
+    assert cp.peek_step(state) == 5
+    p3 = jax.tree.leaves(cp.load_params_from_state(first))
+    p5 = jax.tree.leaves(cp.load_params_from_state(state))
+    changed = any(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
+        for a, b in zip(p3, p5)
+    )
+    assert changed, "resumed warmup_cosine steps left params untouched (lr=0)"
+
+
+def test_peek_step_rejects_bare_params_npz(tiny_cfg, tmp_path):
+    params, _ = trainer.init_train_state(
+        jax.random.key(0), tiny_cfg, optax.adamw(1e-3)
+    )
+    path = tmp_path / "params.npz"
+    ckpt.save_npz(jax.device_get(params), path)
+    with pytest.raises(ValueError, match="__step__"):
+        ckpt.peek_step(path)
+
+
 def test_train_cli_skip_nonfinite_flag(tiny_cfg, monkeypatch, capsys):
     import vit_tpu.config as config_mod
     from vit_tpu.cli.train import main as train_main

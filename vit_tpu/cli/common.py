@@ -21,6 +21,16 @@ def resolve_config(name: str, num_classes: int = 0):
     return cfg
 
 
+def resolve_compile_cache(args) -> None:
+    """Honor --no-compile-cache; otherwise point JAX's persistent
+    compilation cache at the standard directory (one place for all four
+    drivers — the preamble had been copy-pasted into each)."""
+    if not getattr(args, "no_compile_cache", False):
+        from vit_tpu.runtime.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
+
 def resolve_ops_name(ops: str) -> str:
     """'auto' -> the megakernel path on TPU, jnp ops elsewhere."""
     if ops != "auto":

@@ -73,12 +73,14 @@ def main(argv=None) -> int:
     from vit_tpu.io.load_any import load_params_any
     from vit_tpu.runtime import InferenceEngine
 
-    if not args.no_compile_cache:
-        from vit_tpu.runtime.compile_cache import enable_compilation_cache
+    from vit_tpu.cli.common import (
+        resolve_compile_cache,
+        resolve_config,
+        resolve_mesh,
+        resolve_ops_name,
+    )
 
-        enable_compilation_cache()
-
-    from vit_tpu.cli.common import resolve_config, resolve_mesh, resolve_ops_name
+    resolve_compile_cache(args)
 
     cfg = resolve_config(args.config, args.num_classes)
     ops = resolve_ops_name(args.ops)

@@ -116,19 +116,28 @@ def main(argv=None) -> int:
 
     from vit_tpu.eval import comparator
     from vit_tpu.io import images as iio
-    from vit_tpu.io import weights as wio
     from vit_tpu.io.labels import load_labels
     from vit_tpu.runtime import InferenceEngine
 
-    if not args.no_compile_cache:
-        from vit_tpu.runtime.compile_cache import enable_compilation_cache
+    from vit_tpu.cli.common import (
+        resolve_compile_cache,
+        resolve_config,
+        resolve_mesh,
+        resolve_ops_name,
+    )
 
-        enable_compilation_cache()
-
-    from vit_tpu.cli.common import resolve_config, resolve_mesh, resolve_ops_name
-
+    resolve_compile_cache(args)
     cfg = resolve_config(args.config, args.num_classes)
     ops = resolve_ops_name(args.ops)
+    if ops == "quant" and (args.attn_rollout or args.profile):
+        # knowable now: both probes need fp weights (engine raises the
+        # same incompatibility, but only AFTER minutes of load+inference)
+        print(
+            "error: --attn-rollout/--profile need fp weights; "
+            "use --ops xla/pallas/fused",
+            file=sys.stderr,
+        )
+        return 2
     mesh = resolve_mesh(args.dp, args.tp)
 
     t_load0 = time.perf_counter()

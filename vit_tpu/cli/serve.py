@@ -107,12 +107,14 @@ def _build_server(args):
     from vit_tpu.runtime import InferenceEngine
     from vit_tpu.runtime.serving import InferenceServer
 
-    if not args.no_compile_cache:
-        from vit_tpu.runtime.compile_cache import enable_compilation_cache
+    from vit_tpu.cli.common import (
+        resolve_compile_cache,
+        resolve_config,
+        resolve_mesh,
+        resolve_ops_name,
+    )
 
-        enable_compilation_cache()
-
-    from vit_tpu.cli.common import resolve_config, resolve_mesh, resolve_ops_name
+    resolve_compile_cache(args)
 
     cfg = resolve_config(args.config, args.num_classes)
     if args.multihost:

@@ -518,10 +518,9 @@ def prepare(args) -> TrainSetup:
                 "round-trips assume host-replicated params"
             )
 
-    if not args.no_compile_cache:
-        from vit_tpu.runtime.compile_cache import enable_compilation_cache
+    from vit_tpu.cli.common import resolve_compile_cache
 
-        enable_compilation_cache()
+    resolve_compile_cache(args)
 
     cfg = get_config(args.config)
     load_cfg = cfg  # --init-weights loads under the checkpoint's own head
@@ -593,8 +592,14 @@ def prepare(args) -> TrainSetup:
         raise SetupError("error: --save-ema requires --ema-decay")
 
     if args.schedule == "warmup_cosine":
+        # The loop runs args.steps MORE steps from the restored counter
+        # (train_loop.py), so a resumed run's schedule horizon must extend
+        # past the restored step — with the horizon at a bare args.steps,
+        # every resumed step would evaluate past decay end and silently
+        # train at lr = end_value = 0.0.
+        horizon = args.steps + (ckpt.peek_step(args.resume) if args.resume else 0)
         lr = optax.warmup_cosine_decay_schedule(
-            0.0, args.lr, max(args.steps // 10, 1), args.steps
+            0.0, args.lr, max(horizon // 10, 1), horizon
         )
     else:
         lr = args.lr
@@ -608,11 +613,12 @@ def prepare(args) -> TrainSetup:
         )
         params = jax.tree.map(jnp.asarray, params)
         if args.num_classes:
-            from vit_tpu.models.vit import init_params as _init
+            from vit_tpu.models.vit import init_head as _init_head
 
-            fresh = _init(jax.random.key(args.seed ^ 0x4EAD), cfg)
             params = dict(params)
-            params["head"] = fresh["head"]
+            # head-only init: sampling the full ~86M-param model just to
+            # keep one (embed_dim x K) leaf wasted startup time and RAM
+            params["head"] = _init_head(jax.random.key(args.seed ^ 0x4EAD), cfg)
             print(f"transfer learning: fresh {cfg.embed_dim} x "
                   f"{args.num_classes} head over the pretrained backbone")
         opt_state = optimizer.init(params)

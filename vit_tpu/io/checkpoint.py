@@ -73,6 +73,19 @@ def load_params_from_state(path, dtype=None) -> Any:
     return unflatten_tree(flat)
 
 
+def peek_step(path) -> int:
+    """Read just the step counter from a save_train_state archive —
+    cheap (no tensor loads): callers need it before the full restore,
+    e.g. to size an lr-schedule horizon around a resume."""
+    with np.load(path) as z:
+        if "__step__" not in z.files:
+            raise ValueError(
+                f"{path}: not a train-state archive (no __step__); "
+                "was this saved with --save-state?"
+            )
+        return int(z["__step__"])
+
+
 def load_train_state(path, opt_state_like: Any):
     """-> (params, opt_state, step).  ``opt_state_like`` provides the
     optimizer pytree structure (e.g. ``optimizer.init(params)``)."""

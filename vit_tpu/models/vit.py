@@ -348,6 +348,18 @@ def init_params(
     }
 
 
+def init_head(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params:
+    """Fresh classification head only (same init rule as ``init_params``'s
+    head leaf) — transfer learning swaps this over a loaded backbone
+    without sampling the other ~86M parameters just to discard them."""
+    d, c = cfg.embed_dim, cfg.num_classes
+    std = (1.0 / max(d, 1)) ** 0.5
+    kernel = (
+        jax.random.truncated_normal(key, -2, 2, (d, c), jnp.float32) * std
+    ).astype(dtype)
+    return {"kernel": kernel, "bias": jnp.zeros((c,), dtype)}
+
+
 def num_params(params: Params) -> int:
     return sum(x.size for x in jax.tree.leaves(params))
 

@@ -39,6 +39,14 @@ def mesh_shape_for(
         raise ValueError(f"tp={tp} does not divide {n_devices} devices")
     if dp is None:
         dp = n_devices // tp
+    if dp < 1 or tp < 1:
+        # 0 % tp == 0 and 0*tp == 0, so without this gate tp > n_devices
+        # builds an empty {'dp': 0} mesh that fails much later with an
+        # inscrutable sharding error
+        raise ValueError(
+            f"dp={dp}, tp={tp} over {n_devices} device(s): every mesh "
+            "axis needs >= 1 (is --tp larger than the device count?)"
+        )
     if dp * tp != n_devices:
         raise ValueError(f"dp*tp = {dp * tp} != {n_devices}")
     return {"dp": dp, "tp": tp}

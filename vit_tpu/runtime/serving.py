@@ -238,6 +238,16 @@ class _ServerBase:
             images = np.asarray(images)
         if images.ndim != 4:
             raise ValueError(f"expected (n, C, H, W), got {images.shape}")
+        cfg = self.engine.cfg
+        want = (cfg.in_channels, cfg.image_size, cfg.image_size)
+        if tuple(images.shape[1:]) != want:
+            # reject HERE, per request: a wrong-shape payload coalesced
+            # into a batch would otherwise fail np.concatenate in the
+            # dispatch loop and 500 every innocent request in that batch
+            raise ValueError(
+                f"expected images of shape (n, {want[0]}, {want[1]}, "
+                f"{want[2]}) for {cfg.name}, got {tuple(images.shape)}"
+            )
         self._validate(images)
         n = len(images)
         deadline = (
