@@ -60,10 +60,12 @@ def main(argv=None) -> int:
         # the reference driver's output line format (Main.c:62-72)
         print(f"[{i}] label: {lbl} / prob: {p:.6f}   ({names[lbl]})")
 
-    # extras the reference never exposed:
-    feats = engine.features(images)                    # (B, D) CLS embeddings
-    heat = engine.attention_maps(images, rollout=True) # (B, grid, grid)
-    print(f"features {feats.shape}  rollout {heat.shape}")
+    # extras the reference never exposed (fp paths only: the int8 engine
+    # carries quantized weights, and both probes raise needing fp params)
+    if args.ops != "quant":
+        feats = engine.features(images)                    # (B, D) CLS embeddings
+        heat = engine.attention_maps(images, rollout=True) # (B, grid, grid)
+        print(f"features {feats.shape}  rollout {heat.shape}")
     return 0
 
 

@@ -45,15 +45,18 @@ def timeit_scan(body, x, weights, iters=30):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=100)
+    ap.add_argument("--which", default="a,b,c,a8,c8")
+    args = ap.parse_args()
+
+    # parse first: --help must never touch the device (the preflight can
+    # legitimately block for VIT_TPU_PREFLIGHT_S on a wedged tunnel)
     from vit_tpu.runtime.profiler import device_preflight
 
     if not device_preflight():  # bounded: a wedged tunnel must not hang us
         sys.exit("device preflight timed out — wedged TPU tunnel? "
                  "(docs/performance.md)")
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=100)
-    ap.add_argument("--which", default="a,b,c,a8,c8")
-    args = ap.parse_args()
     which = set(args.which.split(","))
 
     b, t, d, f, nh = args.batch, 197, 768, 3072, 12

@@ -31,11 +31,6 @@ from vit_tpu.runtime.profiler import train_step_timing
 
 
 def main():
-    from vit_tpu.runtime.profiler import device_preflight
-
-    if not device_preflight():  # bounded: a wedged tunnel must not hang us
-        sys.exit("device preflight timed out — wedged TPU tunnel? "
-                 "(docs/performance.md)")
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="vit_b_16",
                     help="model config name (vit_b_16, vit_l_16, vit_h_14, "
@@ -47,6 +42,14 @@ def main():
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--paths", default="fused_train,xla")
     args = ap.parse_args()
+
+    # parse first: --help must never touch the device (the preflight can
+    # legitimately block for VIT_TPU_PREFLIGHT_S on a wedged tunnel)
+    from vit_tpu.runtime.profiler import device_preflight
+
+    if not device_preflight():  # bounded: a wedged tunnel must not hang us
+        sys.exit("device preflight timed out — wedged TPU tunnel? "
+                 "(docs/performance.md)")
 
     cfg = get_config(args.config)
     print("backend:", jax.default_backend(), " config:", cfg.name)

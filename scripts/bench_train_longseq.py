@@ -71,15 +71,18 @@ def bench_step(cfg, batch, ops_name, iters, remat=False):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--skip-xla", action="store_true")
+    args = ap.parse_args()
+
+    # parse first: --help must never touch the device (the preflight can
+    # legitimately block for VIT_TPU_PREFLIGHT_S on a wedged tunnel)
     from vit_tpu.runtime.profiler import device_preflight
 
     if not device_preflight():  # bounded: a wedged tunnel must not hang us
         sys.exit("device preflight timed out — wedged TPU tunnel? "
                  "(docs/performance.md)")
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--skip-xla", action="store_true")
-    args = ap.parse_args()
     print("backend:", jax.default_backend())
 
     cfg384 = get_config("vit_b_16_384")

@@ -7,6 +7,8 @@ that runs off-TPU — engine timing, oracle gates, the full-batch
 comparator-style gate, and the JSON-line contract."""
 
 import json
+import sys
+from pathlib import Path
 
 import pytest
 
@@ -27,3 +29,31 @@ def test_bench_main_cpu_smoke(tiny_cfg, capsys, monkeypatch):
     assert out["bf16_full_batch_comparator_pass"] is True
     assert out["fp32_max_logit_dev_vs_oracle"] < 1e-3
     assert out["timing_samples"] >= 3
+
+
+@pytest.mark.parametrize(
+    "script", ["bench_kernels", "bench_train", "bench_train_longseq"]
+)
+def test_bench_scripts_help_never_touches_device(script, monkeypatch):
+    """--help must print usage without running the device preflight: the
+    preflight can legitimately block for VIT_TPU_PREFLIGHT_S (420 s) on a
+    wedged tunnel — exactly when a user reaches for --help.  Args parse
+    first; SystemExit(0) fires before the (poisoned) probe can."""
+    scripts = Path(__file__).resolve().parent.parent / "scripts"
+
+    def boom(*a, **k):
+        raise AssertionError("device_preflight ran before argparse")
+
+    from vit_tpu.runtime import profiler
+
+    monkeypatch.setattr(profiler, "device_preflight", boom)
+    monkeypatch.setattr(sys, "argv", [f"{script}.py", "--help"])
+    sys.path.insert(0, str(scripts))
+    try:
+        mod = __import__(script)
+        with pytest.raises(SystemExit) as ei:
+            mod.main()
+        assert ei.value.code == 0
+    finally:
+        sys.path.remove(str(scripts))
+        sys.modules.pop(script, None)

@@ -94,8 +94,36 @@ def test_corrupt_line_reports_itself_not_misaligns(tmp_path):
     errors = compare_files(result, golden)
     kinds = {(e.index, e.kind) for e in errors}
     assert (1, "format") in kinds      # the bad row reports itself
-    assert (1, "missing") in kinds     # and its comparison is missing
+    # ONE error per corrupt line: the hole it leaves must not also
+    # double-report as 'missing' at the same index
+    assert [e.index for e in errors] == [1]
     assert not any(e.index in (2, 3) for e in errors)  # no bogus shift
+
+
+def test_corrupt_line_index_salvaged_from_prefix(tmp_path):
+    """A corrupt line's [i] prefix places its format error at the REAL
+    index (the same coordinate system the comparison uses), even when
+    parsed indices are non-contiguous; only a line with no prefix falls
+    back to its ordinal position."""
+    from vit_tpu.eval.comparator import compare_files
+
+    golden = tmp_path / "golden.txt"
+    result = tmp_path / "result.txt"
+    golden.write_text(
+        "[10] label: 5 / prob: 0.900000\n[11] label: 6 / prob: 0.800000\n"
+        "[12] label: 7 / prob: 0.700000\n"
+    )
+    result.write_text(
+        "[10] label: 5 / prob: 0.900000\n[11] label: 6 / prob: nan\n"
+        "total garbage line\n"
+    )
+    errors = compare_files(result, golden)
+    by = {(e.index, e.kind) for e in errors}
+    assert (11, "format") in by     # salvaged from the [11] prefix
+    assert (3, "format") not in by  # NOT reported at a phantom ordinal
+    assert (2, "format") in by      # prefixless garbage -> ordinal 2
+    assert (12, "missing") in by    # [12] genuinely absent from result
+    assert (11, "missing") not in by  # no duplicate for the corrupt row
 
 
 def test_parse_line_rejects_unfloatable_prob():

@@ -26,6 +26,21 @@ def test_classify_example(capsys):
     assert "[0] label:" in out and "rollout" in out
 
 
+def test_classify_example_quant_skips_fp_extras(tiny_cfg, capsys, monkeypatch):
+    """--ops quant (a value the --ops help advertises) must classify and
+    exit 0: the features/attention-rollout extras need fp weights and are
+    skipped on the int8 engine instead of crashing after the predictions."""
+    import vit_tpu.config as config_mod
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    assert _run(
+        "classify", ["--batch", "2", "--config", "vit_tiny_test",
+                     "--ops", "quant"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "[0] label:" in out and "rollout" not in out
+
+
 def test_finetune_example(capsys):
     assert _run("finetune", []) == 0  # exit 1 if top-1 < 0.9
     assert "train top-1" in capsys.readouterr().out

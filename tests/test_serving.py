@@ -512,6 +512,24 @@ def test_measure_steady_state_paces_and_isolates_slo_window(engine, tiny_cfg):
     assert srv.stats.latency.count == len(sizes)
 
 
+def test_measure_steady_state_above_capacity_degrades_not_raises(engine, tiny_cfg):
+    """Offered load above capacity must degenerate to the saturation
+    measurement (the documented behavior), not crash with
+    ServerOverloadedError once the backlog crosses max_queue_images —
+    the measurement suspends load-shedding like measure_throughput."""
+    from vit_tpu.runtime.serving import measure_steady_state
+
+    sizes = [1] * 12
+    with InferenceServer(
+        engine, max_batch=4, max_delay_ms=1.0, max_queue_images=2
+    ) as srv:
+        rate, total, offered = measure_steady_state(
+            srv, sizes, tiny_cfg, rate_rps=1e6  # instant burst >> capacity
+        )
+        assert rate > 0 and total == len(sizes)
+        assert srv.max_queue_images == 2  # restored after the run
+
+
 def test_serve_cli_selftest_paced(tiny_cfg, tmp_path, monkeypatch, capsys):
     import json
 

@@ -53,10 +53,16 @@ def parse_line(line: str) -> Optional[ResultLine]:
     return ResultLine(int(m.group(1)), int(m.group(2)), prob)
 
 
+_INDEX_PREFIX_RE = re.compile(r"^\[(\d+)\]")
+
+
 def _parse_lines(path) -> tuple[List[ResultLine], List[int]]:
-    """-> (parsed lines, ordinals of non-empty lines that failed to parse).
-    The ordinal (position among non-empty lines) is the best available
-    index for a corrupt line — e.g. 'prob: nan', which %.6f prints."""
+    """-> (parsed lines, indices of non-empty lines that failed to parse).
+    A corrupt line's ``[i]`` prefix is salvaged when present (e.g.
+    'prob: nan', which %.6f prints, still carries its index) so the format
+    error lands in the same index space the comparison uses; only a line
+    with no parseable prefix falls back to its ordinal position among
+    non-empty lines."""
     lines: List[ResultLine] = []
     bad: List[int] = []
     ordinal = 0
@@ -65,7 +71,8 @@ def _parse_lines(path) -> tuple[List[ResultLine], List[int]]:
             continue
         parsed = parse_line(raw)
         if parsed is None:
-            bad.append(ordinal)
+            prefix = _INDEX_PREFIX_RE.match(raw.strip())
+            bad.append(int(prefix.group(1)) if prefix else ordinal)
         else:
             lines.append(parsed)
         ordinal += 1
@@ -126,14 +133,21 @@ def compare_files(
 ) -> List[Mismatch]:
     got, got_bad = _parse_lines(result_path)
     want, want_bad = _parse_lines(golden_path)
-    # corrupt lines surface as their own 'format' mismatches (ordinal
-    # position as the index) instead of silently vanishing
+    # corrupt lines surface as their own 'format' mismatches instead of
+    # silently vanishing
+    bad = set(got_bad) | set(want_bad)
     errors = [
         Mismatch(i, "format", None, None)
-        for i in sorted(set(got_bad) | set(want_bad))
+        for i in sorted(bad)
         if count is None or i < count
     ]
-    errors += compare_results(
-        got, want, count=count, prob_tolerance=prob_tolerance
-    )
+    # one error per corrupt line: the hole it leaves in the parsed rows
+    # would ALSO report as 'missing' at the same index — drop the duplicate
+    errors += [
+        e
+        for e in compare_results(
+            got, want, count=count, prob_tolerance=prob_tolerance
+        )
+        if not (e.kind == "missing" and e.index in bad)
+    ]
     return errors

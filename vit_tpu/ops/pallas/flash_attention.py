@@ -387,3 +387,29 @@ def flash_attention(
     block_k = min(block_k, t)
     out = _flash_attention3(q3, k3, v3, block_q, block_k, interpret)
     return out.reshape(*lead, t, dh)
+
+
+def flash_context_from_packed_qkv(
+    qkv: jax.Array,
+    batch: int,
+    seq_len: int,
+    num_heads: int,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Packed QKV projection → flash-attention context, flat rows out.
+
+    ``qkv`` is the QKV GEMM output in the weights pytree's packed
+    (head, {q,k,v}, head_dim) column order — any leading shape whose last
+    axis is 3*num_heads*head_dim.  Returns (batch*seq_len,
+    num_heads*head_dim).  This is the shared tail of every long-sequence
+    block (fp fused, trainable, q8, and tensor-parallel): one place for
+    the unpack/transpose dance so the four paths cannot drift apart when
+    the packing or masking changes.  Differentiable (flash_attention's
+    Pallas VJP)."""
+    dh = qkv.shape[-1] // (3 * num_heads)
+    qkv = qkv.reshape(batch, seq_len, num_heads, 3, dh)
+    q = jnp.moveaxis(qkv[..., 0, :], -2, -3)  # (b, H, T, Dh)
+    k = jnp.moveaxis(qkv[..., 1, :], -2, -3)
+    v = jnp.moveaxis(qkv[..., 2, :], -2, -3)
+    ctx = flash_attention(q, k, v, interpret=interpret)
+    return jnp.moveaxis(ctx, -3, -2).reshape(batch * seq_len, num_heads * dh)

@@ -413,21 +413,17 @@ VMEM_ATTENTION_MAX_T = 1024
 
 def _long_seq_block(x2d, blk, num_heads, seq_len, eps, gelu_variant, interpret):
     from vit_tpu.ops import reference
-    from vit_tpu.ops.pallas.flash_attention import flash_attention
+    from vit_tpu.ops.pallas.flash_attention import flash_context_from_packed_qkv
     from vit_tpu.ops.pallas.ln_kernel import layer_norm
 
     rows, d = x2d.shape
     b = rows // seq_len
-    dh = d // num_heads
     x3 = x2d.reshape(b, seq_len, d)
     h = layer_norm(x3, blk["ln1_scale"], blk["ln1_bias"], eps, interpret=interpret)
     qkv = reference.linear(h, blk["wqkv"], blk["bqkv"])  # columns (H, 3, Dh)
-    qkv = qkv.reshape(b, seq_len, num_heads, 3, dh)
-    q = jnp.moveaxis(qkv[..., 0, :], -2, -3)  # (b, H, T, Dh)
-    k = jnp.moveaxis(qkv[..., 1, :], -2, -3)
-    v = jnp.moveaxis(qkv[..., 2, :], -2, -3)
-    ctx = flash_attention(q, k, v, interpret=interpret)
-    ctx2 = jnp.moveaxis(ctx, -3, -2).reshape(rows, d)
+    ctx2 = flash_context_from_packed_qkv(
+        qkv, b, seq_len, num_heads, interpret=interpret
+    )
     return out_ln_mlp_residual(
         ctx2, x2d, blk["wo"], blk["bo"], blk["ln2_scale"], blk["ln2_bias"],
         blk["w1"], blk["b1"], blk["w2"], blk["b2"], eps, gelu_variant,

@@ -367,22 +367,17 @@ def _long_seq_block_q8(x2d, blk, num_heads, seq_len, eps, gelu_variant, interpre
     blockwise flash-attention kernel (attention stays bf16 on the quant
     path by design), and the row-blocked q8 MLP kernel is unchanged.
     Mirrors fused_block._long_seq_block."""
-    from vit_tpu.ops.pallas.flash_attention import flash_attention
+    from vit_tpu.ops.pallas.flash_attention import flash_context_from_packed_qkv
 
     rows, d = x2d.shape
     b = rows // seq_len
-    d3 = blk["wqkv"].shape[-1]
-    dh = (d3 // 3) // num_heads
     qkv = _qkv_q8(
         x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
         blk["wqkv_scale"], blk["bqkv"], eps,
     ).astype(x2d.dtype)
-    qkv = qkv.reshape(b, seq_len, num_heads, 3, dh)
-    q = jnp.moveaxis(qkv[..., 0, :], -2, -3)  # (b, H, T, Dh)
-    k = jnp.moveaxis(qkv[..., 1, :], -2, -3)
-    v = jnp.moveaxis(qkv[..., 2, :], -2, -3)
-    ctx = flash_attention(q, k, v, interpret=interpret)
-    ctx2 = jnp.moveaxis(ctx, -3, -2).reshape(rows, num_heads * dh)
+    ctx2 = flash_context_from_packed_qkv(
+        qkv, b, seq_len, num_heads, interpret=interpret
+    )
     return out_ln_mlp_residual_q8(
         ctx2, x2d, blk["wo"], blk["bo"], blk["ln2_scale"], blk["ln2_bias"],
         blk["w1"], blk["w1_scale"], blk["b1"], blk["w2"], blk["w2_scale"],

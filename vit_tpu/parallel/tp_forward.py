@@ -114,12 +114,10 @@ def _ctx_long_seq_tp(x2d, blk, heads_local, seq_len, eps, quant, interpret):
     grouping via quant_kernels._qkv_q8), T^2 work through the blockwise
     flash-attention kernel — which carries its own Pallas VJP, so the fp
     path stays trainable.  Mirrors fused_block._long_seq_block's entry."""
-    from vit_tpu.ops.pallas.flash_attention import flash_attention
+    from vit_tpu.ops.pallas.flash_attention import flash_context_from_packed_qkv
 
     rows, d = x2d.shape
     b = rows // seq_len
-    d3 = blk["wqkv"].shape[-1]
-    dh = (d3 // 3) // heads_local
     if quant:
         from vit_tpu.ops.pallas.quant_kernels import _qkv_q8
 
@@ -127,17 +125,13 @@ def _ctx_long_seq_tp(x2d, blk, heads_local, seq_len, eps, quant, interpret):
             x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
             blk["wqkv_scale"], blk["bqkv"], eps,
         ).astype(x2d.dtype)
-        qkv = qkv.reshape(b, seq_len, heads_local, 3, dh)
     else:
         x3 = x2d.reshape(b, seq_len, d)
         h = reference.layer_norm(x3, blk["ln1_scale"], blk["ln1_bias"], eps)
         qkv = reference.linear(h, blk["wqkv"], blk["bqkv"])
-        qkv = qkv.reshape(b, seq_len, heads_local, 3, dh)
-    q = jnp.moveaxis(qkv[..., 0, :], -2, -3)  # (b, H_local, T, Dh)
-    k = jnp.moveaxis(qkv[..., 1, :], -2, -3)
-    v = jnp.moveaxis(qkv[..., 2, :], -2, -3)
-    ctx = flash_attention(q, k, v, interpret=interpret)
-    return jnp.moveaxis(ctx, -3, -2).reshape(rows, heads_local * dh)
+    return flash_context_from_packed_qkv(
+        qkv, b, seq_len, heads_local, interpret=interpret
+    )
 
 
 def fused_block_tp(

@@ -598,17 +598,25 @@ def measure_steady_state(
     gaps = np.random.default_rng(seed).exponential(
         1.0 / rate_rps, len(requests)
     )
-    t0 = time.perf_counter()
-    arrivals = t0 + np.cumsum(gaps)
-    futures = []
-    for due, r in zip(arrivals, requests):
-        delay = due - time.perf_counter()
-        if delay > 0:
-            time.sleep(delay)
-        futures.append(server.submit(r))
-    for f in futures:
-        f.result()
-    dt = time.perf_counter() - t0
+    # suspend load-shedding like measure_throughput: at/above-capacity
+    # offered load must degenerate to the saturation measurement (the
+    # documented behavior), not raise ServerOverloadedError out of the
+    # submit loop once the backlog crosses max_queue_images
+    cap, server.max_queue_images = server.max_queue_images, None
+    try:
+        t0 = time.perf_counter()
+        arrivals = t0 + np.cumsum(gaps)
+        futures = []
+        for due, r in zip(arrivals, requests):
+            delay = due - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+            futures.append(server.submit(r))
+        for f in futures:
+            f.result()
+        dt = time.perf_counter() - t0
+    finally:
+        server.max_queue_images = cap
     total = sum(request_sizes)
     offered = len(requests) / float(arrivals[-1] - t0)
     return total / dt, total, offered
