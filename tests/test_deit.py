@@ -1,0 +1,432 @@
+"""DeiT distilled family (Touvron et al. 2021): distillation token +
+dual classifier heads, averaged at inference.
+
+The reference family is torchvision-ViT-only (single CLS token,
+ViT_seq.c:72-90); the distilled variants extend the framework without
+touching the encoder kernels — T just grows by one prefix token.  These
+tests gate every consumer: the jnp forward vs the NumPy fp64 oracle, the
+fused/quant kernel paths (interpret), TP/PP/SP sharding, the HF DeiT
+converter (cross-checked against transformers' own forward), and the
+reference-format gates (the 152-tensor layout has no distillation token).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_tpu.config import CONFIGS, ViTConfig, get_config
+from vit_tpu.models import oracle, vit
+from vit_tpu.ops.dispatch import get_ops
+from vit_tpu.parallel import make_mesh
+
+
+@pytest.fixture(scope="module")
+def deit_cfg() -> ViTConfig:
+    """Tiny distilled config: every structural property of deit_b_16
+    (CLS + distillation prefix, dual heads) at millisecond scale."""
+    return ViTConfig(
+        image_size=32,
+        patch_size=8,
+        embed_dim=64,
+        depth=2,
+        num_heads=4,
+        num_classes=11,
+        distilled=True,
+        name="deit_tiny_test",
+    )
+
+
+@pytest.fixture(scope="module")
+def deit_params(deit_cfg):
+    return vit.init_params(jax.random.key(0), deit_cfg)
+
+
+@pytest.fixture(scope="module")
+def deit_images(deit_cfg):
+    rng = np.random.default_rng(7)
+    s = deit_cfg.image_size
+    return jnp.asarray(rng.normal(size=(3, 3, s, s)), jnp.float32)
+
+
+def test_registered_configs():
+    for name in ("deit_t_16", "deit_s_16", "deit_b_16", "deit_b_16_384"):
+        cfg = get_config(name)
+        assert cfg.distilled and cfg.num_prefix_tokens == 2
+        assert cfg.head_dim == 64  # the whole DeiT family is dh=64
+    assert get_config("deit_b_16").seq_len == 198  # 196 patches + CLS + dist
+    assert get_config("vit_b_16").seq_len == 197  # unchanged
+    assert "deit_b_16_384" in CONFIGS
+
+
+def test_num_params_matches_init(deit_cfg):
+    params = vit.init_params(jax.random.key(1), deit_cfg)
+    assert vit.num_params(params) == deit_cfg.num_params()
+    assert "dist_token" in params and "head_dist" in params
+    # non-distilled trees must NOT grow the new leaves
+    plain = vit.init_params(
+        jax.random.key(1), dataclasses.replace(deit_cfg, distilled=False)
+    )
+    assert "dist_token" not in plain and "head_dist" not in plain
+
+
+def test_forward_matches_numpy_oracle(deit_cfg, deit_params, deit_images):
+    """jnp forward (averaged dual head) == independent fp64 NumPy oracle."""
+    got = np.asarray(vit.forward(deit_params, deit_images, deit_cfg))
+    want = oracle.forward(deit_params, np.asarray(deit_images), deit_cfg)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_apply_head_average_semantics():
+    """apply_head: logits == (head(x[0]) + head_dist(x[1])) / 2; without
+    head_dist it degrades to the reference's CLS-only head
+    (ViT_seq.c:433-435)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 6, 16)), jnp.float32)
+    head = {
+        "kernel": jnp.asarray(rng.normal(size=(16, 5)), jnp.float32),
+        "bias": jnp.asarray(rng.normal(size=(5,)), jnp.float32),
+    }
+    head_dist = {
+        "kernel": jnp.asarray(rng.normal(size=(16, 5)), jnp.float32),
+        "bias": jnp.asarray(rng.normal(size=(5,)), jnp.float32),
+    }
+    xn = np.asarray(x)
+    cls_want = xn[:, 0] @ np.asarray(head["kernel"]) + np.asarray(head["bias"])
+    dist_want = xn[:, 1] @ np.asarray(head_dist["kernel"]) + np.asarray(
+        head_dist["bias"]
+    )
+    got = np.asarray(
+        vit.apply_head(x, {"head": head, "head_dist": head_dist})
+    )
+    np.testing.assert_allclose(got, 0.5 * (cls_want + dist_want), atol=1e-5)
+    got_cls = np.asarray(vit.apply_head(x, {"head": head}))
+    np.testing.assert_allclose(got_cls, cls_want, atol=1e-5)
+
+
+def test_return_features_is_cls(deit_cfg, deit_params, deit_images):
+    feats = vit.forward(
+        deit_params, deit_images, deit_cfg, return_features=True
+    )
+    assert feats.shape == (3, deit_cfg.embed_dim)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_fused_kernel_path_matches_xla(deit_cfg, deit_params, deit_images):
+    """The megakernel path is token-count-generic: T=18 (16 patches + 2
+    prefix) must match xla exactly like the T=197 family does."""
+    a = np.asarray(
+        vit.forward(deit_params, deit_images, deit_cfg, ops=get_ops("xla"))
+    )
+    b = np.asarray(
+        vit.forward(deit_params, deit_images, deit_cfg, ops=get_ops("fused"))
+    )
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_fused_train_grads_flow_to_both_heads(deit_cfg, deit_params, deit_images):
+    from vit_tpu.runtime import trainer
+
+    labels = jnp.asarray([1, 2, 3])
+
+    def loss_fn(params):
+        logits = vit.forward(
+            params, deit_images, deit_cfg, ops=get_ops("fused_train")
+        )
+        return trainer.cross_entropy_loss(logits, labels)
+
+    grads = jax.grad(loss_fn)(deit_params)
+    for leaf in ("head", "head_dist"):
+        g = np.asarray(grads[leaf]["kernel"])
+        assert np.abs(g).max() > 0, f"no gradient reached {leaf}"
+    assert np.abs(np.asarray(grads["dist_token"])).max() > 0
+    # and the fused grads match autodiff through the xla path
+    def loss_xla(params):
+        logits = vit.forward(params, deit_images, deit_cfg, ops=get_ops("xla"))
+        return trainer.cross_entropy_loss(logits, labels)
+
+    gx = jax.grad(loss_xla)(deit_params)
+    for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_quant_path_runs(deit_cfg, deit_params, deit_images):
+    from vit_tpu.ops.quant import quantize_params
+
+    qp = quantize_params(deit_params)
+    assert "dist_token" in qp  # passes through untouched
+    got = np.asarray(
+        vit.forward(qp, deit_images, deit_cfg, ops=get_ops("quant"))
+    )
+    want = np.asarray(vit.forward(deit_params, deit_images, deit_cfg))
+    assert np.isfinite(got).all()
+    # int8 tolerance: labels should broadly agree on random weights
+    assert got.shape == want.shape
+
+
+def test_attention_rollout_strips_both_prefix_tokens(
+    deit_cfg, deit_params, deit_images
+):
+    probs = vit.attention_maps(deit_params, deit_images, deit_cfg)
+    t = deit_cfg.seq_len
+    assert probs.shape[-2:] == (t, t)
+    roll = vit.attention_rollout(probs, deit_cfg.num_prefix_tokens)
+    assert roll.shape == (3, deit_cfg.num_patches)  # reshapeable to the grid
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_tp_forward_distilled(deit_cfg, deit_params, deit_images):
+    from vit_tpu.parallel.sharding import shard_params
+    from vit_tpu.parallel.tp_forward import shard_forward_tp
+
+    mesh = make_mesh({"dp": 2, "tp": 2}, jax.devices()[:4])
+    placed = shard_params(deit_params, mesh)
+    fwd = shard_forward_tp(deit_cfg, mesh, "fused", placed)
+    got = np.asarray(jax.jit(fwd)(placed, deit_images[:2]))
+    want = np.asarray(vit.forward(deit_params, deit_images[:2], deit_cfg))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs 2 virtual devices")
+def test_pp_forward_distilled(deit_cfg, deit_params, deit_images):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from vit_tpu.parallel.pipeline import pp_param_pspecs, shard_forward_pp
+
+    mesh = make_mesh({"pp": 2}, jax.devices()[:2])
+    specs = pp_param_pspecs(deit_params, mesh.axis_names)
+    placed = jax.device_put(
+        deit_params,
+        jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, PartitionSpec),
+        ),
+    )
+    fwd = shard_forward_pp(deit_cfg, mesh, num_microbatches=1)
+    got = np.asarray(jax.jit(fwd)(placed, deit_images[:2]))
+    want = np.asarray(vit.forward(deit_params, deit_images[:2], deit_cfg))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_sp_forward_distilled(deit_params, deit_images, deit_cfg):
+    """Ring-attention SP with a 2-token prefix on shard 0: 18 tokens over
+    sp=4 -> t_local=5, partial padding — CLS and dist rows both gathered."""
+    from vit_tpu.parallel.sequence import shard_forward_sp
+
+    mesh = make_mesh({"sp": 4}, jax.devices()[:4])
+    got = np.asarray(
+        jax.jit(shard_forward_sp(deit_cfg, mesh))(deit_params, deit_images)
+    )
+    want = np.asarray(vit.forward(deit_params, deit_images, deit_cfg))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_reference_format_gates(deit_cfg, deit_params, tmp_path):
+    from vit_tpu.io import weights as wio
+    from vit_tpu.io.torch_convert import tensors_from_state_dict
+
+    with pytest.raises(ValueError, match="distill"):
+        wio.load_reference_weights(tmp_path, deit_cfg, allow_synth=True)
+    with pytest.raises(ValueError, match="distill"):
+        wio.tensors_from_params(deit_params, deit_cfg)
+    with pytest.raises(ValueError, match="distill"):
+        tensors_from_state_dict({}, deit_cfg)
+
+
+def test_training_converges_on_tiny_set(deit_cfg):
+    """A few SGD steps on 8 images: loss decreases through the averaged
+    dual head (both heads and the dist token receive signal)."""
+    import optax
+
+    from vit_tpu.runtime import trainer
+
+    optimizer = optax.adam(1e-3)
+    params, opt_state = trainer.init_train_state(
+        jax.random.key(3), deit_cfg, optimizer
+    )
+    step = jax.jit(trainer.make_train_step(deit_cfg, optimizer, remat=False))
+    rng = np.random.default_rng(0)
+    s = deit_cfg.image_size
+    images = jnp.asarray(rng.normal(size=(8, 3, s, s)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, deit_cfg.num_classes, 8), jnp.int32)
+    losses = []
+    p0 = np.asarray(params["dist_token"])
+    for _ in range(10):
+        params, opt_state, loss = step(params, opt_state, images, labels)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert np.abs(np.asarray(params["dist_token"]) - p0).max() > 0
+
+
+def test_separate_heads_consistent_with_average(deit_cfg, deit_params, deit_images):
+    cls_l, dist_l = vit.forward(
+        deit_params, deit_images, deit_cfg, separate_heads=True
+    )
+    avg = np.asarray(vit.forward(deit_params, deit_images, deit_cfg))
+    np.testing.assert_allclose(
+        0.5 * (np.asarray(cls_l) + np.asarray(dist_l)), avg, atol=1e-5
+    )
+    plain = {k: v for k, v in deit_params.items() if k != "head_dist"}
+    with pytest.raises(ValueError, match="head_dist"):
+        vit.forward(plain, deit_images, deit_cfg, separate_heads=True)
+
+
+def test_distillation_loss_semantics():
+    from vit_tpu.runtime.trainer import cross_entropy_loss, distillation_loss
+
+    rng = np.random.default_rng(5)
+    cls_l = jnp.asarray(rng.normal(size=(6, 7)), jnp.float32)
+    dist_l = jnp.asarray(rng.normal(size=(6, 7)), jnp.float32)
+    teach = jnp.asarray(rng.normal(size=(6, 7)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 7, 6), jnp.int32)
+
+    got = float(distillation_loss(cls_l, dist_l, y, teach, alpha=0.3))
+    want = 0.7 * float(cross_entropy_loss(cls_l, y)) + 0.3 * float(
+        cross_entropy_loss(dist_l, teach.argmax(-1))
+    )
+    assert abs(got - want) < 1e-6
+    # soft KD is zero when the dist head already matches the teacher
+    zero = float(
+        distillation_loss(cls_l, teach, y, teach, alpha=1.0, hard=False)
+    )
+    assert abs(zero) < 1e-6
+    pos = float(
+        distillation_loss(cls_l, dist_l, y, teach, alpha=1.0, hard=False)
+    )
+    assert pos > 0
+
+
+def test_distill_train_step_learns_teacher(deit_cfg):
+    """Pure-KD (alpha=1) training: the student's distillation head converges
+    toward the frozen teacher's argmax on a fixed batch."""
+    import optax
+
+    from vit_tpu.runtime import trainer
+
+    teacher_cfg = dataclasses.replace(
+        deit_cfg, distilled=False, depth=1, name="vit_teacher_test"
+    )
+    teacher = vit.init_params(jax.random.key(9), teacher_cfg)
+    teacher_fwd = lambda x: vit.forward(teacher, x, teacher_cfg)
+
+    optimizer = optax.adam(3e-3)
+    params, opt_state = trainer.init_train_state(
+        jax.random.key(4), deit_cfg, optimizer
+    )
+    step = jax.jit(
+        trainer.make_distill_train_step(
+            deit_cfg, optimizer, teacher_fwd, alpha=1.0, remat=False
+        )
+    )
+    rng = np.random.default_rng(2)
+    s = deit_cfg.image_size
+    images = jnp.asarray(rng.normal(size=(8, 3, s, s)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, deit_cfg.num_classes, 8), jnp.int32)
+    t_lab = np.asarray(teacher_fwd(images)).argmax(-1)
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, images, labels)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    _, dist_logits = vit.forward(params, images, deit_cfg, separate_heads=True)
+    agree = (np.asarray(dist_logits).argmax(-1) == t_lab).mean()
+    assert agree >= 0.75, agree
+    # alpha=1: the true labels contribute nothing — CLS head must NOT have
+    # converged to them (negative control that the split really routes)
+    cls_logits, _ = vit.forward(params, images, deit_cfg, separate_heads=True)
+    assert not (np.asarray(cls_logits).argmax(-1) == np.asarray(labels)).all()
+
+    with pytest.raises(ValueError, match="distilled"):
+        trainer.make_distill_train_step(
+            dataclasses.replace(deit_cfg, distilled=False),
+            optimizer, teacher_fwd,
+        )
+
+
+# ---- HF transformers DeiT converter cross-checks ------------------------
+
+transformers = pytest.importorskip("transformers")
+torch = pytest.importorskip("torch")
+
+from vit_tpu.io.hf_convert import config_from_hf, params_from_hf_state_dict  # noqa: E402
+
+
+def _tiny_deit_cfg():
+    return transformers.DeiTConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=256,
+        image_size=32,
+        patch_size=16,
+        num_channels=3,
+        num_labels=11,
+        hidden_act="gelu",
+    )
+
+
+@pytest.fixture(scope="module")
+def hf_deit_teacher():
+    torch.manual_seed(0)
+    hf_cfg = _tiny_deit_cfg()
+    model = transformers.DeiTForImageClassificationWithTeacher(hf_cfg).eval()
+    return hf_cfg, model
+
+
+def test_hf_deit_config_mapping(hf_deit_teacher):
+    hf_cfg, _ = hf_deit_teacher
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.distilled
+    assert cfg.seq_len == 6  # (32/16)^2 + CLS + dist
+
+
+def test_hf_deit_teacher_logits_match(hf_deit_teacher):
+    """Converted params through our forward == transformers'
+    DeiTForImageClassificationWithTeacher forward (which averages the CLS
+    and distillation classifier logits at eval)."""
+    hf_cfg, model = hf_deit_teacher
+    cfg = config_from_hf(hf_cfg)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    assert "dist_token" in params and "head_dist" in params
+    params = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(3, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(images)).logits.numpy()
+    got = np.asarray(vit.forward(params, jnp.asarray(images), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    assert (got.argmax(-1) == want.argmax(-1)).all()
+
+
+def test_hf_deit_single_head_logits_match():
+    """Plain DeiTForImageClassification (no teacher head): the distillation
+    token rides through the encoder but only the CLS head classifies."""
+    torch.manual_seed(1)
+    hf_cfg = _tiny_deit_cfg()
+    model = transformers.DeiTForImageClassification(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    assert "dist_token" in params and "head_dist" not in params
+    params = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.default_rng(1)
+    images = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(images)).logits.numpy()
+    got = np.asarray(vit.forward(params, jnp.asarray(images), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_hf_deit_config_mismatch_actionable(hf_deit_teacher):
+    """Converting a DeiT checkpoint under a non-distilled config must fail
+    with a message naming the fix, not a reshape error."""
+    hf_cfg, model = hf_deit_teacher
+    cfg = dataclasses.replace(config_from_hf(hf_cfg), distilled=False)
+    with pytest.raises(ValueError, match="distill"):
+        params_from_hf_state_dict(model.state_dict(), cfg)

@@ -31,6 +31,10 @@ def test_variant_param_count_consistency(name):
     params = jax.eval_shape(lambda k: vit.init_params(k, cfg), jax.random.key(0))
     total = sum(int(jnp.prod(jnp.asarray(l.shape))) for l in jax.tree.leaves(params))
     assert total == cfg.num_params()
+    if cfg.distilled:
+        # the reference Weight_*.bin layout cannot represent the
+        # distillation token/head — the loaders gate it (test_deit.py)
+        return
     # weight-spec table agrees with the pytree
     spec_total = sum(
         int(jnp.prod(jnp.asarray(shape)))

@@ -75,7 +75,26 @@ def main(argv=None) -> int:
         from vit_tpu.io.hf_convert import config_from_hf, params_from_hf_state_dict
 
         try:
-            model = ViTForImageClassification.from_pretrained(args.src)
+            from transformers import AutoConfig
+
+            if getattr(AutoConfig.from_pretrained(args.src), "model_type",
+                       "vit") == "deit":
+                # DeiT: distilled checkpoints carry dual classifier heads
+                # (WithTeacher); plain DeiT fine-tunes carry a single one —
+                # pick by what the checkpoint actually has, never
+                # random-initializing a missing head
+                from transformers import (
+                    DeiTForImageClassification,
+                    DeiTForImageClassificationWithTeacher,
+                )
+
+                model, info = DeiTForImageClassificationWithTeacher.from_pretrained(
+                    args.src, output_loading_info=True
+                )
+                if any("classifier" in k for k in info["missing_keys"]):
+                    model = DeiTForImageClassification.from_pretrained(args.src)
+            else:
+                model = ViTForImageClassification.from_pretrained(args.src)
             hf_cfg = config_from_hf(model.config)
             # the checkpoint knows its own head width: adopt it (the
             # structural fields must still match the named --config)
@@ -86,7 +105,7 @@ def main(argv=None) -> int:
                       f"{hf_cfg.num_classes} (config had {cfg.num_classes})")
                 cfg = _dc.replace(cfg, num_classes=hf_cfg.num_classes)
             for field in ("image_size", "patch_size", "embed_dim", "depth",
-                          "num_heads"):
+                          "num_heads", "distilled"):
                 got, want = getattr(hf_cfg, field), getattr(cfg, field)
                 if got != want:
                     print(f"error: HF checkpoint has {field}={got} but "

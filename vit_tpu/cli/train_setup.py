@@ -619,6 +619,12 @@ def prepare(args) -> TrainSetup:
             # head-only init: sampling the full ~86M-param model just to
             # keep one (embed_dim x K) leaf wasted startup time and RAM
             params["head"] = _init_head(jax.random.key(args.seed ^ 0x4EAD), cfg)
+            if "head_dist" in params:
+                # distilled backbone: the distillation head must match the
+                # new class count too (apply_head averages the two)
+                params["head_dist"] = _init_head(
+                    jax.random.key(args.seed ^ 0xD157), cfg
+                )
             print(f"transfer learning: fresh {cfg.embed_dim} x "
                   f"{args.num_classes} head over the pretrained backbone")
         opt_state = optimizer.init(params)

@@ -31,6 +31,13 @@ class ViTConfig:
     layernorm_eps: float = 1e-6  # ViT_seq.c:21 (CPU path; the GPU kernel omits it, kernel.cl:63)
     dropout: float = 0.0
     drop_path: float = 0.0  # stochastic depth, linearly scaled over layers
+    # DeiT (Touvron et al. 2021) distillation token: a second learned prefix
+    # token with its own classifier head, averaged with the CLS head at
+    # inference.  The reference family is torchvision-ViT-only (always a
+    # single CLS token, ViT_seq.c:72-90); this extends the framework to the
+    # deit_* checkpoint family without touching the encoder kernels (they
+    # are token-count-generic — T just grows by one).
+    distilled: bool = False
     name: str = "vit_b_16"
 
     @property
@@ -42,9 +49,16 @@ class ViTConfig:
         return self.grid_size * self.grid_size
 
     @property
+    def num_prefix_tokens(self) -> int:
+        """Learned tokens prepended to the patch sequence: CLS
+        (ViT_seq.c:72-90), plus DeiT's distillation token when distilled."""
+        return 2 if self.distilled else 1
+
+    @property
     def seq_len(self) -> int:
-        """Tokens = patches + 1 CLS token (197 for B/16 @224, ViT_seq.c:125)."""
-        return self.num_patches + 1
+        """Tokens = patches + prefix tokens (197 for B/16 @224, ViT_seq.c:125;
+        198 for the distilled DeiT variants)."""
+        return self.num_patches + self.num_prefix_tokens
 
     @property
     def head_dim(self) -> int:
@@ -84,7 +98,7 @@ class ViTConfig:
             + h * d + h      # mlp_0
             + d * h + d      # mlp_3
         )
-        return (
+        n = (
             d                      # class token
             + d * p + d            # conv_proj
             + self.seq_len * d     # pos embedding
@@ -92,6 +106,10 @@ class ViTConfig:
             + 2 * d                # final ln
             + self.num_classes * d + self.num_classes  # head
         )
+        if self.distilled:
+            # distillation token + its classifier head (DeiT)
+            n += d + self.num_classes * d + self.num_classes
+        return n
 
     def flops_per_image(self) -> int:
         """Forward-pass matmul FLOPs (2*MACs) for one image — roofline input."""
@@ -117,6 +135,18 @@ VIT_H_14 = ViTConfig(
     embed_dim=1280, depth=32, num_heads=16, patch_size=14, name="vit_h_14"
 )
 
+# DeiT distilled family (facebook/deit-*-distilled-patch16-224): same pre-LN
+# encoder geometry as ViT (dh=64 throughout), plus the distillation token and
+# dual classifier heads.  Tiny/small are new geometries the torchvision
+# family doesn't cover.
+DEIT_T_16 = ViTConfig(
+    embed_dim=192, depth=12, num_heads=3, distilled=True, name="deit_t_16"
+)
+DEIT_S_16 = ViTConfig(
+    embed_dim=384, depth=12, num_heads=6, distilled=True, name="deit_s_16"
+)
+DEIT_B_16 = ViTConfig(distilled=True, name="deit_b_16")
+
 CONFIGS = {
     c.name: c
     for c in (
@@ -127,6 +157,10 @@ CONFIGS = {
         VIT_H_14,
         VIT_B_16.with_image_size(384),
         VIT_L_16.with_image_size(384),
+        DEIT_T_16,
+        DEIT_S_16,
+        DEIT_B_16,
+        DEIT_B_16.with_image_size(384),
     )
 }
 

@@ -29,24 +29,43 @@ def _np(x) -> np.ndarray:
 def params_from_hf_state_dict(
     sd: Mapping[str, Any], cfg: ViTConfig, dtype=np.float32
 ) -> Dict[str, Any]:
-    """HF ViTForImageClassification state dict -> vit_tpu params pytree."""
+    """HF ViT/DeiT state dict -> vit_tpu params pytree.
+
+    Handles ``ViTForImageClassification`` (backbone prefix ``vit.``, head
+    ``classifier``), ``DeiTForImageClassificationWithTeacher`` (prefix
+    ``deit.``, heads ``cls_classifier`` + ``distillation_classifier``) and
+    plain ``DeiTForImageClassification`` (``deit.`` + single
+    ``classifier``; the distillation token rides along unheaded)."""
     d, hd, nh, L = cfg.embed_dim, cfg.head_dim, cfg.num_heads, cfg.depth
+    mp = "deit" if any(k.startswith("deit.") for k in sd) else "vit"
 
     def get(key):
         if key not in sd:
             raise KeyError(f"HF state dict missing {key!r}")
         return _np(sd[key])
 
+    # head naming: WithTeacher DeiT splits cls/distillation classifiers
+    dual_head = "cls_classifier.weight" in sd
+    head_key = "cls_classifier" if dual_head else "classifier"
+    has_dist = f"{mp}.embeddings.distillation_token" in sd
+    if has_dist != cfg.distilled:
+        raise ValueError(
+            f"HF checkpoint {'has' if has_dist else 'lacks'} a distillation "
+            f"token but config {cfg.name} "
+            f"{'lacks' if has_dist else 'has'} distilled=True — pick the "
+            f"matching --config (deit_* for DeiT checkpoints)"
+        )
+
     # fail with actionable messages BEFORE reshape turns a config mismatch
     # into "cannot reshape array of size ..."
-    head_w = get("classifier.weight")
+    head_w = get(f"{head_key}.weight")
     if head_w.shape != (cfg.num_classes, d):
         raise ValueError(
             f"HF classifier is {head_w.shape}, config {cfg.name} expects "
             f"({cfg.num_classes}, {d}) — pass --num-classes "
             f"{head_w.shape[0]} (and check --config)"
         )
-    pos = get("vit.embeddings.position_embeddings")
+    pos = get(f"{mp}.embeddings.position_embeddings")
     if pos.size != cfg.seq_len * d:
         raise ValueError(
             f"HF position embeddings have {pos.size // max(d, 1)} tokens, "
@@ -57,7 +76,7 @@ def params_from_hf_state_dict(
     def pack_qkv(l):
         """3 separate [D, D] (torch [out,in]) -> (D, 3D) packed
         (head,{q,k,v},hd) columns; same for biases."""
-        prefix = f"vit.encoder.layer.{l}.attention.attention"
+        prefix = f"{mp}.encoder.layer.{l}.attention.attention"
         mats = [get(f"{prefix}.{n}.weight") for n in ("query", "key", "value")]
         biases = [get(f"{prefix}.{n}.bias") for n in ("query", "key", "value")]
         # torch [out,in] -> [in,out]; stack as (in, H, 3, hd) -> (in, 3D)
@@ -65,19 +84,19 @@ def params_from_hf_state_dict(
         b = np.stack([x.reshape(nh, hd) for x in biases], axis=1)  # (H,3,hd)
         return w.reshape(d, 3 * d), b.reshape(3 * d)
 
-    layer = lambda l, k: f"vit.encoder.layer.{l}.{k}"
+    layer = lambda l, k: f"{mp}.encoder.layer.{l}.{k}"
     stack = lambda fn: np.stack([fn(l) for l in range(L)])
     packed = [pack_qkv(l) for l in range(L)]  # one pass per layer
 
     params = {
-        "cls_token": get("vit.embeddings.cls_token").reshape(d),
+        "cls_token": get(f"{mp}.embeddings.cls_token").reshape(d),
         "patch_embed": {
-            "kernel": get("vit.embeddings.patch_embeddings.projection.weight")
+            "kernel": get(f"{mp}.embeddings.patch_embeddings.projection.weight")
             .reshape(d, cfg.patch_dim)
             .T.copy(),
-            "bias": get("vit.embeddings.patch_embeddings.projection.bias"),
+            "bias": get(f"{mp}.embeddings.patch_embeddings.projection.bias"),
         },
-        "pos_embed": get("vit.embeddings.position_embeddings").reshape(
+        "pos_embed": get(f"{mp}.embeddings.position_embeddings").reshape(
             cfg.seq_len, d
         ),
         "blocks": {
@@ -97,14 +116,23 @@ def params_from_hf_state_dict(
             "b2": stack(lambda l: get(layer(l, "output.dense.bias"))),
         },
         "ln_final": {
-            "scale": get("vit.layernorm.weight"),
-            "bias": get("vit.layernorm.bias"),
+            "scale": get(f"{mp}.layernorm.weight"),
+            "bias": get(f"{mp}.layernorm.bias"),
         },
         "head": {
-            "kernel": get("classifier.weight").T.copy(),
-            "bias": get("classifier.bias"),
+            "kernel": get(f"{head_key}.weight").T.copy(),
+            "bias": get(f"{head_key}.bias"),
         },
     }
+    if has_dist:
+        params["dist_token"] = get(
+            f"{mp}.embeddings.distillation_token"
+        ).reshape(d)
+        if dual_head:
+            params["head_dist"] = {
+                "kernel": get("distillation_classifier.weight").T.copy(),
+                "bias": get("distillation_classifier.bias"),
+            }
     if dtype is not np.float32:
         from vit_tpu.utils import cast_tree
 
@@ -113,7 +141,8 @@ def params_from_hf_state_dict(
 
 
 def config_from_hf(hf_config) -> ViTConfig:
-    """Map a transformers ViTConfig to a vit_tpu ViTConfig."""
+    """Map a transformers ViTConfig/DeiTConfig to a vit_tpu ViTConfig."""
+    distilled = getattr(hf_config, "model_type", "vit") == "deit"
     return ViTConfig(
         image_size=hf_config.image_size,
         patch_size=hf_config.patch_size,
@@ -124,6 +153,10 @@ def config_from_hf(hf_config) -> ViTConfig:
         num_heads=hf_config.num_attention_heads,
         mlp_ratio=hf_config.intermediate_size / hf_config.hidden_size,
         layernorm_eps=hf_config.layer_norm_eps,
-        name=f"hf_vit_{hf_config.hidden_size}_{hf_config.patch_size}",
+        distilled=distilled,
+        name=(
+            f"hf_{'deit' if distilled else 'vit'}_"
+            f"{hf_config.hidden_size}_{hf_config.patch_size}"
+        ),
     )
 

@@ -57,6 +57,12 @@ def tensors_from_state_dict(
     state_dict: Mapping[str, Any], cfg: ViTConfig = VIT_B_16
 ) -> Dict[int, np.ndarray]:
     """torchvision state dict -> {index: tensor} in the reference layout."""
+    if cfg.distilled:
+        raise ValueError(
+            f"config {cfg.name} is DeiT-distilled; torchvision's vit_* state "
+            "dicts have no distillation token — use the HF DeiT converter "
+            "(io.hf_convert) or .npz/Orbax checkpoints"
+        )
     out: Dict[int, np.ndarray] = {}
     for idx, name, shape in wio.reference_tensor_specs(cfg):
         key = state_dict_key(name)

@@ -267,6 +267,12 @@ def load_reference_weights(
 ):
     """One-call path: directory -> params pytree (Network.c load_weights
     equivalent, plus repacking)."""
+    if cfg.distilled:
+        raise ValueError(
+            f"config {cfg.name} is DeiT-distilled; the reference "
+            "Weight_*.bin layout (152 torchvision-ViT tensors, SURVEY.md §5) "
+            "has no distillation token — load from .npz/Orbax/.pth/HF instead"
+        )
     tensors = load_reference_tensors(
         Path(weight_dir), cfg, round_to_6dp, allow_synth, synth_seed
     )
@@ -279,6 +285,11 @@ def tensors_from_params(params, cfg: ViTConfig = VIT_B_16) -> Dict[int, np.ndarr
     columns back to (3, heads, head_dim) row blocks, unstack layers).
     Round-trips bit-exactly; lets any params pytree (trained, converted)
     be exported as reference Weight_*.bin files."""
+    if "dist_token" in params:
+        raise ValueError(
+            "DeiT-distilled params (dist_token/head_dist) cannot round-trip "
+            "the reference Weight_*.bin layout — export to .npz/Orbax instead"
+        )
     d, hd, nh, L = cfg.embed_dim, cfg.head_dim, cfg.num_heads, cfg.depth
     blocks = params["blocks"]
 

@@ -58,8 +58,12 @@ def forward_one(
     x = x.transpose(1, 3, 0, 2, 4).reshape(gh * gw, c * ps * ps)
     x = x @ p["patch_embed.kernel"] + p["patch_embed.bias"]
 
-    # CLS + pos (ViT_seq.c:72-101).
-    x = np.concatenate([p["cls_token"][None, :], x], axis=0) + p["pos_embed"]
+    # Prefix token(s) + pos (ViT_seq.c:72-101); DeiT-distilled params carry
+    # a second prefix token (distillation) after CLS.
+    prefix = [p["cls_token"][None, :]]
+    if "dist_token" in p:
+        prefix.append(p["dist_token"][None, :])
+    x = np.concatenate(prefix + [x], axis=0) + p["pos_embed"]
 
     d = cfg.embed_dim
     hd = cfg.head_dim
@@ -85,7 +89,11 @@ def forward_one(
         x = x + (hmid @ p["blocks.w2"][l] + p["blocks.b2"][l])
 
     x = _layer_norm(x, p["ln_final.scale"], p["ln_final.bias"], cfg.layernorm_eps)
-    return x[0] @ p["head.kernel"] + p["head.bias"]  # CLS row (ViT_seq.c:433)
+    logits = x[0] @ p["head.kernel"] + p["head.bias"]  # CLS row (ViT_seq.c:433)
+    if "head_dist.kernel" in p:
+        # DeiT: average the CLS head with the distillation-token head
+        logits = 0.5 * (logits + x[1] @ p["head_dist.kernel"] + p["head_dist.bias"])
+    return logits
 
 
 def forward(params, images: np.ndarray, cfg: ViTConfig, dtype=np.float64) -> np.ndarray:

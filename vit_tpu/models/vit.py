@@ -49,6 +49,43 @@ from vit_tpu.ops.dispatch import REFERENCE_OPS, OpsImpl
 Params = Dict[str, Any]
 
 
+def prefix_tokens(params: Params) -> jax.Array:
+    """The learned prefix-token stack to prepend to the patch sequence:
+    (D,) CLS alone (the reference's only case, ViT_seq.c:72-90), or the
+    (2, D) [CLS, distillation] stack for DeiT-distilled params."""
+    dist = params.get("dist_token")
+    if dist is None:
+        return params["cls_token"]
+    return jnp.stack([params["cls_token"], dist])
+
+
+def apply_head(x: jax.Array, params: Params, separate: bool = False):
+    """Final-LN activations (..., T, D) -> logits (..., num_classes).
+
+    CLS row through the classifier (ViT_seq.c:433-435); DeiT-distilled
+    params additionally run the distillation token (row 1) through its own
+    head and average the two — HF's DeiTForImageClassificationWithTeacher
+    eval semantics.  ``separate`` returns the (cls_logits, dist_logits)
+    pair instead of the average — the DeiT distillation loss trains each
+    head against a different target (runtime.trainer.distillation_loss)."""
+    logits = reference.linear(
+        x[..., 0, :], params["head"]["kernel"], params["head"]["bias"]
+    ).astype(jnp.float32)
+    dist_head = params.get("head_dist")
+    if dist_head is None:
+        if separate:
+            raise ValueError(
+                "separate head logits need DeiT-distilled params (head_dist)"
+            )
+        return logits
+    dist_logits = reference.linear(
+        x[..., 1, :], dist_head["kernel"], dist_head["bias"]
+    ).astype(jnp.float32)
+    if separate:
+        return logits, dist_logits
+    return (logits + dist_logits) * 0.5
+
+
 def encoder_block(
     x: jax.Array,
     blk: Dict[str, jax.Array],
@@ -125,11 +162,14 @@ def forward(
     unroll_layers: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     return_features: bool = False,
+    separate_heads: bool = False,
 ) -> jax.Array:
     """Full forward pass: images (B, C, H, W) -> logits (B, num_classes),
     or the final-LN CLS embedding (B, D) when ``return_features`` (the
     transfer-learning feature vector; the reference has no analog — it
-    always applies the head, ViT_seq.c:435).
+    always applies the head, ViT_seq.c:435), or the (cls_logits,
+    dist_logits) pair when ``separate_heads`` (DeiT distillation training
+    — requires distilled params).
 
     Pipeline mirrors ViT_seq (ViT_seq.c:337-439): patch-embed → CLS → pos →
     depth x encoder → final LN → CLS row → head linear.  Softmax is left to
@@ -156,7 +196,7 @@ def forward(
         x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
         cfg.patch_size,
     )
-    x = reference.add_cls_and_pos(x, params["cls_token"], params["pos_embed"])
+    x = reference.add_cls_and_pos(x, prefix_tokens(params), params["pos_embed"])
     if dropout_rng is not None and cfg.dropout > 0:
         # torchvision Encoder applies Dropout to input + pos_embedding
         # before the first block (its fourth dropout site)
@@ -218,11 +258,9 @@ def forward(
     x = ops.layer_norm(
         x, params["ln_final"]["scale"], params["ln_final"]["bias"], cfg.layernorm_eps
     )
-    cls = x[..., 0, :]  # CLS row (ViT_seq.c:433)
     if return_features:
-        return cls.astype(jnp.float32)
-    logits = reference.linear(cls, params["head"]["kernel"], params["head"]["bias"])
-    return logits.astype(jnp.float32)
+        return x[..., 0, :].astype(jnp.float32)  # CLS row (ViT_seq.c:433)
+    return apply_head(x, params, separate=separate_heads)
 
 
 def attention_maps(
@@ -245,7 +283,7 @@ def attention_maps(
         x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
         cfg.patch_size,
     )
-    x = reference.add_cls_and_pos(x, params["cls_token"], params["pos_embed"])
+    x = reference.add_cls_and_pos(x, prefix_tokens(params), params["pos_embed"])
 
     def body(carry, blk):
         h = reference.layer_norm(
@@ -268,14 +306,15 @@ def attention_maps(
     return probs
 
 
-def attention_rollout(probs: jax.Array) -> jax.Array:
+def attention_rollout(probs: jax.Array, num_prefix_tokens: int = 1) -> jax.Array:
     """Attention rollout (Abnar & Zuidema 2020): per-layer probabilities
-    (depth, B, H, T, T) -> CLS->patch relevance (B, T-1).
+    (depth, B, H, T, T) -> CLS->patch relevance (B, T - num_prefix_tokens).
 
     Heads average, each layer mixes with the identity (residual flow) and
-    renormalizes, layers compose by matrix product; the CLS row minus the
-    CLS column is the input-patch relevance map (reshape to the patch grid
-    for a heatmap)."""
+    renormalizes, layers compose by matrix product; the CLS row restricted
+    to the patch columns (prefix tokens dropped — CLS itself, plus DeiT's
+    distillation token when present) is the input-patch relevance map
+    (reshape to the patch grid for a heatmap)."""
     a = probs.mean(axis=2)  # (depth, B, T, T)
     t = a.shape[-1]
     a = 0.5 * a + 0.5 * jnp.eye(t, dtype=a.dtype)
@@ -292,7 +331,7 @@ def attention_rollout(probs: jax.Array) -> jax.Array:
 
     init = jnp.broadcast_to(jnp.eye(t, dtype=a.dtype), a.shape[1:])
     rollout, _ = jax.lax.scan(compose, init, a)
-    return rollout[:, 0, 1:]  # CLS attends-to-patches row
+    return rollout[:, 0, num_prefix_tokens:]  # CLS attends-to-patches row
 
 
 def logits_fn(cfg: ViTConfig, ops: OpsImpl = REFERENCE_OPS, **kw):
@@ -322,7 +361,7 @@ def init_params(
         std = (1.0 / max(fan_in, 1)) ** 0.5
         return (jax.random.truncated_normal(key, -2, 2, shape, jnp.float32) * std).astype(dtype)
 
-    return {
+    out = {
         "cls_token": jnp.zeros((d,), dtype),
         "patch_embed": {
             "kernel": trunc(next(keys), (p, d), p),
@@ -346,6 +385,14 @@ def init_params(
         "ln_final": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
         "head": {"kernel": trunc(next(keys), (d, c), d), "bias": jnp.zeros((c,), dtype)},
     }
+    if cfg.distilled:
+        # DeiT: distillation token (like CLS, zero-init) + its own head
+        out["dist_token"] = jnp.zeros((d,), dtype)
+        out["head_dist"] = {
+            "kernel": trunc(next(keys), (d, c), d),
+            "bias": jnp.zeros((c,), dtype),
+        }
+    return out
 
 
 def init_head(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params:

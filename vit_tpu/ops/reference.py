@@ -232,10 +232,17 @@ def patch_embed(
 def add_cls_and_pos(
     patches: jax.Array, cls_token: jax.Array, pos_embed: jax.Array
 ) -> jax.Array:
-    """Prepend CLS token and add position embeddings
-    (class_token ViT_seq.c:72-90, pos_emb ViT_seq.c:92-101)."""
+    """Prepend the learned prefix token(s) and add position embeddings
+    (class_token ViT_seq.c:72-90, pos_emb ViT_seq.c:92-101).
+
+    ``cls_token`` is either (D,) — the single CLS token, the reference's
+    only case — or a (P, D) stack of prefix tokens (CLS + DeiT's
+    distillation token; see vit_tpu.models.vit.prefix_tokens)."""
     *lead, n, d = patches.shape
-    cls = jnp.broadcast_to(cls_token.astype(patches.dtype), (*lead, 1, d))
+    p = 1 if cls_token.ndim == 1 else cls_token.shape[0]
+    cls = jnp.broadcast_to(
+        cls_token.astype(patches.dtype).reshape(p, d), (*lead, p, d)
+    )
     x = jnp.concatenate([cls, patches], axis=-2)
     return x + pos_embed.astype(patches.dtype)
 

@@ -104,7 +104,9 @@ def shard_forward_pp(
             x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
             cfg.patch_size,
         )
-        x = reference.add_cls_and_pos(x, params["cls_token"], params["pos_embed"])
+        x = reference.add_cls_and_pos(
+            x, vit.prefix_tokens(params), params["pos_embed"]
+        )
         t_len, d = x.shape[-2], x.shape[-1]
         xmb = x.reshape(m, b // m, t_len, d)
 
@@ -215,10 +217,7 @@ def shard_forward_pp(
             x, params["ln_final"]["scale"], params["ln_final"]["bias"],
             cfg.layernorm_eps,
         )
-        logits = reference.linear(
-            x[..., 0, :], params["head"]["kernel"], params["head"]["bias"]
-        )
-        return logits.astype(jnp.float32)
+        return vit.apply_head(x, params)
 
     def fn(params, images):
         # in_specs depend on the params structure, so the shard_map is

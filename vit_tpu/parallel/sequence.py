@@ -134,8 +134,14 @@ def shard_forward_sp(cfg: ViTConfig, mesh: Mesh, gelu_variant: str = "exact"):
     p = cfg.patch_size
     gh = gw = cfg.image_size // p
     n_patches = gh * gw
-    t = n_patches + 1  # + CLS
+    n_prefix = cfg.num_prefix_tokens  # CLS (+ DeiT distillation token)
+    t = n_patches + n_prefix
     t_local = -(-t // n)  # ceil: the ring pads the token axis
+    if t_local < n_prefix:
+        raise ValueError(
+            f"sp={n} leaves {t_local} tokens/shard < {n_prefix} prefix "
+            f"tokens — shard 0 must hold the full prefix"
+        )
     # Each shard embeds only the image rows covering its own token block —
     # per-chip activation memory AND embed FLOPs stay O(T/n); the full
     # (B, T, D) sequence is never materialized anywhere.  Window sizes are
@@ -148,7 +154,7 @@ def shard_forward_sp(cfg: ViTConfig, mesh: Mesh, gelu_variant: str = "exact"):
         b, d = images.shape[0], cfg.embed_dim
         sp_i = jax.lax.axis_index("sp")
 
-        first_patch = sp_i * t_local - 1  # global patch of local token 0
+        first_patch = sp_i * t_local - n_prefix  # global patch of local token 0
         aw = jnp.clip(first_patch, 0, n_patches - win_len)  # window start
         rw = jnp.clip(aw // gw, 0, gh - rows)  # grid-row window start
         img_rows = jax.lax.dynamic_slice_in_dim(
@@ -170,10 +176,17 @@ def shard_forward_sp(cfg: ViTConfig, mesh: Mesh, gelu_variant: str = "exact"):
         raw = jax.lax.dynamic_slice_in_dim(
             win_pad, jnp.clip(first_patch - aw, 0, win_len), t_local, axis=1
         )  # shard s>0: tokens are patches [first_patch, +t_local)
-        cls = jnp.broadcast_to(
-            params["cls_token"].astype(compute_dtype), (b, 1, d)
+        from vit_tpu.models import vit as vit_mod
+
+        prefix = jnp.broadcast_to(
+            vit_mod.prefix_tokens(params).astype(compute_dtype).reshape(
+                n_prefix, d
+            ),
+            (b, n_prefix, d),
         )
-        s0 = jnp.concatenate([cls, win_pad[:, : t_local - 1]], axis=1)
+        s0 = jnp.concatenate(
+            [prefix, win_pad[:, : t_local - n_prefix]], axis=1
+        )
         xl = jnp.where(sp_i == 0, s0, raw)
         # zero-padded pos table: padded shards read zeros, never a clamped
         # (wrong) slice that would shift valid rows' positions
@@ -215,15 +228,17 @@ def shard_forward_sp(cfg: ViTConfig, mesh: Mesh, gelu_variant: str = "exact"):
             xl, params["ln_final"]["scale"], params["ln_final"]["bias"],
             cfg.layernorm_eps,
         )
-        # CLS = global token 0: lives in shard 0's block; broadcast it
-        cls = jax.lax.psum(
-            jnp.where(sp_i == 0, xl[:, 0, :], jnp.zeros_like(xl[:, 0, :])),
+        # prefix tokens (CLS, + dist when distilled) = global tokens
+        # 0..n_prefix-1: they live in shard 0's block; broadcast them
+        head_rows = jax.lax.psum(
+            jnp.where(
+                sp_i == 0,
+                xl[:, :n_prefix, :],
+                jnp.zeros_like(xl[:, :n_prefix, :]),
+            ),
             "sp",
         )
-        logits = reference.linear(
-            cls, params["head"]["kernel"], params["head"]["bias"]
-        )
-        return logits.astype(jnp.float32)
+        return vit_mod.apply_head(head_rows, params)
 
     def fn(params, images):
         return jax.shard_map(

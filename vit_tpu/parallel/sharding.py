@@ -67,7 +67,7 @@ def param_pspecs(axis_names, params: Any) -> Any:
     present = {
         k: v for k, v in block_rules.items() if k in params.get("blocks", {})
     }
-    return {
+    out = {
         "cls_token": rep1,
         "patch_embed": {"kernel": rep1, "bias": rep1},
         "pos_embed": rep1,
@@ -75,6 +75,10 @@ def param_pspecs(axis_names, params: Any) -> Any:
         "ln_final": {"scale": rep1, "bias": rep1},
         "head": {"kernel": rep1, "bias": rep1},
     }
+    if "dist_token" in params:  # DeiT: replicated, like CLS/head
+        out["dist_token"] = rep1
+        out["head_dist"] = {"kernel": rep1, "bias": rep1}
+    return out
 
 
 def param_shardings(mesh: Mesh, params: Any) -> Any:

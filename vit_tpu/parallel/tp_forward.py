@@ -273,7 +273,11 @@ def _local_forward(
         x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
         cfg.patch_size,
     )
-    x = reference.add_cls_and_pos(x, params["cls_token"], params["pos_embed"])
+    from vit_tpu.models import vit as vit_mod
+
+    x = reference.add_cls_and_pos(
+        x, vit_mod.prefix_tokens(params), params["pos_embed"]
+    )
     b, t, d = x.shape
     x2 = x.reshape(b * t, d)
 
@@ -290,11 +294,9 @@ def _local_forward(
         x, params["ln_final"]["scale"], params["ln_final"]["bias"],
         cfg.layernorm_eps,
     )
-    cls = x[..., 0, :]
     if return_features:
-        return cls.astype(jnp.float32)
-    logits = reference.linear(cls, params["head"]["kernel"], params["head"]["bias"])
-    return logits.astype(jnp.float32)
+        return x[..., 0, :].astype(jnp.float32)
+    return vit_mod.apply_head(x, params)
 
 
 def shard_forward_tp(

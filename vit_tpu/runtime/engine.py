@@ -228,7 +228,10 @@ class InferenceEngine:
                 probs = vit.attention_maps(
                     params, x, self.cfg, self._gelu_variant
                 )
-                return (vit.attention_rollout(probs), probs)
+                return (
+                    vit.attention_rollout(probs, self.cfg.num_prefix_tokens),
+                    probs,
+                )
 
             jit_kwargs = {}
             if self.mesh is not None:

@@ -40,6 +40,87 @@ def cross_entropy_loss(
     return nll.mean()
 
 
+def distillation_loss(
+    cls_logits: jax.Array,
+    dist_logits: jax.Array,
+    labels: jax.Array,
+    teacher_logits: jax.Array,
+    alpha: float = 0.5,
+    hard: bool = True,
+    tau: float = 1.0,
+    label_smoothing: float = 0.0,
+) -> jax.Array:
+    """DeiT distillation objective (Touvron et al. 2021): the CLS head
+    trains on the true labels, the distillation head on the teacher.
+
+    ``hard`` (the paper's best variant) uses the teacher's argmax as a hard
+    label: L = (1-alpha)*CE(cls, y) + alpha*CE(dist, argmax(teacher)).
+    ``hard=False`` is soft KD: alpha * tau^2 * KL(teacher_tau || dist_tau).
+    Teacher logits must already be stop-gradient (the teacher is frozen).
+    """
+    ce = cross_entropy_loss(cls_logits, labels, label_smoothing)
+    if hard:
+        kd = cross_entropy_loss(dist_logits, teacher_logits.argmax(axis=-1))
+    else:
+        t = jax.nn.log_softmax(teacher_logits.astype(jnp.float32) / tau, -1)
+        s = jax.nn.log_softmax(dist_logits.astype(jnp.float32) / tau, -1)
+        kd = (tau * tau) * (jnp.exp(t) * (t - s)).sum(axis=-1).mean()
+    return (1.0 - alpha) * ce + alpha * kd
+
+
+def make_distill_train_step(
+    cfg: ViTConfig,
+    optimizer: optax.GradientTransformation,
+    teacher_fwd,
+    ops: OpsImpl = REFERENCE_OPS,
+    remat: bool = True,
+    compute_dtype=None,
+    alpha: float = 0.5,
+    hard: bool = True,
+    tau: float = 1.0,
+    label_smoothing: float = 0.0,
+):
+    """Build ``(params, opt_state, images, labels) -> (params, opt_state,
+    loss)`` training a DeiT-distilled student against a frozen teacher.
+
+    ``teacher_fwd``: ``images -> logits`` closure over the frozen teacher
+    (any config/ops — typically vit.logits_fn over a pretrained tree); it
+    runs inside the step jit under stop_gradient, so the whole
+    student-update + teacher-inference chain is ONE dispatch.
+    The student must be a distilled config (dual heads)."""
+    if not cfg.distilled:
+        raise ValueError(
+            f"distillation training needs a distilled student config "
+            f"(got {cfg.name}; use deit_*)"
+        )
+
+    def loss_fn(params, images, labels):
+        t_logits = jax.lax.stop_gradient(teacher_fwd(images))
+
+        def fwd(p, x):
+            if compute_dtype is not None:
+                p = vit.cast_params(p, compute_dtype)
+                x = x.astype(compute_dtype)
+            return vit.forward(p, x, cfg, ops, separate_heads=True)
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+        cls_logits, dist_logits = fwd(params, images)
+        return distillation_loss(
+            cls_logits, dist_logits, labels, t_logits,
+            alpha=alpha, hard=hard, tau=tau,
+            label_smoothing=label_smoothing,
+        )
+
+    def train_step(params, opt_state, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
 def kernel_backward_compiler_options():
     """Compiler options for jits containing the fused-block backward kernels.
 
