@@ -348,6 +348,58 @@ def test_distill_train_step_learns_teacher(deit_cfg):
         )
 
 
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_train_cli_distillation(deit_cfg, monkeypatch, capsys, tmp_path):
+    """vit-tpu-train --distill-teacher end to end: teacher npz -> 2 steps of
+    hard distillation on a dp mesh."""
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+    from vit_tpu.io import checkpoint as ckpt
+
+    monkeypatch.setitem(config_mod.CONFIGS, "deit_tiny_test", deit_cfg)
+    teacher_cfg = dataclasses.replace(
+        deit_cfg, distilled=False, name="teacher_tiny"
+    )
+    teacher = vit.init_params(jax.random.key(11), teacher_cfg)
+    ckpt.save_npz(teacher, tmp_path / "teacher.npz")
+
+    rc = train_main([
+        "--config", "deit_tiny_test", "--steps", "2", "--batch", "4",
+        "--dp", "4", "--distill-teacher", str(tmp_path / "teacher.npz"),
+        "--save", str(tmp_path / "student.npz"), "--no-compile-cache",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "distillation: teacher" in out and "step    1" in out
+    assert "ops: xla" in out  # auto resolves to the separate-head path
+    assert (tmp_path / "student.npz").exists()
+    student = ckpt.load_npz(tmp_path / "student.npz")
+    assert "dist_token" in student and "head_dist" in student
+
+
+def test_train_cli_distillation_flag_validation(deit_cfg, monkeypatch, capsys,
+                                                tmp_path):
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "deit_tiny_test", deit_cfg)
+    # non-distilled student config
+    rc = train_main([
+        "--config", "vit_b_16", "--steps", "1", "--batch", "8", "--dp", "1",
+        "--distill-teacher", "x.npz", "--no-compile-cache",
+    ])
+    assert rc == 2
+    assert "distilled student" in capsys.readouterr().err
+    # incompatible regularizer path
+    rc = train_main([
+        "--config", "deit_tiny_test", "--steps", "1", "--batch", "8",
+        "--dp", "1", "--distill-teacher", "x.npz", "--augment", "flip",
+        "--no-compile-cache",
+    ])
+    assert rc == 2
+    assert "--dp/--tp only" in capsys.readouterr().err
+
+
 # ---- HF transformers DeiT converter cross-checks ------------------------
 
 transformers = pytest.importorskip("transformers")

@@ -154,6 +154,31 @@ def build_parser() -> argparse.ArgumentParser:
         "requires --ops xla",
     )
     p.add_argument(
+        "--distill-teacher", metavar="WEIGHTS",
+        help="DeiT distillation: train the student's distillation head "
+        "against this frozen teacher (any weight source; the teacher "
+        "forward runs inside the step jit).  Requires a distilled "
+        "--config (deit_*) and --ops xla/qat on a dp/tp mesh",
+    )
+    p.add_argument(
+        "--distill-config", default=None, metavar="NAME",
+        help="teacher config name (default: the student config's "
+        "non-distilled twin — same geometry, single CLS head)",
+    )
+    p.add_argument(
+        "--distill-alpha", type=float, default=0.5, metavar="A",
+        help="distillation mix: (1-A)*CE(cls, labels) + A*KD(dist, teacher)",
+    )
+    p.add_argument(
+        "--distill-soft", action="store_true",
+        help="soft KD (temperature-scaled KL) instead of the paper's "
+        "default hard distillation (CE against the teacher's argmax)",
+    )
+    p.add_argument(
+        "--distill-tau", type=float, default=1.0, metavar="T",
+        help="softmax temperature for --distill-soft",
+    )
+    p.add_argument(
         "--ema-decay", type=float, default=0.0, metavar="D",
         help="track an exponential moving average of the params "
         "(ema = D*ema + (1-D)*params per step); saved via --save-ema",

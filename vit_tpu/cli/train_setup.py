@@ -112,7 +112,11 @@ def _resolve_ops(args, cfg, mesh_axes):
 
     ops_name = args.ops
     if ops_name == "auto":
-        ops_name = "fused_train" if jax.default_backend() == "tpu" else "xla"
+        if getattr(args, "distill_teacher", None):
+            # the separate-head distillation forward runs the unfused blocks
+            ops_name = "xla"
+        else:
+            ops_name = "fused_train" if jax.default_backend() == "tpu" else "xla"
     if args.pp > 1:
         if ops_name not in ("xla", "fused_train"):
             raise SetupError("error: --pp supports --ops xla or fused_train")
@@ -206,7 +210,7 @@ def _build_optimizer(args, lr):
 
 def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
                 params, opt_state, compute_dtype, remat, augment_fn,
-                use_dropout):
+                use_dropout, teacher_fwd=None):
     """Place params/opt_state for the chosen parallelism and build the
     jitted train step.  Returns (step, params, opt_state)."""
     import jax
@@ -297,6 +301,22 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
             fused_adamw=fused_adamw,
             label_smoothing=args.label_smoothing,
             augment_fn=augment_fn, grad_accum=args.grad_accum,
+        )
+    elif teacher_fwd is not None:
+        # DeiT distillation: frozen-teacher forward inside the step jit,
+        # student placed with the same GSPMD rules as the plain path.
+        params = shard_params(params, mesh)
+        opt_state = jax.device_put(
+            opt_state,
+            trainer._opt_state_shardings(
+                opt_state, params, param_shardings(mesh, params), mesh
+            ),
+        )
+        step = trainer.jit_distill_step_for_mesh(
+            cfg, optimizer, mesh, params, opt_state, teacher_fwd, ops=ops,
+            remat=remat, compute_dtype=compute_dtype,
+            alpha=args.distill_alpha, hard=not args.distill_soft,
+            tau=args.distill_tau, label_smoothing=args.label_smoothing,
         )
     else:
         params = shard_params(params, mesh)
@@ -568,6 +588,60 @@ def prepare(args) -> TrainSetup:
         )
         print(f"dropout: {args.dropout}  drop_path: {args.drop_path}")
 
+    teacher_fwd = None
+    if args.distill_teacher:
+        if not cfg.distilled:
+            raise SetupError(
+                f"error: --distill-teacher needs a distilled student "
+                f"--config (deit_*), got {cfg.name}"
+            )
+        if ops_name not in ("xla", "qat"):
+            raise SetupError(
+                "error: --distill-teacher requires --ops xla or qat "
+                "(the separate-head forward runs the unfused blocks)"
+            )
+        if (args.pp > 1 or args.sp > 1 or args.multihost or args.augment
+                or args.grad_accum > 1 or args.dropout or args.drop_path):
+            raise SetupError(
+                "error: --distill-teacher composes with --dp/--tp only "
+                "(no --pp/--sp/--multihost/--augment/--grad-accum/--dropout)"
+            )
+        t_cfg = (
+            get_config(args.distill_config) if args.distill_config
+            else dataclasses.replace(
+                cfg, distilled=False, name=f"{cfg.name}_teacher"
+            )
+        )
+        if t_cfg.num_classes != cfg.num_classes:
+            t_cfg = dataclasses.replace(t_cfg, num_classes=cfg.num_classes)
+        if t_cfg.image_size != cfg.image_size:
+            raise SetupError(
+                f"error: teacher config {t_cfg.name} is {t_cfg.image_size}px "
+                f"but the student trains at {cfg.image_size}px"
+            )
+        t_params = load_params_any(
+            args.distill_teacher, t_cfg, allow_synth=args.allow_synth_weights
+        )
+        if compute_dtype is not None:
+            from vit_tpu.models.vit import cast_params
+
+            t_params = cast_params(t_params, compute_dtype)
+        t_params = jax.tree.map(jnp.asarray, t_params)
+
+        from vit_tpu.models import vit as _vit
+
+        def teacher_fwd(x, _p=t_params, _c=t_cfg):
+            return _vit.forward(_p, x, _c)
+
+        mode = (
+            f"soft KD (tau={args.distill_tau})" if args.distill_soft
+            else "hard (CE vs teacher argmax)"
+        )
+        print(
+            f"distillation: teacher {t_cfg.name} from "
+            f"{args.distill_teacher}, alpha={args.distill_alpha}, {mode}"
+        )
+
     augment_fn = None
     if args.augment or args.grad_accum > 1:
         if args.pp > 1 or args.tp > 1 or args.sp > 1:
@@ -643,6 +717,7 @@ def prepare(args) -> TrainSetup:
     step, params, opt_state = _build_step(
         args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr, params,
         opt_state, compute_dtype, remat, augment_fn, use_dropout,
+        teacher_fwd=teacher_fwd,
     )
 
     start_step = 0

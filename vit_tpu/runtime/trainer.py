@@ -308,6 +308,42 @@ def jit_train_step_for_mesh(
     )
 
 
+def jit_distill_step_for_mesh(
+    cfg: ViTConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    params_like: Any,
+    opt_state_like: Any,
+    teacher_fwd,
+    ops: OpsImpl = REFERENCE_OPS,
+    remat: bool = True,
+    compute_dtype=None,
+    alpha: float = 0.5,
+    hard: bool = True,
+    tau: float = 1.0,
+    label_smoothing: float = 0.0,
+):
+    """jit ``make_distill_train_step`` with explicit mesh shardings
+    (student params TP/replication rules, batch over dp — the same
+    placement as jit_train_step_for_mesh).  The frozen teacher params ride
+    as closure constants inside ``teacher_fwd`` and replicate via GSPMD."""
+    p_shard = param_shardings(mesh, params_like)
+    o_shard = _opt_state_shardings(opt_state_like, params_like, p_shard, mesh)
+    step = make_distill_train_step(
+        cfg, optimizer, teacher_fwd, ops, remat=remat,
+        compute_dtype=compute_dtype, alpha=alpha, hard=hard, tau=tau,
+        label_smoothing=label_smoothing,
+    )
+    return jax.jit(
+        step,
+        in_shardings=(
+            p_shard, o_shard, batch_sharding(mesh, 4), batch_sharding(mesh, 1)
+        ),
+        out_shardings=(p_shard, o_shard, replicate(mesh)),
+        donate_argnums=(0, 1),
+    )
+
+
 def make_train_step_fused_adamw(
     cfg: ViTConfig,
     lr,
