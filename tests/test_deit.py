@@ -224,6 +224,32 @@ def test_sp_forward_distilled(deit_params, deit_images, deit_cfg):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_resolution_transfer_preserves_both_prefix_rows(deit_cfg, deit_params):
+    """Pos-table interpolation (io/interpolate.py) must pass BOTH prefix
+    rows (CLS + dist) through untouched and resize only the patch grid."""
+    from vit_tpu.io.interpolate import adapt_params_resolution
+
+    to_cfg = deit_cfg.with_image_size(2 * deit_cfg.image_size)
+    out = adapt_params_resolution(deit_params, deit_cfg, to_cfg)
+    assert out["pos_embed"].shape == (to_cfg.seq_len, deit_cfg.embed_dim)
+    np.testing.assert_array_equal(
+        np.asarray(out["pos_embed"][:2]), np.asarray(deit_params["pos_embed"][:2])
+    )
+    # and the adapted tree actually runs at the new resolution
+    rng = np.random.default_rng(1)
+    s = to_cfg.image_size
+    imgs = jnp.asarray(rng.normal(size=(2, 3, s, s)), jnp.float32)
+    logits = vit.forward(out, imgs, to_cfg)
+    assert np.isfinite(np.asarray(logits)).all()
+    # distilled <-> non-distilled transfer is a config error, not a crash
+    import dataclasses as _dc
+
+    with pytest.raises(ValueError, match="matching architecture"):
+        adapt_params_resolution(
+            deit_params, deit_cfg, _dc.replace(to_cfg, distilled=False)
+        )
+
+
 def test_reference_format_gates(deit_cfg, deit_params, tmp_path):
     from vit_tpu.io import weights as wio
     from vit_tpu.io.torch_convert import tensors_from_state_dict

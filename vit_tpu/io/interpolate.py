@@ -67,29 +67,36 @@ def bicubic_resize_grid(
 
 
 def interpolate_pos_embed(
-    pos_embed: jax.Array, from_grid: int, to_grid: int, method: str = "bicubic"
+    pos_embed: jax.Array,
+    from_grid: int,
+    to_grid: int,
+    method: str = "bicubic",
+    num_prefix_tokens: int = 1,
 ) -> jax.Array:
-    """(1 + from_grid^2, D) -> (1 + to_grid^2, D); CLS row untouched.
+    """(P + from_grid^2, D) -> (P + to_grid^2, D); the P prefix rows (CLS,
+    plus DeiT's distillation token when present) pass through untouched.
 
     ``method='bicubic'`` (default) is the torch-exact path above with
     align_corners=True — torchvision interpolate_embeddings semantics;
     other methods fall through to ``jax.image.resize``."""
     t, d = pos_embed.shape
-    if t != 1 + from_grid * from_grid:
+    p = num_prefix_tokens
+    if t != p + from_grid * from_grid:
         raise ValueError(
-            f"pos_embed has {t} rows, expected {1 + from_grid * from_grid} "
-            f"(CLS + {from_grid}x{from_grid} grid)"
+            f"pos_embed has {t} rows, expected {p + from_grid * from_grid} "
+            f"({p} prefix + {from_grid}x{from_grid} grid)"
         )
     if from_grid == to_grid:
         return pos_embed
-    cls_row = pos_embed[:1]
-    grid = pos_embed[1:].reshape(from_grid, from_grid, d).astype(jnp.float32)
+    prefix_rows = pos_embed[:p]
+    grid = pos_embed[p:].reshape(from_grid, from_grid, d).astype(jnp.float32)
     if method == "bicubic":
         resized = bicubic_resize_grid(grid, (to_grid, to_grid))
     else:
         resized = jax.image.resize(grid, (to_grid, to_grid, d), method=method)
     out = jnp.concatenate(
-        [cls_row.astype(jnp.float32), resized.reshape(to_grid * to_grid, d)], axis=0
+        [prefix_rows.astype(jnp.float32),
+         resized.reshape(to_grid * to_grid, d)], axis=0
     )
     return out.astype(pos_embed.dtype)
 
@@ -99,10 +106,12 @@ def adapt_params_resolution(
 ):
     """Re-target a params pytree to a new image resolution (same patch size
     and everything else — only the position table changes)."""
-    if (from_cfg.patch_size, from_cfg.embed_dim, from_cfg.depth) != (
+    if (from_cfg.patch_size, from_cfg.embed_dim, from_cfg.depth,
+            from_cfg.distilled) != (
         to_cfg.patch_size,
         to_cfg.embed_dim,
         to_cfg.depth,
+        to_cfg.distilled,
     ):
         raise ValueError("resolution transfer requires matching architecture")
     out = dict(params)
@@ -111,5 +120,6 @@ def adapt_params_resolution(
         from_cfg.grid_size,
         to_cfg.grid_size,
         method,
+        num_prefix_tokens=from_cfg.num_prefix_tokens,
     )
     return out
