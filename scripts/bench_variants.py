@@ -37,7 +37,17 @@ def main():
         name, batch = spec.split(":")
         batch = int(batch)
         cfg = get_config(name)
-        params = wio.params_from_tensors(wio.synth_reference_tensors(cfg, 0), cfg)
+        if cfg.distilled:
+            # DeiT: the reference tensor layout has no distillation token
+            import jax
+
+            from vit_tpu.models import vit
+
+            params = vit.init_params(jax.random.key(0), cfg)
+        else:
+            params = wio.params_from_tensors(
+                wio.synth_reference_tensors(cfg, 0), cfg
+            )
         engine = InferenceEngine(cfg, params, dtype="bfloat16", ops="fused",
                                  batch_pad=batch)
         x, _ = engine._stage(synth_images(batch, cfg, seed=0))

@@ -152,18 +152,21 @@ def test_fused_train_grads_flow_to_both_heads(deit_cfg, deit_params, deit_images
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
-def test_quant_path_runs(deit_cfg, deit_params, deit_images):
+def test_quant_path_close_to_fp(deit_cfg, deit_params, deit_images):
+    """W8A8 kernel path on a distilled tree: the dual-head average must
+    survive int8 noise — labels identical, logits close (the same gate as
+    test_quant.py's non-distilled twin)."""
     from vit_tpu.ops.quant import quantize_params
 
     qp = quantize_params(deit_params)
-    assert "dist_token" in qp  # passes through untouched
+    assert "dist_token" in qp and "head_dist" in qp  # pass through untouched
     got = np.asarray(
         vit.forward(qp, deit_images, deit_cfg, ops=get_ops("quant"))
     )
     want = np.asarray(vit.forward(deit_params, deit_images, deit_cfg))
     assert np.isfinite(got).all()
-    # int8 tolerance: labels should broadly agree on random weights
-    assert got.shape == want.shape
+    assert (got.argmax(-1) == want.argmax(-1)).all()
+    assert np.abs(got - want).max() < 0.15
 
 
 def test_attention_rollout_strips_both_prefix_tokens(
@@ -424,6 +427,71 @@ def test_train_cli_distillation_flag_validation(deit_cfg, monkeypatch, capsys,
     ])
     assert rc == 2
     assert "--dp/--tp only" in capsys.readouterr().err
+
+
+def test_freeze_backbone_trains_both_heads(deit_cfg):
+    """--freeze-backbone on a distilled tree must train head AND head_dist:
+    apply_head averages the two, so a frozen head_dist would mix 50%
+    frozen-random logits into every prediction (review regression)."""
+    from vit_tpu.cli.train_args import build_parser
+    from vit_tpu.cli.train_setup import _build_optimizer
+
+    args = build_parser().parse_args(["--freeze-backbone"])
+    opt = _build_optimizer(args, 0.1)
+    params = vit.init_params(jax.random.key(0), deit_cfg)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    assert np.abs(np.asarray(updates["head"]["kernel"])).max() > 0
+    assert np.abs(np.asarray(updates["head_dist"]["kernel"])).max() > 0
+    assert np.abs(np.asarray(updates["blocks"]["wqkv"])).max() == 0
+    assert np.abs(np.asarray(updates["dist_token"])).max() == 0
+
+
+def test_distill_teacher_head_width_validated(deit_cfg, monkeypatch, capsys,
+                                              tmp_path):
+    """A teacher npz with a different class count must fail loudly at setup
+    — hard KD would otherwise clamp out-of-range argmax labels silently."""
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+    from vit_tpu.io import checkpoint as ckpt
+
+    monkeypatch.setitem(config_mod.CONFIGS, "deit_tiny_test", deit_cfg)
+    wide_cfg = dataclasses.replace(
+        deit_cfg, distilled=False, num_classes=deit_cfg.num_classes + 7,
+        name="teacher_wide",
+    )
+    ckpt.save_npz(
+        vit.init_params(jax.random.key(12), wide_cfg), tmp_path / "t.npz"
+    )
+    rc = train_main([
+        "--config", "deit_tiny_test", "--steps", "1", "--batch", "8",
+        "--dp", "1", "--distill-teacher", str(tmp_path / "t.npz"),
+        "--no-compile-cache",
+    ])
+    assert rc == 2
+    assert "label space" in capsys.readouterr().err
+
+
+def test_convert_cli_distilled_to_reference_fails_cleanly(deit_cfg,
+                                                          monkeypatch,
+                                                          capsys, tmp_path):
+    """Exporting a distilled tree to the reference layout is a clean CLI
+    error (exit 2), not a traceback (review regression)."""
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.convert import main as convert_main
+    from vit_tpu.io import checkpoint as ckpt
+
+    monkeypatch.setitem(config_mod.CONFIGS, "deit_tiny_test", deit_cfg)
+    ckpt.save_npz(
+        vit.init_params(jax.random.key(13), deit_cfg), tmp_path / "d.npz"
+    )
+    rc = convert_main([
+        "--from", str(tmp_path / "d.npz"), "--to", str(tmp_path / "Network"),
+        "--config", "deit_tiny_test",
+    ])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert err.startswith("error:") and "distill" in err
 
 
 # ---- HF transformers DeiT converter cross-checks ------------------------

@@ -59,8 +59,14 @@ def test_parallel_example(capsys):
     assert "dp=4 x tp=2" in out and "pp=2" in out and "OK" in out
 
 
+def test_distill_example(capsys):
+    assert _run("distill", ["--alpha", "1.0"]) == 0  # pure KD
+    out = capsys.readouterr().out
+    assert "dist-head agreement" in out
+
+
 @pytest.mark.parametrize(
-    "name", ["classify", "finetune", "serve_batching", "parallel"]
+    "name", ["classify", "finetune", "serve_batching", "parallel", "distill"]
 )
 def test_examples_have_cpu_flag(name):
     # the scripts promise --cpu works everywhere; keep the flag wired

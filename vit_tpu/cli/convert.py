@@ -77,22 +77,36 @@ def main(argv=None) -> int:
         try:
             from transformers import AutoConfig
 
-            if getattr(AutoConfig.from_pretrained(args.src), "model_type",
-                       "vit") == "deit":
+            hf_auto = AutoConfig.from_pretrained(args.src)
+            if getattr(hf_auto, "model_type", "vit") == "deit":
                 # DeiT: distilled checkpoints carry dual classifier heads
                 # (WithTeacher); plain DeiT fine-tunes carry a single one —
-                # pick by what the checkpoint actually has, never
-                # random-initializing a missing head
+                # pick by the checkpoint's recorded architecture (one load,
+                # never random-initializing a missing head).  WithTeacher is
+                # the default for the untagged case: every published
+                # facebook/deit-*-distilled checkpoint records it.
                 from transformers import (
                     DeiTForImageClassification,
                     DeiTForImageClassificationWithTeacher,
                 )
 
-                model, info = DeiTForImageClassificationWithTeacher.from_pretrained(
+                archs = getattr(hf_auto, "architectures", None) or []
+                cls = (
+                    DeiTForImageClassification
+                    if "DeiTForImageClassification" in archs
+                    else DeiTForImageClassificationWithTeacher
+                )
+                model, info = cls.from_pretrained(
                     args.src, output_loading_info=True
                 )
                 if any("classifier" in k for k in info["missing_keys"]):
-                    model = DeiTForImageClassification.from_pretrained(args.src)
+                    # untagged checkpoint with the other head layout
+                    other = (
+                        DeiTForImageClassificationWithTeacher
+                        if cls is DeiTForImageClassification
+                        else DeiTForImageClassification
+                    )
+                    model = other.from_pretrained(args.src)
             else:
                 model = ViTForImageClassification.from_pretrained(args.src)
             hf_cfg = config_from_hf(model.config)
@@ -141,20 +155,26 @@ def main(argv=None) -> int:
         else:
             fmt = "reference"
 
-    if fmt == "npz":
-        ckpt.save_npz(params, args.dst)
-    elif fmt == "orbax":
-        ckpt.save_orbax(params, args.dst)
-    elif fmt == "pth":
-        # torchvision-loadable state dict: the outbound half of the .pth
-        # interop (ingest is io/torch_convert.load_pth via load_any)
-        from vit_tpu.io.torch_convert import save_pth
+    try:
+        if fmt == "npz":
+            ckpt.save_npz(params, args.dst)
+        elif fmt == "orbax":
+            ckpt.save_orbax(params, args.dst)
+        elif fmt == "pth":
+            # torchvision-loadable state dict: the outbound half of the .pth
+            # interop (ingest is io/torch_convert.load_pth via load_any)
+            from vit_tpu.io.torch_convert import save_pth
 
-        save_pth(params, args.dst, cfg)
-    else:
-        wio.save_reference_weights(
-            wio.tensors_from_params(params, cfg), args.dst, cfg
-        )
+            save_pth(params, args.dst, cfg)
+        else:
+            wio.save_reference_weights(
+                wio.tensors_from_params(params, cfg), args.dst, cfg
+            )
+    except ValueError as e:
+        # e.g. distilled (DeiT) trees cannot round-trip the reference /
+        # torchvision layouts — a client error, not a traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     import jax
 
     n = len(jax.tree.leaves(params))

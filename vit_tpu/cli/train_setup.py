@@ -189,8 +189,12 @@ def _build_optimizer(args, lr):
             import jax as _jax
 
             return _jax.tree_util.tree_map_with_path(
+                # distilled (DeiT) trees: head_dist is averaged into the
+                # classifier output (vit.apply_head), so a frozen head_dist
+                # would mix 50% frozen-random logits into every prediction
                 lambda path, _: (
-                    "train" if path[0].key == "head" else "freeze"
+                    "train" if path[0].key in ("head", "head_dist")
+                    else "freeze"
                 ),
                 params,
             )
@@ -302,23 +306,9 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
             label_smoothing=args.label_smoothing,
             augment_fn=augment_fn, grad_accum=args.grad_accum,
         )
-    elif teacher_fwd is not None:
-        # DeiT distillation: frozen-teacher forward inside the step jit,
-        # student placed with the same GSPMD rules as the plain path.
-        params = shard_params(params, mesh)
-        opt_state = jax.device_put(
-            opt_state,
-            trainer._opt_state_shardings(
-                opt_state, params, param_shardings(mesh, params), mesh
-            ),
-        )
-        step = trainer.jit_distill_step_for_mesh(
-            cfg, optimizer, mesh, params, opt_state, teacher_fwd, ops=ops,
-            remat=remat, compute_dtype=compute_dtype,
-            alpha=args.distill_alpha, hard=not args.distill_soft,
-            tau=args.distill_tau, label_smoothing=args.label_smoothing,
-        )
     else:
+        # GSPMD placement shared by the plain and distillation steps (the
+        # frozen teacher rides as a replicated closure constant).
         params = shard_params(params, mesh)
         opt_state = jax.device_put(
             opt_state,
@@ -326,13 +316,21 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
                 opt_state, params, param_shardings(mesh, params), mesh
             ),
         )
-        step = trainer.jit_train_step_for_mesh(
-            cfg, optimizer, mesh, params, opt_state, ops=ops,
-            remat=remat, compute_dtype=compute_dtype,
-            label_smoothing=args.label_smoothing,
-            augment_fn=augment_fn, grad_accum=args.grad_accum,
-            use_dropout=use_dropout,
-        )
+        if teacher_fwd is not None:
+            step = trainer.jit_distill_step_for_mesh(
+                cfg, optimizer, mesh, params, opt_state, teacher_fwd,
+                ops=ops, remat=remat, compute_dtype=compute_dtype,
+                alpha=args.distill_alpha, hard=not args.distill_soft,
+                tau=args.distill_tau, label_smoothing=args.label_smoothing,
+            )
+        else:
+            step = trainer.jit_train_step_for_mesh(
+                cfg, optimizer, mesh, params, opt_state, ops=ops,
+                remat=remat, compute_dtype=compute_dtype,
+                label_smoothing=args.label_smoothing,
+                augment_fn=augment_fn, grad_accum=args.grad_accum,
+                use_dropout=use_dropout,
+            )
     return step, params, opt_state
 
 
@@ -622,6 +620,16 @@ def prepare(args) -> TrainSetup:
         t_params = load_params_any(
             args.distill_teacher, t_cfg, allow_synth=args.allow_synth_weights
         )
+        # npz/Orbax loads skip config validation: a teacher trained with a
+        # different head width would otherwise silently clamp its argmax
+        # labels into the student's class range (XLA clamps gathers)
+        t_classes = int(np.asarray(t_params["head"]["bias"]).shape[0])
+        if t_classes != cfg.num_classes:
+            raise SetupError(
+                f"error: teacher head has {t_classes} classes but the "
+                f"student trains {cfg.num_classes} — the distillation "
+                "targets must share the student's label space"
+            )
         if compute_dtype is not None:
             from vit_tpu.models.vit import cast_params
 

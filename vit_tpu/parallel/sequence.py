@@ -206,7 +206,6 @@ def shard_forward_sp(cfg: ViTConfig, mesh: Mesh, gelu_variant: str = "exact"):
         # swapped for the ring — one source of truth for LN/MLP/residuals
         import dataclasses as _dc
 
-        from vit_tpu.models import vit as vit_mod
         from vit_tpu.ops.dispatch import REFERENCE_OPS
 
         sp_ops = _dc.replace(
