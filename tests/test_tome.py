@@ -1,0 +1,222 @@
+"""ToMe token merging (ops/tome.py, models/tome.py): merge correctness
+against a NumPy oracle, r=0 degeneracy to the plain forward, and
+fused-kernel vs jnp parity (the kernel emits the metric and applies the
+proportional-attention bias in-VMEM)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_tpu.config import VIT_B_16
+from vit_tpu.models import tome as tome_model
+from vit_tpu.models import vit
+from vit_tpu.ops import tome
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    # 65 tokens: enough rounds of merging to exercise the schedule
+    return dataclasses.replace(
+        VIT_B_16, depth=3, embed_dim=64, num_heads=4, image_size=64,
+        patch_size=8, num_classes=11, name="vit_tome_test",
+    )
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return vit.init_params(jax.random.key(0), cfg)
+
+
+@pytest.fixture(scope="module")
+def images(cfg):
+    rng = np.random.default_rng(3)
+    s = cfg.image_size
+    return jnp.asarray(rng.normal(size=(2, 3, s, s)), jnp.float32)
+
+
+def _merge_oracle(x, metric, size, r, protected):
+    """Independent NumPy bipartite-soft-matching implementation."""
+    xp, sp = x[:protected], size[:protected]
+    xr = x[protected:].astype(np.float64)
+    mr = metric[protected:].astype(np.float64)
+    sr = size[protected:].astype(np.float64)
+    mr = mr / (np.linalg.norm(mr, axis=-1, keepdims=True) + 1e-6)
+    a_idx, b_idx = np.arange(0, len(xr), 2), np.arange(1, len(xr), 2)
+    scores = mr[a_idx] @ mr[b_idx].T
+    best = scores.argmax(-1)
+    best_val = scores[np.arange(len(a_idx)), best]
+    order = np.argsort(-best_val, kind="stable")
+    src, keep = order[:r], np.sort(order[r:])
+    xa, sa = xr[a_idx], sr[a_idx]
+    xb, sb = xr[b_idx].copy(), sr[b_idx].copy()
+    wsum = xb * sb[:, None]
+    for i in src:
+        wsum[best[i]] += xa[i] * sa[i]
+        sb[best[i]] += sa[i]
+    xb = wsum / sb[:, None]
+    return (
+        np.concatenate([xp, xa[keep], xb], 0),
+        np.concatenate([sp, sa[keep], sb], 0),
+    )
+
+
+def test_merge_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    t, d, r, p = 21, 8, 5, 2
+    x = rng.normal(size=(3, t, d)).astype(np.float32)
+    m = rng.normal(size=(3, t, d)).astype(np.float32)
+    s = rng.integers(1, 4, size=(3, t)).astype(np.float32)
+    got_x, got_s = tome.merge_tokens(
+        jnp.asarray(x), jnp.asarray(m), jnp.asarray(s), r, p
+    )
+    assert got_x.shape == (3, t - r, d) and got_s.shape == (3, t - r)
+    for i in range(3):
+        want_x, want_s = _merge_oracle(x[i], m[i], s[i], r, p)
+        np.testing.assert_allclose(np.asarray(got_x[i]), want_x, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_s[i]), want_s, atol=1e-5)
+
+
+def test_merge_conserves_size_and_protects_prefix():
+    rng = np.random.default_rng(1)
+    t, d, r, p = 18, 8, 4, 2
+    x = jnp.asarray(rng.normal(size=(2, t, d)), jnp.float32)
+    m = jnp.asarray(rng.normal(size=(2, t, d)), jnp.float32)
+    s = jnp.ones((2, t), jnp.float32)
+    out, s_out = tome.merge_tokens(x, m, s, r, p)
+    # every original token is still represented exactly once
+    np.testing.assert_allclose(np.asarray(s_out).sum(-1), t, atol=1e-5)
+    # the protected prefix rows pass through bit-identically
+    np.testing.assert_array_equal(np.asarray(out[:, :p]), np.asarray(x[:, :p]))
+
+
+def test_merge_counts_schedule():
+    # 10 full rounds of 16, then the floor clip: t=37 -> min(16, 37-33)=4,
+    # then 0 (final T = 33; tail layers below ~30 tokens are FLOP-trivial
+    # and the fused chain faults on them — ops/tome.merge_counts)
+    assert tome.merge_counts(197, 12, 16, 1) == [16] * 10 + [4, 0]
+    counts = tome.merge_counts(197, 12, 13, 1)
+    assert 197 - sum(counts) >= 33
+    # short sequences never merge below the floor
+    assert tome.merge_counts(21, 12, 8, 1) == [0] * 12
+    assert tome.merge_counts(197, 12, 0, 1) == [0] * 12
+
+
+def test_r0_matches_plain_forward(cfg, params, images):
+    want = np.asarray(vit.forward(params, images, cfg))
+    got = np.asarray(tome_model.forward_xla(params, images, cfg, r=0))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fused_matches_xla(cfg, params, images):
+    """The production kernel path (metric + log-size bias in-VMEM) must
+    reproduce the jnp ToMe forward — same merges, same logits."""
+    for r in (0, 4):
+        a = np.asarray(tome_model.forward_xla(params, images, cfg, r=r))
+        b = np.asarray(tome_model.forward_fused(params, images, cfg, r=r))
+        np.testing.assert_allclose(a, b, atol=2e-4, err_msg=f"r={r}")
+
+
+def test_kernel_logsize_and_kmean_parity(cfg, params):
+    """Kernel A's new outputs/operands against the jnp twin directly."""
+    from vit_tpu.ops.pallas import fused_block as FB
+
+    rng = np.random.default_rng(5)
+    b, t, d = 2, cfg.seq_len, cfg.embed_dim
+    x = jnp.asarray(rng.normal(size=(b, t, d)) * 0.1, jnp.float32)
+    sizes = jnp.asarray(rng.integers(1, 5, size=(b, t)), jnp.float32)
+    blk = jax.tree.map(lambda a: a[0], params["blocks"])
+
+    import vit_tpu.ops.reference as R
+
+    ln = R.layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps)
+    want_ctx, want_kmean = tome_model._attn_with_sizes(
+        ln, blk["wqkv"], blk["bqkv"],
+        jnp.eye(d, dtype=jnp.float32), jnp.zeros((d,), jnp.float32),
+        cfg.num_heads, jnp.log(sizes),
+    )
+    got_ctx, got_kmean = FB.ln_qkv_attn(
+        x.reshape(b * t, d), blk["ln1_scale"], blk["ln1_bias"],
+        blk["wqkv"], blk["bqkv"], cfg.num_heads, t, cfg.layernorm_eps,
+        interpret=True, log_size=jnp.log(sizes), return_kmean=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_ctx), np.asarray(want_ctx).reshape(b * t, d), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_kmean),
+        np.asarray(want_kmean).reshape(b * t, -1), atol=1e-5,
+    )
+
+
+def test_engine_tome(cfg, params, images):
+    """InferenceEngine(tome_r=...) classifies through the merged forward;
+    r=0 engine matches the plain engine exactly."""
+    from vit_tpu.runtime import InferenceEngine
+
+    plain = InferenceEngine(cfg, params, dtype="float32", ops="fused",
+                            batch_pad=2)
+    merged = InferenceEngine(cfg, params, dtype="float32", ops="fused",
+                             batch_pad=2, tome_r=4)
+    lp, _ = plain.classify(np.asarray(images))
+    lm, tm = merged.classify(np.asarray(images))
+    assert lm.shape == lp.shape and np.isfinite(tm).all()
+    with pytest.raises(ValueError, match="tome"):
+        InferenceEngine(cfg, params, ops="quant", tome_r=4)
+
+
+def test_cli_tome(cfg, monkeypatch, capsys, tmp_path):
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.main import main as cli_main
+    from vit_tpu.io import checkpoint as ckpt
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tome_test", cfg)
+    ckpt.save_npz(
+        vit.init_params(jax.random.key(0), cfg), tmp_path / "w.npz"
+    )
+    rc = cli_main([
+        "--config", "vit_tome_test", "--weights", str(tmp_path / "w.npz"),
+        "--synth", "2", "--ops", "fused", "--tome", "4", "--dtype",
+        "float32", "--no-compile-cache",
+    ])
+    assert rc == 0
+    assert "[0] label:" in capsys.readouterr().out
+    rc = cli_main([
+        "--config", "vit_tome_test", "--weights", str(tmp_path / "w.npz"),
+        "--synth", "2", "--ops", "quant", "--tome", "4",
+        "--no-compile-cache",
+    ])
+    assert rc == 2
+    assert "--tome" in capsys.readouterr().err
+
+
+def test_bench_tome_smoke(capsys):
+    """scripts/bench_tome.py --smoke must keep working (CI gate, same
+    convention as the staged pod benchmark)."""
+    import sys as _sys
+    from pathlib import Path
+
+    scripts = Path(__file__).resolve().parent.parent / "scripts"
+    _sys.path.insert(0, str(scripts))
+    try:
+        import bench_tome
+    finally:
+        _sys.path.remove(str(scripts))
+    assert bench_tome.main(["--smoke", "--r", "0,2"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("img/s") == 2
+
+
+def test_distilled_protects_both_prefix_tokens(cfg, params):
+    """On a DeiT config both CLS and the distillation token are protected."""
+    dcfg = dataclasses.replace(cfg, distilled=True, name="deit_tome_test")
+    dparams = vit.init_params(jax.random.key(2), dcfg)
+    rng = np.random.default_rng(4)
+    s = dcfg.image_size
+    imgs = jnp.asarray(rng.normal(size=(2, 3, s, s)), jnp.float32)
+    a = np.asarray(tome_model.forward_xla(dparams, imgs, dcfg, r=4))
+    b = np.asarray(tome_model.forward_fused(dparams, imgs, dcfg, r=4))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    assert np.isfinite(a).all()

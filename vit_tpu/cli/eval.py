@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--gelu", default="exact", choices=["exact", "tanh"])
+    p.add_argument(
+        "--tome", type=int, default=0, metavar="R",
+        help="ToMe token merging (needs --ops fused/xla): measure the "
+        "accuracy side of the throughput-vs-r trade",
+    )
     p.add_argument("--allow-synth-weights", action="store_true")
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line instead of text")
@@ -84,6 +89,10 @@ def main(argv=None) -> int:
 
     cfg = resolve_config(args.config, args.num_classes)
     ops = resolve_ops_name(args.ops)
+    if args.tome and (ops not in ("fused", "xla") or args.tp > 1):
+        print("error: --tome needs --ops fused or xla on a dp mesh (no "
+              "--tp)", file=sys.stderr)
+        return 2
 
     ds = None
     if args.image_dir:
@@ -132,6 +141,7 @@ def main(argv=None) -> int:
     engine = InferenceEngine(
         cfg, params, dtype=args.dtype, ops=ops, mesh=mesh,
         batch_pad=min(args.batch, len(images)), gelu_variant=args.gelu,
+        tome_r=args.tome,
     )
     t0 = time.perf_counter()
     if ds is not None:

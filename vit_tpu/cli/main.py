@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
         "for the batch to an .npz (maps: (B, grid, grid), labels); "
         "needs fp ops (not quant)",
     )
+    p.add_argument(
+        "--tome", type=int, default=0, metavar="R",
+        help="ToMe token merging: merge the R most similar token pairs "
+        "per layer (Bolya et al. 2022) — higher throughput at a "
+        "controlled approximation cost; needs --ops fused or xla",
+    )
     p.add_argument("--json", action="store_true", help="machine-readable summary")
     p.add_argument(
         "--profile",
@@ -129,6 +135,19 @@ def main(argv=None) -> int:
     resolve_compile_cache(args)
     cfg = resolve_config(args.config, args.num_classes)
     ops = resolve_ops_name(args.ops)
+    if args.tome and ops not in ("fused", "xla"):
+        print(
+            "error: --tome (token merging) needs --ops fused or xla",
+            file=sys.stderr,
+        )
+        return 2
+    if args.tome and args.tp > 1:
+        print(
+            "error: --tome shards data-parallel only (no --tp): the merge "
+            "keeps whole tokens per device",
+            file=sys.stderr,
+        )
+        return 2
     if ops == "quant" and (args.attn_rollout or args.profile):
         # knowable now: both probes need fp weights (engine raises the
         # same incompatibility, but only AFTER minutes of load+inference)
@@ -172,7 +191,7 @@ def main(argv=None) -> int:
 
     engine = InferenceEngine(
         cfg, params, dtype=args.dtype, ops=ops, mesh=mesh,
-        batch_pad=args.batch_pad, gelu_variant=args.gelu,
+        batch_pad=args.batch_pad, gelu_variant=args.gelu, tome_r=args.tome,
     )
 
     t0 = time.perf_counter()

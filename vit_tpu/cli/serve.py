@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-queue", type=int, default=None, metavar="IMAGES",
                    help="shed load (HTTP 503) when the pending-image "
                    "backlog exceeds this (default: 8 x max-batch)")
+    p.add_argument("--tome", type=int, default=0, metavar="R",
+                   help="ToMe token merging on the serving forward "
+                   "(needs --ops fused/xla, no --tp; see docs/usage.md)")
     p.add_argument("--labels", help="label names file (default: packaged ImageNet)")
     p.add_argument(
         "--selftest", type=int, metavar="N", default=None,
@@ -155,7 +158,7 @@ def _build_server(args):
     )
     engine = InferenceEngine(
         cfg, params, dtype=args.dtype, ops=ops, mesh=mesh,
-        batch_pad=args.batch_pad,
+        batch_pad=args.batch_pad, tome_r=args.tome,
     )
     server = InferenceServer(
         engine, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
@@ -459,6 +462,11 @@ def _drain_on_sigterm(httpd):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.tome and (args.multihost or args.tp > 1
+                      or args.ops not in ("auto", "fused", "xla")):
+        print("error: --tome needs --ops fused/xla on a single-host dp "
+              "mesh (no --tp/--multihost)", file=sys.stderr)
+        return 2
     if args.selftest is not None and args.max_queue is None:
         # the selftest intentionally enqueues the whole burst up front to
         # measure drain throughput — don't shed it

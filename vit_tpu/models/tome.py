@@ -1,0 +1,169 @@
+"""ToMe-accelerated ViT forward passes (inference only).
+
+Token merging (ops/tome.py) shrinks the token count by a fixed r per
+layer, so the per-layer shapes differ — the layer loop unrolls in Python
+(12 static shapes instead of one scanned body; XLA compiles each once).
+Two implementations, cross-checked against each other:
+
+  - :func:`forward_xla`: pure-jnp (the readable oracle; also what CPU
+    tests gate the kernels against).
+  - :func:`forward_fused`: the production path — kernel A emits the ToMe
+    similarity metric (mean attention key) for free and applies the
+    proportional-attention log-size bias in-VMEM; the merge itself is
+    XLA gather/scatter between kernels B and C.
+
+The reference runs every layer at the full 197 tokens (ViT_seq.c:326-439);
+this is the "change the arithmetic" lever the round-3 floor study pointed
+at (docs/performance.md) — throughput beyond the fixed-T structural floor
+at a controlled approximation cost (r=0 is bit-identical to the plain
+paths).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from vit_tpu.config import ViTConfig
+from vit_tpu.models import vit
+from vit_tpu.ops import reference, tome
+from vit_tpu.ops.pallas import fused_block as FB
+
+
+def _attn_with_sizes(x, wqkv, bqkv, wo, bo, num_heads, log_size):
+    """jnp attention on the packed (head,{q,k,v},dh) layout with ToMe's
+    proportional-attention bias; also returns the mean key over heads.
+    Mirrors reference.attention (same layout/precision conventions)."""
+    *lead, t, d = x.shape
+    d_ctx = wqkv.shape[-1] // 3
+    dh = d_ctx // num_heads
+    prec = reference._prec(x)
+    qkv = reference.linear(x, wqkv, bqkv)  # (..., T, 3D)
+    qkv = qkv.reshape(*lead, t, num_heads, 3, dh)
+    q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+    s = jnp.einsum(
+        "...thd,...shd->...hts", q, k, precision=prec,
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / math.sqrt(dh))
+    s = s + log_size[..., None, None, :]
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum(
+        "...hts,...shd->...thd", p, v, precision=prec,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(*lead, t, d_ctx)
+    return reference.linear(ctx, wo, bo), k.mean(axis=-2)
+
+
+def forward_xla(
+    params: Dict[str, Any],
+    images: jax.Array,
+    cfg: ViTConfig,
+    r: int,
+    gelu_variant: str = "exact",
+) -> jax.Array:
+    """Pure-jnp ToMe forward: images (B, C, H, W) -> logits."""
+    compute_dtype = params["pos_embed"].dtype
+    x = images.astype(compute_dtype)
+    x = reference.patch_embed(
+        x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
+        cfg.patch_size,
+    )
+    x = reference.add_cls_and_pos(x, vit.prefix_tokens(params), params["pos_embed"])
+    b = x.shape[0]
+    p = cfg.num_prefix_tokens
+    counts = tome.merge_counts(cfg.seq_len, cfg.depth, r, p)
+    sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
+    for l in range(cfg.depth):
+        blk = jax.tree.map(lambda a: a[l], params["blocks"])
+        h = reference.layer_norm(
+            x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps
+        )
+        attn, kmean = _attn_with_sizes(
+            h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"],
+            cfg.num_heads, jnp.log(sizes),
+        )
+        x = x + attn
+        if counts[l] > 0:
+            x, sizes = tome.merge_tokens(x, kmean, sizes, counts[l], p)
+        h = reference.layer_norm(
+            x, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps
+        )
+        x = x + reference.mlp(
+            h, blk["w1"], blk["b1"], blk["w2"], blk["b2"], gelu_variant
+        )
+    x = reference.layer_norm(
+        x, params["ln_final"]["scale"], params["ln_final"]["bias"],
+        cfg.layernorm_eps,
+    )
+    return vit.apply_head(x, params)
+
+
+def fused_compiler_options():
+    """jit compiler options for :func:`forward_fused` on TPU.
+
+    The unrolled 36-kernel chain (3 pallas calls x depth) overflows XLA's
+    default ~19 MiB scoped-VMEM operand-staging budget — and does so as a
+    HARD WORKER FAULT at run time, not a compile error (bisected on-chip:
+    12x[A+B+C] crashes, 12x[A+B], 12x[C], and 1x[A+B+C] all pass; the
+    same jit with this limit passes).  Same knob the backward megakernels
+    need (trainer.kernel_backward_compiler_options)."""
+    if jax.default_backend() == "tpu":
+        return {"xla_tpu_scoped_vmem_limit_kib": "81920"}
+    return None
+
+
+def forward_fused(
+    params: Dict[str, Any],
+    images: jax.Array,
+    cfg: ViTConfig,
+    r: int,
+    gelu_variant: str = "exact",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Kernel-path ToMe forward: kernel A (LN1+QKV+attention, log-size
+    bias in-VMEM, metric emitted) -> kernel B (out_proj+residual) ->
+    XLA merge -> kernel C (LN2+MLP+residual), per layer."""
+    if interpret is None:
+        from vit_tpu.ops.pallas import interpret_default
+
+        interpret = interpret_default()
+    compute_dtype = params["pos_embed"].dtype
+    x = images.astype(compute_dtype)
+    x = reference.patch_embed(
+        x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
+        cfg.patch_size,
+    )
+    x = reference.add_cls_and_pos(x, vit.prefix_tokens(params), params["pos_embed"])
+    b, _, d = x.shape
+    p = cfg.num_prefix_tokens
+    counts = tome.merge_counts(cfg.seq_len, cfg.depth, r, p)
+    sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
+    for l in range(cfg.depth):
+        blk = jax.tree.map(lambda a: a[l], params["blocks"])
+        t = x.shape[1]
+        x2 = x.reshape(b * t, d)
+        ctx, kmean = FB.ln_qkv_attn(
+            x2, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["bqkv"],
+            cfg.num_heads, t, cfg.layernorm_eps, interpret=interpret,
+            log_size=jnp.log(sizes), return_kmean=True,
+        )
+        y = FB.out_residual(ctx, x2, blk["wo"], blk["bo"], interpret=interpret)
+        x = y.reshape(b, t, d)
+        if counts[l] > 0:
+            x, sizes = tome.merge_tokens(
+                x, kmean.reshape(b, t, -1), sizes, counts[l], p
+            )
+            t = t - counts[l]
+        x = FB.ln_mlp_residual(
+            x.reshape(b * t, d), blk["ln2_scale"], blk["ln2_bias"],
+            blk["w1"], blk["b1"], blk["w2"], blk["b2"], cfg.layernorm_eps,
+            gelu_variant, interpret=interpret,
+        ).reshape(b, t, d)
+    x = reference.layer_norm(
+        x, params["ln_final"]["scale"], params["ln_final"]["bias"],
+        cfg.layernorm_eps,
+    )
+    return vit.apply_head(x, params)

@@ -98,10 +98,14 @@ def use_fast_erf(dtype) -> bool:
 # than a split LN+QKV / attention form, bit-identical.
 
 
-def _head_context(qkv, h, dh, scale):
+def _head_context(qkv, h, dh, scale, log_size=None):
     """Per-head softmax(q k^T / sqrt(dh)) v from the packed
     (head,{q,k,v},dh) columns of a VMEM-resident qkv (T, 3D) tile.
-    Shared by the fp and int8 block kernels."""
+    Shared by the fp and int8 block kernels.
+
+    ``log_size`` (T,) fp32, when given, adds ToMe's proportional-attention
+    bias to the key logits (softmax(qk^T/sqrt(dh) + log s) — merged tokens
+    keep their aggregate influence, ops/tome.py)."""
     base = h * 3 * dh
     prec = dot_precision(qkv.dtype)
     # fold 1/sqrt(dh) into Q (a T x dh multiply, not T x T)
@@ -112,6 +116,8 @@ def _head_context(qkv, h, dh, scale):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=prec,
     )
+    if log_size is not None:
+        s = s + log_size[None, :]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     # normalize via reciprocal-multiply (row-wise divide is VPU-expensive)
@@ -121,11 +127,17 @@ def _head_context(qkv, h, dh, scale):
 
 
 def _ln_qkv_attn_kernel(
-    x_ref, s_ref, b_ref, w_ref, bias_ref, *out_refs, eps, num_heads, scale
+    x_ref, s_ref, b_ref, w_ref, bias_ref, *refs, eps, num_heads, scale,
+    has_log_size=False, emit_kmean=False
 ):
     # head_dim comes from the weight, not the input width: under tensor
     # parallelism the kernel sees only this shard's (head,{q,k,v},dh)
     # column block (num_heads = local heads), while x keeps the full D.
+    if has_log_size:
+        ls_ref, *out_refs = refs
+        log_size = ls_ref[0, 0]
+    else:
+        log_size, out_refs = None, list(refs)
     out_ref = out_refs[0]
     dh = w_ref.shape[-1] // (3 * num_heads)
     h_ln = _ln(x_ref[0], s_ref[:], b_ref[:], eps).astype(x_ref.dtype)
@@ -134,17 +146,25 @@ def _ln_qkv_attn_kernel(
         precision=dot_precision(x_ref.dtype),
     )
     qkv = (qkv + bias_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
-    if len(out_refs) > 1:  # training path: stash qkv for the backward
-        out_refs[1][0] = qkv
+    if len(out_refs) > 1 and not emit_kmean:
+        out_refs[1][0] = qkv  # training path: stash qkv for the backward
     for h in range(num_heads):  # heads are column slices of the VMEM qkv
         out_ref[0, :, h * dh : (h + 1) * dh] = _head_context(
-            qkv, h, dh, scale
+            qkv, h, dh, scale, log_size
         ).astype(out_ref.dtype)
+    if emit_kmean:
+        # mean attention key over heads — ToMe's similarity metric
+        # (ops/tome.py), read straight off the VMEM-resident qkv
+        acc = qkv[:, dh : 2 * dh].astype(jnp.float32)
+        for h in range(1, num_heads):
+            base = h * 3 * dh
+            acc = acc + qkv[:, base + dh : base + 2 * dh].astype(jnp.float32)
+        out_refs[1][0] = (acc * (1.0 / num_heads)).astype(out_refs[1].dtype)
 
 
 def ln_qkv_attn(
     x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps,
-    interpret=False, return_qkv=False,
+    interpret=False, return_qkv=False, log_size=None, return_kmean=False,
 ):
     """(B*T, D) -> attention context (B*T, Dctx): LN1, QKV projection, and
     the per-head attention all inside one kernel; W_qkv stays VMEM-resident.
@@ -153,12 +173,20 @@ def ln_qkv_attn(
     columns; Dctx = wqkv.shape[-1] // 3 (== D single-device, D/tp under TP).
     ``return_qkv`` additionally emits the packed QKV (training residual —
     lets the backward kernel skip the QKV GEMM recompute).
+    ``log_size`` (B, T) fp32 adds ToMe's proportional-attention bias to
+    the key logits; ``return_kmean`` additionally emits the mean attention
+    key over heads (B*T, head_dim) — the ToMe similarity metric, free
+    because the packed QKV is already VMEM-resident (ops/tome.py).
     """
+    if return_qkv and return_kmean:
+        raise ValueError("return_qkv (training) and return_kmean (ToMe "
+                         "inference) are mutually exclusive")
     rows, d = x2d.shape
     d3 = wqkv.shape[-1]
     d_ctx = d3 // 3
+    dh = d_ctx // num_heads
     b = rows // seq_len
-    scale = 1.0 / ((d_ctx // num_heads) ** 0.5)
+    scale = 1.0 / (dh ** 0.5)
     out_specs = pl.BlockSpec(
         (1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -169,18 +197,40 @@ def ln_qkv_attn(
             pl.BlockSpec((1, seq_len, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         )
         out_shape = (out_shape, jax.ShapeDtypeStruct((b, seq_len, d3), x2d.dtype))
+    elif return_kmean:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, seq_len, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (out_shape, jax.ShapeDtypeStruct((b, seq_len, dh), x2d.dtype))
+    in_specs = [
+        pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        x2d.reshape(b, seq_len, d),
+        ln_scale.reshape(1, d),
+        ln_bias.reshape(1, d),
+        wqkv,
+        bqkv.reshape(1, d3),
+    ]
+    if log_size is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, seq_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(
+            log_size.astype(jnp.float32).reshape(b, 1, seq_len)
+        )
     out = pl.pallas_call(
         functools.partial(
-            _ln_qkv_attn_kernel, eps=eps, num_heads=num_heads, scale=scale
+            _ln_qkv_attn_kernel, eps=eps, num_heads=num_heads, scale=scale,
+            has_log_size=log_size is not None, emit_kmean=return_kmean,
         ),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=_VMEM_LIMIT,
@@ -190,16 +240,13 @@ def ln_qkv_attn(
             transcendentals=b * num_heads * seq_len * seq_len,
         ),
         interpret=interpret,
-    )(
-        x2d.reshape(b, seq_len, d),
-        ln_scale.reshape(1, d),
-        ln_bias.reshape(1, d),
-        wqkv,
-        bqkv.reshape(1, d3),
-    )
+    )(*operands)
     if return_qkv:
         ctx, qkv = out
         return ctx.reshape(rows, d_ctx), qkv.reshape(rows, d3)
+    if return_kmean:
+        ctx, kmean = out
+        return ctx.reshape(rows, d_ctx), kmean.reshape(rows, dh)
     return out.reshape(rows, d_ctx)
 
 

@@ -1,0 +1,112 @@
+"""ToMe token merging (Bolya et al. 2022, "Token Merging: Your ViT But
+Faster") — inference-time acceleration by merging the r most similar token
+pairs per layer.
+
+The reference (and this framework's parity paths) runs every layer at the
+full token count; the round-3 floor study (docs/performance.md) showed the
+bf16 headline sits at a MEASURED structural floor at fixed arithmetic —
+"breaking it means changing the arithmetic".  ToMe is exactly that change:
+a static per-layer merge schedule shrinks T as depth grows (197 -> 197-r·l
+for B/16), trading a controlled approximation for throughput.  Everything
+here is static-shape (r is fixed per layer), so XLA compiles one program
+per layer and the merge itself is gather/scatter — no dynamic shapes.
+
+Algorithm (the paper's bipartite soft matching, between the attention and
+MLP halves of each block):
+
+  1. metric = mean over heads of the attention KEYS (already computed by
+     the QKV projection; the fused kernel A emits it for free).
+  2. Split non-protected tokens alternately into sets A and B; each
+     A-token scores its most similar B-token (cosine similarity).
+  3. The r highest-scoring A-tokens merge into their B matches by
+     size-weighted average; everything else passes through.
+  4. Token sizes track how many original patches each token represents;
+     subsequent attention adds log(size) to the key logits ("proportional
+     attention") so merged tokens keep their aggregate influence.
+
+Protected prefix tokens (CLS, and DeiT's distillation token) never merge.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def merge_counts(seq_len: int, depth: int, r: int, protected: int = 1):
+    """Per-layer merge counts: r per layer, clipped so at least
+    ``protected + 32`` tokens survive to the final layer.
+
+    The floor is deliberately conservative: layers below ~30 tokens are
+    FLOP-trivial (nothing to save), accuracy margin improves, and the
+    fused path's composed 36-kernel program was bisected to hard-fault
+    the TPU worker when the tail layers shrank into the low tens (every
+    sub-program passes in isolation — r=13's T=41 tail runs, r=16's
+    T=21/11 tail crashed; models/tome.forward_fused)."""
+    floor = protected + 32
+    counts = []
+    t = seq_len
+    for _ in range(depth):
+        # the A-set of ceil((t-p)/2) tokens bounds how many pairs exist
+        rl = min(r, max(0, t - floor), (t - protected) // 2)
+        counts.append(rl)
+        t -= rl
+    return counts
+
+
+def _merge_one(
+    x: jax.Array, metric: jax.Array, size: jax.Array, r: int, protected: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Single image: (T, D) tokens + (T, Dm) metric + (T,) sizes ->
+    ((T - r, D), (T - r,)) after merging the r best bipartite pairs."""
+    t, d = x.shape
+    if r <= 0:
+        return x, size
+    xp, sp = x[:protected], size[:protected]
+    xr, mr, sr = x[protected:], metric[protected:], size[protected:]
+    n = t - protected
+    # cosine similarity: normalize the metric rows (fp32 for stability)
+    mr = mr.astype(jnp.float32)
+    mr = mr / (jnp.linalg.norm(mr, axis=-1, keepdims=True) + 1e-6)
+    a_idx = jnp.arange(0, n, 2)  # alternating split (paper's assignment)
+    b_idx = jnp.arange(1, n, 2)
+    ma, mb = mr[a_idx], mr[b_idx]
+    scores = ma @ mb.T  # (na, nb)
+    best = jnp.argmax(scores, axis=-1)  # each A-token's B match
+    best_val = jnp.take_along_axis(scores, best[:, None], axis=-1)[:, 0]
+    order = jnp.argsort(-best_val)  # most similar first
+    src = order[:r]              # A-rows that merge away
+    keep = jnp.sort(order[r:])   # A-rows that survive, original order
+    dst = best[src]              # B-slots receiving them
+
+    xa, sa = xr[a_idx], sr[a_idx]
+    xb, sb = xr[b_idx], sr[b_idx]
+    # size-weighted average into the destination B slots (fp32 accumulate)
+    wsum = (xb.astype(jnp.float32) * sb[:, None]).at[dst].add(
+        xa[src].astype(jnp.float32) * sa[src][:, None]
+    )
+    sb_new = sb.at[dst].add(sa[src])
+    xb_new = (wsum / sb_new[:, None]).astype(x.dtype)
+
+    x_out = jnp.concatenate([xp, xa[keep], xb_new], axis=0)
+    s_out = jnp.concatenate([sp, sa[keep], sb_new], axis=0)
+    return x_out, s_out
+
+
+def merge_tokens(
+    x: jax.Array, metric: jax.Array, size: jax.Array, r: int,
+    protected: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched bipartite soft matching merge.
+
+    x (B, T, D): tokens; metric (B, T, Dm): similarity space (mean
+    attention keys); size (B, T): how many original tokens each row
+    represents.  Returns ((B, T - r, D), (B, T - r)).  The first
+    ``protected`` rows (CLS / distillation token) never merge."""
+    if r <= 0:
+        return x, size
+    return jax.vmap(lambda xi, mi, si: _merge_one(xi, mi, si, r, protected))(
+        x, metric, size
+    )

@@ -51,6 +51,7 @@ class InferenceEngine:
         mesh=None,
         batch_pad: int = 32,
         gelu_variant: str = "exact",
+        tome_r: int = 0,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -58,6 +59,17 @@ class InferenceEngine:
         self.compute_dtype = jnp.dtype(dtype)
         self._ops = get_ops(ops)
         self._gelu_variant = gelu_variant
+        self.tome_r = int(tome_r)
+        if self.tome_r:
+            if ops not in ("fused", "xla"):
+                raise ValueError(
+                    "tome_r (token merging) supports ops='fused' or 'xla'"
+                )
+            if mesh is not None and mesh.shape.get("tp", 1) != 1:
+                raise ValueError(
+                    "tome_r shards data-parallel only (no tp): the merge "
+                    "keeps whole tokens per device"
+                )
         self._dp_shard_map = False
         self._tp_shard_map = False
         if mesh is not None and self._ops.name != "xla":
@@ -86,13 +98,25 @@ class InferenceEngine:
 
         self.params = self._prepare_params(params)
 
+        if self.tome_r:
+            from vit_tpu.models import tome as tome_model
+
+            _tfn = (
+                tome_model.forward_fused if self._ops.name == "fused"
+                else tome_model.forward_xla
+            )
+            r = self.tome_r
+
+            def base_fwd(p, x, _fn=_tfn, _r=r):
+                return _fn(p, x, cfg, _r, gelu_variant)
+        else:
+            base_fwd = vit.logits_fn(cfg, self._ops, gelu_variant=gelu_variant)
+
         jit_kwargs = {}
         if self._dp_shard_map:
             from vit_tpu.parallel.shard_forward import shard_forward_dp
 
-            fwd = shard_forward_dp(
-                vit.logits_fn(cfg, self._ops, gelu_variant=gelu_variant), mesh
-            )
+            fwd = shard_forward_dp(base_fwd, mesh)
         elif self._tp_shard_map:
             from vit_tpu.parallel.tp_forward import shard_forward_tp
 
@@ -102,12 +126,18 @@ class InferenceEngine:
                 cfg, mesh, self._ops.name, self.params, gelu_variant=gelu_variant
             )
         else:
-            fwd = vit.logits_fn(cfg, self._ops, gelu_variant=gelu_variant)
+            fwd = base_fwd
             if mesh is not None:
                 jit_kwargs["in_shardings"] = (
                     param_shardings(mesh, self.params),
                     batch_sharding(mesh, 4),
                 )
+        if self.tome_r and self._ops.name == "fused":
+            from vit_tpu.models import tome as _tome_mod
+
+            opts = _tome_mod.fused_compiler_options()
+            if opts:
+                jit_kwargs["compiler_options"] = opts
         self._forward = jax.jit(fwd, **jit_kwargs)
         self._input_sharding = batch_sharding(mesh, 4) if mesh is not None else None
 
