@@ -31,8 +31,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="vit_b_16")
     ap.add_argument("--batch", type=int, default=100)
-    ap.add_argument("--r", default="0,8,13,16",
-                    help="comma-separated merge counts per layer")
+    ap.add_argument("--r", default="0,8,13",
+                    help="comma-separated merge counts per layer "
+                    "(r=14/16 at B/16 hit a measured TPU backend fault "
+                    "on this stack — docs/performance.md; validate any "
+                    "new r here before production use)")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--smoke", action="store_true",
                     help="CPU smoke: tiny config, 2 iters (CI gate)")
@@ -51,9 +54,11 @@ def main(argv=None):
     if args.smoke:
         import dataclasses
 
+        # 65 tokens: ABOVE merge_counts' floor so the smoke actually
+        # exercises the per-layer merge wiring, not just the 3-kernel path
         cfg = dataclasses.replace(
-            cfg, depth=2, embed_dim=64, num_heads=4, image_size=32,
-            patch_size=16, name="tome_smoke",
+            cfg, depth=2, embed_dim=64, num_heads=4, image_size=64,
+            patch_size=8, name="tome_smoke",
         )
         args.batch, args.iters = 4, 2
     params = wio.params_from_tensors(wio.synth_reference_tensors(cfg, 0), cfg)

@@ -569,6 +569,25 @@ def test_hf_deit_single_head_logits_match():
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_convert_cli_headless_deit_refuses(tmp_path, capsys):
+    """A DeiT backbone with NO classifier head in either layout must fail
+    cleanly instead of exporting random-initialized classifier weights."""
+    torch.manual_seed(2)
+    model = transformers.DeiTModel(_tiny_deit_cfg())
+    src = tmp_path / "headless"
+    model.save_pretrained(src)
+
+    from vit_tpu.cli.convert import main as convert_main
+
+    rc = convert_main([
+        "--hf", "--from", str(src), "--to", str(tmp_path / "out.npz"),
+        "--config", "deit_b_16",
+    ])
+    assert rc == 2
+    assert "no classifier head" in capsys.readouterr().err
+    assert not (tmp_path / "out.npz").exists()
+
+
 def test_hf_deit_config_mismatch_actionable(hf_deit_teacher):
     """Converting a DeiT checkpoint under a non-distilled config must fail
     with a message naming the fix, not a reshape error."""

@@ -204,9 +204,12 @@ def test_bench_tome_smoke(capsys):
         import bench_tome
     finally:
         _sys.path.remove(str(scripts))
-    assert bench_tome.main(["--smoke", "--r", "0,2"]) == 0
+    assert bench_tome.main(["--smoke", "--r", "0,4"]) == 0
     out = capsys.readouterr().out
     assert out.count("img/s") == 2
+    # the smoke config must actually merge (T 65 -> 57 at r=4), so the
+    # in-model merge wiring can't rot behind a no-op schedule
+    assert "65-> 57" in out
 
 
 def test_distilled_protects_both_prefix_tokens(cfg, params):

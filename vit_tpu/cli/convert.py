@@ -106,7 +106,22 @@ def main(argv=None) -> int:
                         if cls is DeiTForImageClassification
                         else DeiTForImageClassification
                     )
-                    model = other.from_pretrained(args.src)
+                    model, info = other.from_pretrained(
+                        args.src, output_loading_info=True
+                    )
+                    if any("classifier" in k for k in info["missing_keys"]):
+                        # a headless backbone (e.g. a DeiTModel / MIM
+                        # export): refuse rather than silently exporting
+                        # random-initialized classifier weights
+                        print(
+                            f"error: {args.src!r} carries no classifier "
+                            "head in either DeiT layout — convert a "
+                            "*ForImageClassification checkpoint, or "
+                            "fine-tune a head first (vit-tpu-train "
+                            "--num-classes)",
+                            file=sys.stderr,
+                        )
+                        return 2
             else:
                 model = ViTForImageClassification.from_pretrained(args.src)
             hf_cfg = config_from_hf(model.config)

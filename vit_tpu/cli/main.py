@@ -148,6 +148,14 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.tome and (args.attn_rollout or args.profile):
+        print(
+            "error: --attn-rollout/--profile probe the full-token model, "
+            "which would diverge from --tome's merged predictions — run "
+            "them without --tome",
+            file=sys.stderr,
+        )
+        return 2
     if ops == "quant" and (args.attn_rollout or args.profile):
         # knowable now: both probes need fp weights (engine raises the
         # same incompatibility, but only AFTER minutes of load+inference)

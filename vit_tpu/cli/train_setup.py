@@ -202,7 +202,9 @@ def _build_optimizer(args, lr):
         optimizer = optax.multi_transform(
             {"train": optimizer, "freeze": optax.set_to_zero()}, _labels
         )
-        print("freeze-backbone: training the classification head only")
+        print("freeze-backbone: training the classification head(s) only "
+              "(distilled configs train head AND head_dist — apply_head "
+              "averages them)")
     if args.skip_nonfinite:
         if args.optimizer == "fused_adamw":
             raise SetupError(

@@ -288,7 +288,9 @@ def tensors_from_params(params, cfg: ViTConfig = VIT_B_16) -> Dict[int, np.ndarr
     if "dist_token" in params:
         raise ValueError(
             "DeiT-distilled params (dist_token/head_dist) cannot round-trip "
-            "the reference Weight_*.bin layout — export to .npz/Orbax instead"
+            "the torchvision-ViT 152-tensor layout (reference Weight_*.bin "
+            "and .pth exports) — it has no distillation token; export to "
+            ".npz/Orbax instead"
         )
     d, hd, nh, L = cfg.embed_dim, cfg.head_dim, cfg.num_heads, cfg.depth
     blocks = params["blocks"]

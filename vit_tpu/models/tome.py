@@ -21,7 +21,6 @@ paths).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict
 
 import jax
@@ -34,27 +33,12 @@ from vit_tpu.ops.pallas import fused_block as FB
 
 
 def _attn_with_sizes(x, wqkv, bqkv, wo, bo, num_heads, log_size):
-    """jnp attention on the packed (head,{q,k,v},dh) layout with ToMe's
-    proportional-attention bias; also returns the mean key over heads.
-    Mirrors reference.attention (same layout/precision conventions)."""
-    *lead, t, d = x.shape
-    d_ctx = wqkv.shape[-1] // 3
-    dh = d_ctx // num_heads
-    prec = reference._prec(x)
-    qkv = reference.linear(x, wqkv, bqkv)  # (..., T, 3D)
-    qkv = qkv.reshape(*lead, t, num_heads, 3, dh)
-    q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
-    s = jnp.einsum(
-        "...thd,...shd->...hts", q, k, precision=prec,
-        preferred_element_type=jnp.float32,
-    ) * (1.0 / math.sqrt(dh))
-    s = s + log_size[..., None, None, :]
-    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum(
-        "...hts,...shd->...thd", p, v, precision=prec,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype).reshape(*lead, t, d_ctx)
-    return reference.linear(ctx, wo, bo), k.mean(axis=-2)
+    """reference.attention with ToMe's proportional-attention bias and the
+    mean-key metric output (one implementation serves both callers)."""
+    return reference.attention(
+        x, wqkv, bqkv, wo, bo, num_heads,
+        logit_bias=log_size, return_kmean=True,
+    )
 
 
 def forward_xla(
@@ -65,6 +49,7 @@ def forward_xla(
     gelu_variant: str = "exact",
 ) -> jax.Array:
     """Pure-jnp ToMe forward: images (B, C, H, W) -> logits."""
+    check_config(cfg, r)
     compute_dtype = params["pos_embed"].dtype
     x = images.astype(compute_dtype)
     x = reference.patch_embed(
@@ -76,18 +61,27 @@ def forward_xla(
     p = cfg.num_prefix_tokens
     counts = tome.merge_counts(cfg.seq_len, cfg.depth, r, p)
     sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
+    merged_any = False  # sizes are all ones (bias 0) until the first merge
     for l in range(cfg.depth):
         blk = jax.tree.map(lambda a: a[l], params["blocks"])
         h = reference.layer_norm(
             x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps
         )
-        attn, kmean = _attn_with_sizes(
-            h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"],
-            cfg.num_heads, jnp.log(sizes),
-        )
+        bias = jnp.log(sizes) if merged_any else None
+        if counts[l] > 0:
+            attn, kmean = reference.attention(
+                h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"],
+                cfg.num_heads, logit_bias=bias, return_kmean=True,
+            )
+        else:
+            attn = reference.attention(
+                h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"],
+                cfg.num_heads, logit_bias=bias,
+            )
         x = x + attn
         if counts[l] > 0:
             x, sizes = tome.merge_tokens(x, kmean, sizes, counts[l], p)
+            merged_any = True
         h = reference.layer_norm(
             x, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps
         )
@@ -99,6 +93,26 @@ def forward_xla(
         cfg.layernorm_eps,
     )
     return vit.apply_head(x, params)
+
+
+def check_config(cfg: ViTConfig, r: int) -> None:
+    """Validate a (config, r) pair before building a ToMe forward.
+
+    The kernel path runs every layer through the single-tile VMEM
+    attention kernel (ln_qkv_attn) — past VMEM_ATTENTION_MAX_T tokens the
+    plain paths switch to the blockwise flash composition, which has no
+    ToMe hooks; reject instead of blowing the per-head (T, T) VMEM tile
+    (on this backend that is a hard worker fault, not a clean error)."""
+    if r < 0:
+        raise ValueError(f"tome_r must be >= 0, got {r}")
+    from vit_tpu.ops.pallas.fused_block import VMEM_ATTENTION_MAX_T
+
+    if cfg.seq_len > VMEM_ATTENTION_MAX_T:
+        raise ValueError(
+            f"ToMe supports seq_len <= {VMEM_ATTENTION_MAX_T} "
+            f"({cfg.name} has {cfg.seq_len}); long sequences use the "
+            "flash-attention path without token merging"
+        )
 
 
 def fused_compiler_options():
@@ -126,6 +140,7 @@ def forward_fused(
     """Kernel-path ToMe forward: kernel A (LN1+QKV+attention, log-size
     bias in-VMEM, metric emitted) -> kernel B (out_proj+residual) ->
     XLA merge -> kernel C (LN2+MLP+residual), per layer."""
+    check_config(cfg, r)
     if interpret is None:
         from vit_tpu.ops.pallas import interpret_default
 
@@ -141,15 +156,21 @@ def forward_fused(
     p = cfg.num_prefix_tokens
     counts = tome.merge_counts(cfg.seq_len, cfg.depth, r, p)
     sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
+    merged_any = False  # sizes are all ones (bias 0) until the first merge
     for l in range(cfg.depth):
         blk = jax.tree.map(lambda a: a[l], params["blocks"])
         t = x.shape[1]
         x2 = x.reshape(b * t, d)
-        ctx, kmean = FB.ln_qkv_attn(
+        # skip the metric output / bias operand on layers that don't need
+        # them (no merge this layer / no merge happened yet) — part of the
+        # r=0 overhead goes away
+        out = FB.ln_qkv_attn(
             x2, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["bqkv"],
             cfg.num_heads, t, cfg.layernorm_eps, interpret=interpret,
-            log_size=jnp.log(sizes), return_kmean=True,
+            log_size=jnp.log(sizes) if merged_any else None,
+            return_kmean=counts[l] > 0,
         )
+        ctx, kmean = out if counts[l] > 0 else (out, None)
         y = FB.out_residual(ctx, x2, blk["wo"], blk["bo"], interpret=interpret)
         x = y.reshape(b, t, d)
         if counts[l] > 0:
@@ -157,6 +178,7 @@ def forward_fused(
                 x, kmean.reshape(b, t, -1), sizes, counts[l], p
             )
             t = t - counts[l]
+            merged_any = True
         x = FB.ln_mlp_residual(
             x.reshape(b * t, d), blk["ln2_scale"], blk["ln2_bias"],
             blk["w1"], blk["b1"], blk["w2"], blk["b2"], cfg.layernorm_eps,

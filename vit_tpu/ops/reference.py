@@ -114,6 +114,8 @@ def attention(
     num_heads: int,
     *,
     return_probs: bool = False,
+    logit_bias: Optional[jax.Array] = None,
+    return_kmean: bool = False,
 ):
     """Multi-head self-attention (ViT_seq.c:123-229, vectorized).
 
@@ -133,6 +135,13 @@ def attention(
     (ViT_opencl.c:523-564); here heads are a tensor axis and XLA batches the
     whole thing onto the MXU.  Softmax is max-subtracted (ViT_seq.c:171-189)
     and computed in float32.
+
+    ``logit_bias`` (..., T) fp32, when given, adds a per-KEY bias to the
+    scaled logits (ToMe proportional attention: softmax(qk^T/sqrt(dh) +
+    log s), ops/tome.py).  ``return_kmean`` additionally returns the mean
+    attention key over heads (..., T, head_dim) — ToMe's similarity
+    metric.  The fused kernel twin of both lives in
+    ops/pallas/fused_block.ln_qkv_attn.
     """
     *lead, t, d = x.shape
     qkv = linear(x, wqkv, bqkv)  # (..., T, 3D), columns (H, 3, Dh)-ordered
@@ -150,6 +159,8 @@ def attention(
         )
         * scale
     )
+    if logit_bias is not None:
+        scores = scores + logit_bias[..., None, None, :]
     probs = jax.nn.softmax(scores, axis=-1)  # fp32, max-subtracted
     ctx = jnp.einsum(
         "...hqk,...hkd->...hqd",
@@ -165,6 +176,8 @@ def attention(
         # per-head probability rows on device (ViT_opencl.c:523-532) but
         # never exposes them; here they're an opt-in second output
         return out, probs
+    if return_kmean:
+        return out, k.mean(axis=-3)  # heads axis of (..., H, T, Dh)
     return out
 
 

@@ -61,6 +61,10 @@ class InferenceEngine:
         self._gelu_variant = gelu_variant
         self.tome_r = int(tome_r)
         if self.tome_r:
+            from vit_tpu.models import tome as tome_model
+
+            self._tome_mod = tome_model
+            tome_model.check_config(cfg, self.tome_r)  # r >= 0, T ceiling
             if ops not in ("fused", "xla"):
                 raise ValueError(
                     "tome_r (token merging) supports ops='fused' or 'xla'"
@@ -99,11 +103,9 @@ class InferenceEngine:
         self.params = self._prepare_params(params)
 
         if self.tome_r:
-            from vit_tpu.models import tome as tome_model
-
             _tfn = (
-                tome_model.forward_fused if self._ops.name == "fused"
-                else tome_model.forward_xla
+                self._tome_mod.forward_fused if self._ops.name == "fused"
+                else self._tome_mod.forward_xla
             )
             r = self.tome_r
 
@@ -133,9 +135,7 @@ class InferenceEngine:
                     batch_sharding(mesh, 4),
                 )
         if self.tome_r and self._ops.name == "fused":
-            from vit_tpu.models import tome as _tome_mod
-
-            opts = _tome_mod.fused_compiler_options()
+            opts = self._tome_mod.fused_compiler_options()
             if opts:
                 jit_kwargs["compiler_options"] = opts
         self._forward = jax.jit(fwd, **jit_kwargs)
@@ -207,6 +207,14 @@ class InferenceEngine:
     def features(self, images) -> jax.Array:
         """(B, C, H, W) -> (B, D) final-LN CLS embeddings (transfer
         learning / retrieval vectors)."""
+        if self.tome_r:
+            # the feature probe runs the plain full-token forward; on a
+            # merged engine it would come from a DIFFERENT model than the
+            # classifications — refuse rather than silently diverge
+            raise ValueError(
+                "features() on a tome_r engine would use full tokens while "
+                "classify() merges — build a tome_r=0 engine for embeddings"
+            )
         if not hasattr(self, "_features_fn"):
             jit_kwargs = {}
             if self._dp_shard_map:
@@ -248,6 +256,12 @@ class InferenceEngine:
         (oracle-grade tool, not a throughput path); on a meshed engine the
         probe shards like the main forward (batch over dp, Megatron param
         rules via GSPMD) instead of gathering onto one device."""
+        if self.tome_r:
+            raise ValueError(
+                "attention_maps() on a tome_r engine would probe the "
+                "full-token model while classify() merges — build a "
+                "tome_r=0 engine for interpretability"
+            )
         if self._ops.name == "quant":
             raise ValueError(
                 "attention_maps needs fp weights; build the engine with "
