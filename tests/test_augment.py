@@ -533,7 +533,7 @@ def test_train_cli_freeze_backbone(tiny_cfg, monkeypatch, capsys, tmp_path):
         "--no-compile-cache",
     ])
     assert rc == 0
-    assert "training the classification head only" in capsys.readouterr().out
+    assert "training the classification head(s) only" in capsys.readouterr().out
     ft = ckpt.load_npz(tmp_path / "probe.npz")
     orig = wio.load_reference_weights(tmp_path / "Network", tiny_cfg)
     np.testing.assert_array_equal(  # backbone untouched
