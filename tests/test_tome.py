@@ -167,6 +167,23 @@ def test_engine_tome(cfg, params, images):
         InferenceEngine(cfg, params, ops="quant", tome_r=4)
 
 
+def test_serving_wraps_tome_engine(cfg, params):
+    """make_serve_fn must trace the engine's RAW forward: wrapping the
+    jitted one nests its compiler_options inside the serve jit, which JAX
+    rejects outright (found live: the --tome serve selftest crashed)."""
+    from vit_tpu.runtime import InferenceEngine
+    from vit_tpu.runtime.serving import make_serve_fn
+
+    eng = InferenceEngine(cfg, params, dtype="float32", ops="fused",
+                          batch_pad=2, tome_r=4)
+    fn = make_serve_fn(eng)
+    s = cfg.image_size
+    x, n = eng._stage(np.zeros((2, 3, s, s), np.float32))
+    labels, top, probs = fn(eng.params, x)
+    assert labels.shape[0] >= 2
+    assert np.isfinite(np.asarray(top)).all()
+
+
 def test_cli_tome(cfg, monkeypatch, capsys, tmp_path):
     import vit_tpu.config as config_mod
     from vit_tpu.cli.main import main as cli_main

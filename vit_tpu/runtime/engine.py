@@ -134,10 +134,17 @@ class InferenceEngine:
                     param_shardings(mesh, self.params),
                     batch_sharding(mesh, 4),
                 )
+        # Consumers that wrap the forward in their OWN top-level jit
+        # (serving.make_serve_fn) must trace the raw fn and re-apply any
+        # per-compile options themselves: JAX rejects compiler_options on
+        # a nested jit outright.
+        self.forward_compiler_options = None
         if self.tome_r and self._ops.name == "fused":
             opts = self._tome_mod.fused_compiler_options()
             if opts:
                 jit_kwargs["compiler_options"] = opts
+                self.forward_compiler_options = opts
+        self._forward_fn = fwd  # unjitted, for wrapping jits
         self._forward = jax.jit(fwd, **jit_kwargs)
         self._input_sharding = batch_sharding(mesh, 4) if mesh is not None else None
 

@@ -152,8 +152,15 @@ def make_serve_fn(engine, out_shardings=None):
     kw = {}
     if out_shardings is not None:
         kw["out_shardings"] = (out_shardings,) * 3
+    # trace the engine's RAW forward and re-apply its per-compile options
+    # (e.g. the ToMe chain's raised scoped-VMEM limit) on THIS top-level
+    # jit: JAX rejects compiler_options on a nested jit outright
+    opts = getattr(engine, "forward_compiler_options", None)
+    if opts:
+        kw["compiler_options"] = opts
+    inner = getattr(engine, "_forward_fn", engine._forward)
     return jax.jit(
-        lambda params, x: _postprocess(engine._forward(params, x)), **kw
+        lambda params, x: _postprocess(inner(params, x)), **kw
     )
 
 
