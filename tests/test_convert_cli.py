@@ -140,3 +140,32 @@ def test_uppercase_dst_suffix_infers_format(ref_dir, tiny_cfg, tmp_path, capsys)
     assert npz.is_file()
     got = load_params_any(npz, tiny_cfg)
     assert "cls_token" in got
+
+
+def test_headless_vit_backbone_refuses(tmp_path, capsys, monkeypatch, tiny_cfg):
+    """A plain-ViT backbone with no classifier head must fail cleanly
+    instead of exporting random-initialized classifier weights (same guard
+    as the DeiT branch, tests/test_deit.py)."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+
+    torch.manual_seed(3)
+    hf_cfg = transformers.ViTConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=256, image_size=32, patch_size=16,
+        num_channels=3, num_labels=11,
+    )
+    model = transformers.ViTModel(hf_cfg)  # headless backbone
+    src = tmp_path / "headless_vit"
+    model.save_pretrained(src)
+
+    import vit_tpu.config as config_mod
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    rc = convert_main([
+        "--hf", "--from", str(src), "--to", str(tmp_path / "out.npz"),
+        "--config", "vit_tiny_test",
+    ])
+    assert rc == 2
+    assert "no classifier head" in capsys.readouterr().err
+    assert not (tmp_path / "out.npz").exists()

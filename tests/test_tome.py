@@ -132,10 +132,10 @@ def test_kernel_logsize_and_kmean_parity(cfg, params):
     import vit_tpu.ops.reference as R
 
     ln = R.layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps)
-    want_ctx, want_kmean = tome_model._attn_with_sizes(
+    want_ctx, want_kmean = R.attention(
         ln, blk["wqkv"], blk["bqkv"],
         jnp.eye(d, dtype=jnp.float32), jnp.zeros((d,), jnp.float32),
-        cfg.num_heads, jnp.log(sizes),
+        cfg.num_heads, logit_bias=jnp.log(sizes), return_kmean=True,
     )
     got_ctx, got_kmean = FB.ln_qkv_attn(
         x.reshape(b * t, d), blk["ln1_scale"], blk["ln1_bias"],
@@ -207,6 +207,14 @@ def test_cli_tome(cfg, monkeypatch, capsys, tmp_path):
     ])
     assert rc == 2
     assert "--tome" in capsys.readouterr().err
+    # negative r fails at parse time, BEFORE the (expensive) weight load
+    rc = cli_main([
+        "--config", "vit_tome_test", "--weights", str(tmp_path / "w.npz"),
+        "--synth", "2", "--ops", "fused", "--tome", "-4",
+        "--no-compile-cache",
+    ])
+    assert rc == 2
+    assert ">= 0" in capsys.readouterr().err
 
 
 def test_bench_tome_smoke(capsys):

@@ -123,7 +123,20 @@ def main(argv=None) -> int:
                         )
                         return 2
             else:
-                model = ViTForImageClassification.from_pretrained(args.src)
+                model, info = ViTForImageClassification.from_pretrained(
+                    args.src, output_loading_info=True
+                )
+                if any("classifier" in k for k in info["missing_keys"]):
+                    # same guard as the DeiT branch: a headless backbone
+                    # must not export random-initialized classifier weights
+                    print(
+                        f"error: {args.src!r} carries no classifier head — "
+                        "convert a *ForImageClassification checkpoint, or "
+                        "fine-tune a head first (vit-tpu-train "
+                        "--num-classes)",
+                        file=sys.stderr,
+                    )
+                    return 2
             hf_cfg = config_from_hf(model.config)
             # the checkpoint knows its own head width: adopt it (the
             # structural fields must still match the named --config)

@@ -89,6 +89,9 @@ def main(argv=None) -> int:
 
     cfg = resolve_config(args.config, args.num_classes)
     ops = resolve_ops_name(args.ops)
+    if args.tome < 0:
+        print("error: --tome must be >= 0", file=sys.stderr)
+        return 2
     if args.tome and (ops not in ("fused", "xla") or args.tp > 1):
         print("error: --tome needs --ops fused or xla on a dp mesh (no "
               "--tp)", file=sys.stderr)

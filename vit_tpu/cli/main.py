@@ -135,6 +135,9 @@ def main(argv=None) -> int:
     resolve_compile_cache(args)
     cfg = resolve_config(args.config, args.num_classes)
     ops = resolve_ops_name(args.ops)
+    if args.tome < 0:
+        print("error: --tome must be >= 0", file=sys.stderr)
+        return 2
     if args.tome and ops not in ("fused", "xla"):
         print(
             "error: --tome (token merging) needs --ops fused or xla",

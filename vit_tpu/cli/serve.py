@@ -462,6 +462,9 @@ def _drain_on_sigterm(httpd):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.tome < 0:
+        print("error: --tome must be >= 0", file=sys.stderr)
+        return 2
     if args.tome and (args.multihost or args.tp > 1
                       or args.ops not in ("auto", "fused", "xla")):
         print("error: --tome needs --ops fused/xla on a single-host dp "

@@ -32,15 +32,6 @@ from vit_tpu.ops import reference, tome
 from vit_tpu.ops.pallas import fused_block as FB
 
 
-def _attn_with_sizes(x, wqkv, bqkv, wo, bo, num_heads, log_size):
-    """reference.attention with ToMe's proportional-attention bias and the
-    mean-key metric output (one implementation serves both callers)."""
-    return reference.attention(
-        x, wqkv, bqkv, wo, bo, num_heads,
-        logit_bias=log_size, return_kmean=True,
-    )
-
-
 def forward_xla(
     params: Dict[str, Any],
     images: jax.Array,
@@ -68,16 +59,11 @@ def forward_xla(
             x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps
         )
         bias = jnp.log(sizes) if merged_any else None
-        if counts[l] > 0:
-            attn, kmean = reference.attention(
-                h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"],
-                cfg.num_heads, logit_bias=bias, return_kmean=True,
-            )
-        else:
-            attn = reference.attention(
-                h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"],
-                cfg.num_heads, logit_bias=bias,
-            )
+        out = reference.attention(
+            h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"],
+            cfg.num_heads, logit_bias=bias, return_kmean=counts[l] > 0,
+        )
+        attn, kmean = out if counts[l] > 0 else (out, None)
         x = x + attn
         if counts[l] > 0:
             x, sizes = tome.merge_tokens(x, kmean, sizes, counts[l], p)
