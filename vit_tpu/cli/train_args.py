@@ -179,6 +179,37 @@ def build_parser() -> argparse.ArgumentParser:
         help="softmax temperature for --distill-soft",
     )
     p.add_argument(
+        "--mae", action="store_true",
+        help="MAE self-supervised pretraining (models/mae.py): mask "
+        "--mask-ratio of the patches, encode the visible ones, reconstruct "
+        "the masked pixels through a lightweight decoder.  No labels are "
+        "consumed (any provided are ignored).  Composes with --dp (and "
+        "--tp under --ops xla); pair with --save-backbone to produce the "
+        "fine-tuning checkpoint for --init-weights",
+    )
+    p.add_argument(
+        "--mask-ratio", type=float, default=0.75, metavar="R",
+        help="with --mae: fraction of patches hidden from the encoder "
+        "(0.75 is the paper's optimum; the encoder then runs on ~25%% of "
+        "the tokens)",
+    )
+    p.add_argument(
+        "--mae-decoder", default="512,8,16", metavar="DIM,DEPTH,HEADS",
+        help="with --mae: decoder geometry (paper default 512,8,16; the "
+        "decoder exists only during pretraining)",
+    )
+    p.add_argument(
+        "--no-norm-pix", action="store_true",
+        help="with --mae: reconstruct raw pixels instead of per-patch "
+        "normalized pixels (norm-pix is the paper's better default)",
+    )
+    p.add_argument(
+        "--save-backbone", metavar="PATH",
+        help="with --mae: save the pretrained encoder as a standard "
+        "classifier .npz (decoder dropped, fresh random head) — feed it "
+        "to --init-weights [--num-classes K] to fine-tune",
+    )
+    p.add_argument(
         "--ema-decay", type=float, default=0.0, metavar="D",
         help="track an exponential moving average of the params "
         "(ema = D*ema + (1-D)*params per step); saved via --save-ema",

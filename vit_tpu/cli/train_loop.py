@@ -189,6 +189,17 @@ def run(args, st) -> int:
     if args.save and jax.process_index() == 0:
         ckpt.save_npz(jax.device_get(params), args.save)
         print(f"saved params to {args.save}")
+    if args.save_backbone and jax.process_index() == 0:
+        from vit_tpu.models import mae as mae_mod
+
+        bb = mae_mod.extract_backbone(
+            jax.device_get(params), jax.random.key(args.seed ^ 0xBB), st.cfg
+        )
+        ckpt.save_npz(bb, args.save_backbone)
+        print(
+            f"saved pretrained backbone (fresh {st.cfg.embed_dim} x "
+            f"{st.cfg.num_classes} head) to {args.save_backbone}"
+        )
     if args.save_ema and ema is not None and jax.process_index() == 0:
         ckpt.save_npz(jax.device_get(ema), args.save_ema)
         print(f"saved EMA params to {args.save_ema}")

@@ -46,6 +46,7 @@ class TrainSetup:
     ema_update: Optional[Callable]
     step_needs_rng: bool
     aug_key: Any
+    mae_cfg: Any = None  # MAEConfig when --mae (models/mae.py)
 
 
 def _build_mesh(args, cfg, n_dev, procs):
@@ -216,7 +217,7 @@ def _build_optimizer(args, lr):
 
 def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
                 params, opt_state, compute_dtype, remat, augment_fn,
-                use_dropout, teacher_fwd=None):
+                use_dropout, teacher_fwd=None, mae_cfg=None):
     """Place params/opt_state for the chosen parallelism and build the
     jitted train step.  Returns (step, params, opt_state)."""
     import jax
@@ -225,6 +226,35 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
     from vit_tpu.parallel import param_shardings, shard_params
     from vit_tpu.runtime import trainer
 
+    if mae_cfg is not None:
+        # MAE pretraining: no labels — adapt to the loop's
+        # (params, opt_state, images, labels, rng) calling convention.
+        if ops_name == "fused_train":
+            from vit_tpu.parallel import replicate
+
+            params = jax.device_put(params, replicate(mesh))
+            opt_state = jax.device_put(opt_state, replicate(mesh))
+            raw = trainer.jit_mae_step_dp_shard_map(
+                cfg, mae_cfg, optimizer, mesh, ops,
+                compute_dtype=compute_dtype,
+            )
+        else:
+            params = shard_params(params, mesh)
+            opt_state = jax.device_put(
+                opt_state,
+                trainer._opt_state_shardings(
+                    opt_state, params, param_shardings(mesh, params), mesh
+                ),
+            )
+            raw = trainer.jit_mae_step_for_mesh(
+                cfg, mae_cfg, optimizer, mesh, params, opt_state, ops=ops,
+                compute_dtype=compute_dtype,
+            )
+
+        def step(p, o, images, _labels, rng):
+            return raw(p, o, images, rng)
+
+        return step, params, opt_state
     if args.sp > 1:
         # Sequence-parallel training: tokens over the 'sp' ring, grads
         # through the transposed ppermute hops (parallel/sequence.py).
@@ -588,6 +618,64 @@ def prepare(args) -> TrainSetup:
         )
         print(f"dropout: {args.dropout}  drop_path: {args.drop_path}")
 
+    mae_cfg = None
+    if args.mae:
+        from vit_tpu.models import mae as mae_mod
+
+        if (args.distill_teacher or args.augment or args.label_smoothing
+                or args.dropout or args.drop_path or args.pp > 1
+                or args.sp > 1 or args.grad_accum > 1 or args.num_classes
+                or args.freeze_backbone or args.eval_data_dir
+                or args.init_weights or args.save_reference
+                or args.optimizer == "fused_adamw"):
+            raise SetupError(
+                "error: --mae is self-supervised pretraining on a dp/tp "
+                "mesh — it excludes the label-dependent and layout-"
+                "specific flags (--distill-teacher/--augment/--label-"
+                "smoothing/--dropout/--drop-path/--pp/--sp/--grad-accum/"
+                "--num-classes/--freeze-backbone/--eval-data-dir/"
+                "--init-weights/--save-reference/--optimizer fused_adamw); "
+                "use --resume for warm starts and --save-backbone + "
+                "--init-weights for downstream fine-tuning"
+            )
+        if ops_name not in ("xla", "fused_train"):
+            raise SetupError(
+                f"error: --mae supports --ops xla or fused_train "
+                f"(got {ops_name})"
+            )
+        if ops_name == "fused_train" and mesh_axes.get("tp", 1) != 1:
+            raise SetupError(
+                "error: --mae with --tp>1 requires --ops xla (the MAE "
+                "kernel path is dp-only shard_map)"
+            )
+        try:
+            dim, depth, heads = (
+                int(v) for v in args.mae_decoder.split(",")
+            )
+        except ValueError:
+            raise SetupError(
+                f"error: --mae-decoder must be DIM,DEPTH,HEADS "
+                f"(got {args.mae_decoder!r})"
+            )
+        mae_cfg = mae_mod.MAEConfig(
+            mask_ratio=args.mask_ratio, decoder_dim=dim,
+            decoder_depth=depth, decoder_heads=heads,
+            norm_pix_loss=not args.no_norm_pix,
+        )
+        try:
+            mae_mod.check_config(cfg)
+            keep = mae_cfg.len_keep(cfg)
+            mae_cfg.decoder_cfg(cfg)
+        except ValueError as e:
+            raise SetupError(f"error: {e}")
+        print(
+            f"mae: mask_ratio {args.mask_ratio} ({keep}/{cfg.num_patches} "
+            f"patches visible), decoder {dim}x{depth} ({heads} heads), "
+            f"norm_pix {not args.no_norm_pix}"
+        )
+    elif args.save_backbone:
+        raise SetupError("error: --save-backbone requires --mae")
+
     teacher_fwd = None
     if args.distill_teacher:
         if not cfg.distilled:
@@ -689,7 +777,14 @@ def prepare(args) -> TrainSetup:
         lr = args.lr
     optimizer = _build_optimizer(args, lr)
 
-    if args.init_weights:
+    if mae_cfg is not None:
+        from vit_tpu.models import mae as mae_mod
+
+        params = mae_mod.init_mae_params(
+            jax.random.key(args.seed), cfg, mae_cfg
+        )
+        opt_state = optimizer.init(params)
+    elif args.init_weights:
         # transfer learning: load the backbone under its ORIGINAL head
         # size (load_cfg), then swap in a fresh K-way head
         params = load_params_any(
@@ -727,7 +822,7 @@ def prepare(args) -> TrainSetup:
     step, params, opt_state = _build_step(
         args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr, params,
         opt_state, compute_dtype, remat, augment_fn, use_dropout,
-        teacher_fwd=teacher_fwd,
+        teacher_fwd=teacher_fwd, mae_cfg=mae_cfg,
     )
 
     start_step = 0
@@ -779,7 +874,7 @@ def prepare(args) -> TrainSetup:
             stream.close()
         raise
 
-    step_needs_rng = augment_fn is not None or use_dropout
+    step_needs_rng = augment_fn is not None or use_dropout or args.mae
     aug_key = jax.random.key(args.seed ^ 0xA46) if step_needs_rng else None
 
     return TrainSetup(
@@ -787,5 +882,5 @@ def prepare(args) -> TrainSetup:
         step=step, params=params, opt_state=opt_state, start_step=start_step,
         stream=stream, images=images, labels=labels, n_static=n_static,
         run_eval=run_eval, ema=ema, ema_update=ema_update,
-        step_needs_rng=step_needs_rng, aug_key=aug_key,
+        step_needs_rng=step_needs_rng, aug_key=aug_key, mae_cfg=mae_cfg,
     )

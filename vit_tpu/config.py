@@ -135,6 +135,16 @@ VIT_H_14 = ViTConfig(
     embed_dim=1280, depth=32, num_heads=16, patch_size=14, name="vit_h_14"
 )
 
+# Wide-head B/16: identical parameter count and FLOPs to B/16 (768 dim,
+# 12 layers, MLP ratio 4) but 6 heads x head_dim 128 instead of 12 x 64.
+# dh=64 contracts only half the MXU's 128 lanes in the attention score and
+# context dots — the measured ~26.8 ms bf16 batch-100 structural floor
+# (docs/performance.md "attention-core ceiling").  dh=128 fills the lanes;
+# this config exists to let from-scratch / MAE-pretrained users buy that
+# headroom (no torchvision checkpoint has this geometry — B/16 weights do
+# NOT interchange: the packed-QKV column grouping differs).
+VIT_B_16_WIDE = ViTConfig(num_heads=6, name="vit_b_16_wide")
+
 # DeiT distilled family (facebook/deit-*-distilled-patch16-224): same pre-LN
 # encoder geometry as ViT (dh=64 throughout), plus the distillation token and
 # dual classifier heads.  Tiny/small are new geometries the torchvision
@@ -155,6 +165,7 @@ CONFIGS = {
         VIT_L_16,
         VIT_L_32,
         VIT_H_14,
+        VIT_B_16_WIDE,
         VIT_B_16.with_image_size(384),
         VIT_L_16.with_image_size(384),
         DEIT_T_16,

@@ -38,7 +38,7 @@ def load_params_any(
             )
         from vit_tpu.io import checkpoint as ckpt
 
-        return ckpt.load_orbax(p)
+        return _no_mae(ckpt.load_orbax(p), source)
     suffix = p.suffix.lower()  # .NPZ/.PTH from case-insensitive filesystems
     if suffix == ".npz":
         from vit_tpu.io import checkpoint as ckpt
@@ -47,8 +47,8 @@ def load_params_any(
             # a --save-state archive: pull the params subtree instead of
             # unflattening 'params.*'/'opt.N'/'__step__' into a garbled
             # tree that dies later with KeyError('cls_token')
-            return ckpt.load_params_from_state(p)
-        return ckpt.load_npz(p)
+            return _no_mae(ckpt.load_params_from_state(p), source)
+        return _no_mae(ckpt.load_npz(p), source)
     if suffix in (".pth", ".pt"):
         from vit_tpu.io.torch_convert import load_pth
 
@@ -57,3 +57,18 @@ def load_params_any(
         f"unrecognized weight source {source!r}: expected a Weight_*.bin "
         "directory, an Orbax checkpoint directory, a .npz, or a .pth/.pt"
     )
+
+
+def _no_mae(tree, source):
+    """MAE pretraining trees (decoder, no classifier head) can't serve as
+    classifier weights — fail at load with the conversion recipe instead
+    of a KeyError('head') minutes later inside a jit."""
+    from vit_tpu.models.mae import is_mae_params
+
+    if is_mae_params(tree):
+        raise ValueError(
+            f"{source} is an MAE pretraining checkpoint (decoder present, "
+            "no classifier head): extract the fine-tuning backbone first — "
+            "vit-tpu-train --mae --save-backbone PATH, then use PATH here"
+        )
+    return tree

@@ -73,11 +73,17 @@ def param_pspecs(axis_names, params: Any) -> Any:
         "pos_embed": rep1,
         "blocks": present,
         "ln_final": {"scale": rep1, "bias": rep1},
-        "head": {"kernel": rep1, "bias": rep1},
     }
+    if "head" in params:  # absent on MAE pretraining trees
+        out["head"] = {"kernel": rep1, "bias": rep1}
     if "dist_token" in params:  # DeiT: replicated, like CLS/head
         out["dist_token"] = rep1
         out["head_dist"] = {"kernel": rep1, "bias": rep1}
+    if "decoder" in params:
+        # MAE decoder (models/mae.py): small (~26M for the default
+        # 512x8) and pretraining-only — replicate rather than extend the
+        # TP rules to a tree that never serves.
+        out["decoder"] = jax.tree.map(lambda _: rep1, params["decoder"])
     return out
 
 

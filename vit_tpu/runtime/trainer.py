@@ -134,6 +134,112 @@ def kernel_backward_compiler_options():
     return None
 
 
+def make_mae_train_step(
+    cfg: ViTConfig,
+    mae_cfg,
+    optimizer: optax.GradientTransformation,
+    ops: OpsImpl = REFERENCE_OPS,
+    compute_dtype=None,
+):
+    """Build the MAE pretraining step ``(params, opt_state, images, rng)
+    -> (params, opt_state, loss)`` (models/mae.py; no labels — the targets
+    are the images' own masked pixels).
+
+    No remat knob: at the default 75% mask the encoder runs on ~25% of the
+    tokens, so activation memory is a fraction of supervised training's,
+    and the fused_train kernel path recomputes in VMEM already (CLAUDE.md:
+    never wrap fused_train in jax.checkpoint).
+    """
+    from vit_tpu.models import mae as mae_mod
+
+    def loss_fn(params, images, rng):
+        if compute_dtype is not None:
+            params = vit.cast_params(params, compute_dtype)
+        return mae_mod.forward_loss(params, images, rng, cfg, mae_cfg, ops)
+
+    def train_step(params, opt_state, images, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def jit_mae_step_for_mesh(
+    cfg: ViTConfig,
+    mae_cfg,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    params_like: Any,
+    opt_state_like: Any,
+    ops: OpsImpl = REFERENCE_OPS,
+    compute_dtype=None,
+):
+    """jit the MAE step with explicit mesh shardings: batch over dp,
+    encoder params under the standard TP/replication rules, decoder
+    replicated (parallel/sharding.py), rng replicated."""
+    p_shard = param_shardings(mesh, params_like)
+    o_shard = _opt_state_shardings(opt_state_like, params_like, p_shard, mesh)
+    step = make_mae_train_step(cfg, mae_cfg, optimizer, ops, compute_dtype)
+    return jax.jit(
+        step,
+        in_shardings=(p_shard, o_shard, batch_sharding(mesh, 4), replicate(mesh)),
+        out_shardings=(p_shard, o_shard, replicate(mesh)),
+        donate_argnums=(0, 1),
+    )
+
+
+def jit_mae_step_dp_shard_map(
+    cfg: ViTConfig,
+    mae_cfg,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    ops: OpsImpl,
+    compute_dtype=None,
+):
+    """Data-parallel MAE step for the Pallas-kernel op paths (GSPMD cannot
+    partition pallas calls — same split as jit_train_step_dp_shard_map):
+    per-shard value_and_grad under shard_map, pmean'd loss/grads, optimizer
+    update on replicated params outside.  The mask rng decorrelates across
+    dp shards via the axis index (each shard masks its own images)."""
+    from jax.sharding import PartitionSpec as P
+
+    from vit_tpu.models import mae as mae_mod
+
+    def loss_fn(params, images, rng):
+        if compute_dtype is not None:
+            params = vit.cast_params(params, compute_dtype)
+        return mae_mod.forward_loss(params, images, rng, cfg, mae_cfg, ops)
+
+    def local(params, images, rng):
+        k = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, k)
+        loss = jax.lax.pmean(loss, "dp")
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), grads)
+        return loss, grads
+
+    grad_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def step(params, opt_state, images, rng):
+        loss, grads = grad_fn(params, images, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(
+        step,
+        donate_argnums=(0, 1),
+        compiler_options=kernel_backward_compiler_options(),
+    )
+
+
 def _make_loss_fn(cfg, ops, remat, compute_dtype, label_smoothing=0.0):
     def loss_fn(params, images, labels, rng=None):
         def fwd(p, x):
