@@ -249,3 +249,124 @@ def test_split_bwd_form_matches_merged(tiny_cfg, tiny_params, monkeypatch):
     gx_s, gb_s = grads()
     np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_m), atol=1e-5)
     _tree_close(gb_s, gb_m, atol=1e-5)
+
+
+# -- regularized (dropout + stochastic depth) fused block ---------------------
+# VERDICT r3 item 1: the 2.1x training path must run the full ViT/DeiT
+# recipe.  Gate: grads match the jnp twin under IDENTICAL masks <= 1e-4.
+
+
+def _reg_case(tiny_cfg, tiny_params, batch=3):
+    t, d = tiny_cfg.seq_len, tiny_cfg.embed_dim
+    rows = batch * t
+    x2d = _rand(11, rows, d) * 0.3
+    blk = jax.tree.map(lambda a: jnp.asarray(a[0], jnp.float32),
+                       tiny_params["blocks"])
+    return x2d, blk, t
+
+
+@pytest.mark.parametrize(
+    "p,dp_rate", [(0.3, 0.0), (0.0, 0.4), (0.25, 0.25)]
+)
+def test_regularized_block_grads_match_jnp_twin(tiny_cfg, tiny_params, p, dp_rate):
+    from vit_tpu.ops.pallas.trainable import (
+        encoder_block_train,
+        train_block_reference_2d,
+    )
+
+    x2d, blk, t = _reg_case(tiny_cfg, tiny_params)
+    seed = jnp.uint32(987654)
+    args = (tiny_cfg.num_heads, t, tiny_cfg.layernorm_eps, "exact",
+            seed, p, dp_rate)
+
+    def loss_k(x, b):
+        return jnp.sum(jnp.sin(encoder_block_train(x, b, *args)))
+
+    def loss_r(x, b):
+        return jnp.sum(jnp.sin(train_block_reference_2d(x, b, *args)))
+
+    fk = loss_k(x2d, blk)
+    fr = loss_r(x2d, blk)
+    np.testing.assert_allclose(float(fk), float(fr), rtol=1e-5)
+    gk = jax.grad(loss_k, argnums=(0, 1))(x2d, blk)
+    gr = jax.grad(loss_r, argnums=(0, 1))(x2d, blk)
+    _tree_close(gk, gr, atol=1e-4)
+
+
+def test_regularized_block_split_bwd_matches_merged(
+    tiny_cfg, tiny_params, monkeypatch
+):
+    """The split C'/B' train backward (H/14-scale fallback) must produce
+    the same grads as the merged train kernel."""
+    from vit_tpu.ops.pallas import backward as B
+    from vit_tpu.ops.pallas.trainable import encoder_block_train
+
+    x2d, blk, t = _reg_case(tiny_cfg, tiny_params)
+    seed = jnp.uint32(31337)
+
+    def grads():
+        def loss(x, b):
+            return jnp.sum(
+                encoder_block_train(
+                    x, b, tiny_cfg.num_heads, t, tiny_cfg.layernorm_eps,
+                    "exact", seed, 0.2, 0.3,
+                ) ** 2
+            )
+        return jax.grad(loss, argnums=(0, 1))(x2d, blk)
+
+    gx_m, gb_m = grads()
+    monkeypatch.setattr(B, "MERGED_BWD_VMEM_BUDGET", 0)
+    gx_s, gb_s = grads()
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_m), atol=1e-5)
+    _tree_close(gb_s, gb_m, atol=1e-5)
+
+
+def test_regularized_block_zero_rates_is_identity(tiny_cfg, tiny_params):
+    """p=0, rate=0 must equal the unregularized trainable block exactly
+    (the drop-path threshold formula is exact at rate 0), so layer 0 of
+    the linear drop-path schedule is a true no-op."""
+    from vit_tpu.ops.pallas.trainable import encoder_block_train
+
+    x2d, blk, t = _reg_case(tiny_cfg, tiny_params)
+    a = encoder_block_train(
+        x2d, blk, tiny_cfg.num_heads, t, tiny_cfg.layernorm_eps, "exact",
+        jnp.uint32(5), 0.0, 0.0,
+    )
+    b = fused_encoder_block_trainable(
+        x2d, blk, tiny_cfg.num_heads, t, tiny_cfg.layernorm_eps, "exact"
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mask_hash_statistics():
+    """The position-hash masks must hit their keep probabilities and be
+    sample-constant for drop-path / block-independent for dropout."""
+    from vit_tpu.ops.pallas.fused_block import (
+        DROP_SITE_DP_ATTN,
+        DROP_SITE_MLP_INNER,
+        drop_path_scale_rows,
+        dropout_mask,
+    )
+
+    seed = jnp.uint32(42)
+    p = 0.3
+    m = np.asarray(dropout_mask(seed, DROP_SITE_MLP_INNER, 0, (512, 512), p))
+    keep_frac = (m > 0).mean()
+    assert abs(keep_frac - (1 - p)) < 0.01
+    np.testing.assert_allclose(m[m > 0], 1.0 / (1 - p), rtol=1e-6)
+    # block decomposition reproduces the same mask (fwd/bwd use different
+    # block_rows)
+    m_lo = np.asarray(dropout_mask(seed, DROP_SITE_MLP_INNER, 0, (128, 512), p))
+    m_hi = np.asarray(dropout_mask(seed, DROP_SITE_MLP_INNER, 128, (128, 512), p))
+    np.testing.assert_array_equal(m[:128], m_lo)
+    np.testing.assert_array_equal(m[128:256], m_hi)
+
+    # drop-path: constant within a sample, exact identity at rate 0
+    t = 7
+    s = np.asarray(drop_path_scale_rows(seed, DROP_SITE_DP_ATTN, 200, t, 0.4))
+    s = s.reshape(200, t)
+    assert (s == s[:, :1]).all()
+    drop_frac = (s[:, 0] == 0).mean()
+    assert abs(drop_frac - 0.4) < 0.1
+    ones = np.asarray(drop_path_scale_rows(seed, DROP_SITE_DP_ATTN, 64, t, 0.0))
+    np.testing.assert_array_equal(ones, np.ones_like(ones))

@@ -181,3 +181,29 @@ def test_kernel_tp_converges():
     )
     best = _train_to_gate(cfg, step, params, opt_state, x, y)
     assert best >= GATE, f"kernel-tp: best train top-1 {best:.3f} < {GATE}"
+
+
+def test_fused_train_with_regularizers_converges():
+    """The regularized fused_train path (in-kernel dropout + stochastic
+    depth) must still memorize — a wrong mask gate in any backward kernel
+    stalls this exactly like the injected-bug control."""
+    cfg = dataclasses.replace(
+        _tiny(2, 11, "vit_tiny_conv_reg"), dropout=0.1, drop_path=0.1
+    )
+    x, y = _data(cfg)
+    opt = optax.adamw(LR)
+    params, opt_state = trainer.init_train_state(jax.random.key(0), cfg, opt)
+    raw = jax.jit(
+        trainer.make_train_step(
+            cfg, opt, get_ops("fused_train"), remat=False, use_dropout=True
+        )
+    )
+    key = jax.random.key(7)
+
+    def step(params, opt_state, x, y, _box=[0]):
+        _box[0] += 1
+        return raw(params, opt_state, x, y, jax.random.fold_in(key, _box[0]))
+
+    # eval through the clean (no-dropout) forward, as at deployment
+    best = _train_to_gate(cfg, step, params, opt_state, x, y)
+    assert best >= GATE, f"regularized fused_train: top-1 {best:.3f} < {GATE}"

@@ -115,6 +115,26 @@ def test_train_state_npz_yields_params(tmp_path, tiny_cfg):
     )
 
 
+def test_wide_config_refuses_published_checkpoints(tmp_path, tiny_cfg):
+    """vit_b_16_wide's tensor shapes match B/16 exactly, so a torchvision
+    .pth or Weight_*.bin dir would load without any shape error and compute
+    wrong attention (the packed-QKV head grouping differs) — the loader
+    must refuse (ADVICE r3)."""
+    import dataclasses
+
+    wide = dataclasses.replace(
+        tiny_cfg, num_heads=2, native_checkpoints=False, name="tiny_wide"
+    )
+    d = _ref_dir(tmp_path, tiny_cfg)
+    with pytest.raises(ValueError, match="head geometry"):
+        load_params_any(d, wide)
+    # our own .npz checkpoints carry the wide packing natively — allowed
+    params = load_params_any(d, tiny_cfg)
+    ckpt.save_npz(params, tmp_path / "own.npz")
+    got = load_params_any(tmp_path / "own.npz", wide)
+    assert "cls_token" in got
+
+
 def test_uppercase_suffixes_dispatch(tmp_path, tiny_cfg):
     """.NPZ / .PT names (case-insensitive filesystems, external tooling)
     must dispatch like their lowercase twins, not fall through to

@@ -188,10 +188,22 @@ def test_extract_backbone_structure(tiny_cfg, mae_params):
 def test_mae_config_validation(tiny_cfg):
     with pytest.raises(ValueError, match="distilled"):
         mae.check_config(DEIT_B_16)
-    with pytest.raises(ValueError, match="visible patch"):
+    with pytest.raises(ValueError, match="visible"):
         mae.MAEConfig(mask_ratio=1.0).len_keep(tiny_cfg)
+    # mask_ratio 0 masks nothing: the loss would be identically zero
+    with pytest.raises(ValueError, match="masked patch"):
+        mae.MAEConfig(mask_ratio=0.0).len_keep(tiny_cfg)
     with pytest.raises(ValueError, match="divisible"):
         mae.MAEConfig(decoder_dim=33, decoder_heads=2).decoder_cfg(tiny_cfg)
+    # positivity validates BEFORE divisibility (heads=0 must not be a
+    # ZeroDivisionError, which the CLI's ValueError handler can't catch)
+    for bad in (
+        mae.MAEConfig(decoder_heads=0),
+        mae.MAEConfig(decoder_dim=-512),
+        mae.MAEConfig(decoder_depth=0),
+    ):
+        with pytest.raises(ValueError, match="positive"):
+            bad.decoder_cfg(tiny_cfg)
 
 
 def test_train_cli_mae_pretrain_then_finetune(tiny_cfg, monkeypatch, capsys,
@@ -241,7 +253,12 @@ def test_train_cli_mae_flag_validation(tiny_cfg, monkeypatch, capsys):
     assert train_main(base + ["--mae", "--num-classes", "5"]) == 2
     assert train_main(base + ["--mae", "--mae-decoder", "bogus"]) == 2
     assert train_main(base + ["--mae", "--mask-ratio", "1.5"]) == 2
+    assert train_main(base + ["--mae", "--mae-decoder", "32,1,0"]) == 2
     assert train_main(base + ["--save-backbone", "x.npz"]) == 2
+    # MAE-only flags without --mae are an error, not silently ignored
+    assert train_main(base + ["--mask-ratio", "0.5"]) == 2
+    assert train_main(base + ["--mae-decoder", "32,1,2"]) == 2
+    assert train_main(base + ["--no-norm-pix"]) == 2
     capsys.readouterr()
 
 

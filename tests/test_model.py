@@ -92,3 +92,27 @@ def test_init_head_matches_init_params_head_leaf(tiny_cfg):
     want = (1.0 / tiny_cfg.embed_dim) ** 0.5
     assert 0.5 * want < std < 1.5 * want
     assert not np.any(np.asarray(head["bias"]))
+
+
+def test_wide_head_config_smoke(tiny_cfg, tiny_images):
+    """vit_b_16_wide-style geometry (fewer, wider heads in the same tensor
+    shapes) must run through every dispatch surface and match the oracle —
+    the config exists for the dh=128 MXU-lane headroom study
+    (docs/performance.md kernel-A floor)."""
+    import dataclasses
+
+    from vit_tpu.config import VIT_B_16_WIDE
+
+    assert VIT_B_16_WIDE.num_params() == dataclasses.replace(
+        VIT_B_16_WIDE, num_heads=12
+    ).num_params()
+    assert not VIT_B_16_WIDE.native_checkpoints
+    wide = dataclasses.replace(
+        tiny_cfg, num_heads=2, native_checkpoints=False, name="tiny_wide"
+    )
+    params = vit.init_params(jax.random.key(3), wide)
+    logits = np.asarray(
+        jax.jit(vit.logits_fn(wide))(params, jnp.asarray(tiny_images))
+    )
+    want = oracle.forward(params, tiny_images, wide)
+    np.testing.assert_allclose(logits, want, atol=1e-4)

@@ -145,13 +145,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--dropout", type=float, default=0.0,
         help="training dropout at torchvision's four sites (input+pos "
         "embedding, post-attention, intra-MLP after GELU, post-MLP); "
-        "requires --ops xla or qat",
+        "runs in-kernel on --ops fused_train, or in the unfused blocks "
+        "on xla/qat",
     )
     p.add_argument(
         "--drop-path", type=float, default=0.0,
         help="stochastic depth: per-sample residual-branch drop, rate "
         "scaled linearly over layers (the standard ViT regularizer); "
-        "requires --ops xla",
+        "runs in-kernel on --ops fused_train, or on xla/qat",
     )
     p.add_argument(
         "--distill-teacher", metavar="WEIGHTS",

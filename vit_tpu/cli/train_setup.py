@@ -337,6 +337,7 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
             fused_adamw=fused_adamw,
             label_smoothing=args.label_smoothing,
             augment_fn=augment_fn, grad_accum=args.grad_accum,
+            use_dropout=use_dropout,
         )
     else:
         # GSPMD placement shared by the plain and distillation steps (the
@@ -607,11 +608,21 @@ def prepare(args) -> TrainSetup:
 
     use_dropout = bool(args.dropout or args.drop_path)
     if use_dropout:
-        if (ops_name not in ("xla", "qat") or args.pp > 1 or args.tp > 1
-                or args.sp > 1):
+        # xla/qat: regularizers in the unfused jnp blocks; fused_train:
+        # in-kernel dropout + stochastic depth (the megakernels regenerate
+        # the masks in the backward — ops/pallas/trainable.py), dp-mesh
+        # only like the rest of the fused_train path.
+        if (ops_name not in ("xla", "qat", "fused_train") or args.pp > 1
+                or args.tp > 1 or args.sp > 1):
             raise SetupError(
-                "error: --dropout/--drop-path require --ops xla or qat on "
-                "a dp mesh (the regularizers run in the unfused blocks)"
+                "error: --dropout/--drop-path require --ops xla, qat, or "
+                "fused_train on a dp mesh"
+            )
+        if ops_name == "fused_train" and cfg.seq_len > 1024:
+            raise SetupError(
+                "error: --dropout/--drop-path through the fused kernels "
+                f"support seq_len <= 1024 (got {cfg.seq_len}); use "
+                "--ops xla for very long sequences"
             )
         cfg = dataclasses.replace(
             cfg, dropout=args.dropout, drop_path=args.drop_path
@@ -675,6 +686,19 @@ def prepare(args) -> TrainSetup:
         )
     elif args.save_backbone:
         raise SetupError("error: --save-backbone requires --mae")
+    else:
+        # the other MAE-only flags would otherwise be silently ignored
+        mae_only = [
+            name for name, off in (
+                ("--mask-ratio", args.mask_ratio == 0.75),
+                ("--mae-decoder", args.mae_decoder == "512,8,16"),
+                ("--no-norm-pix", not args.no_norm_pix),
+            ) if not off
+        ]
+        if mae_only:
+            raise SetupError(
+                f"error: {'/'.join(mae_only)} require --mae"
+            )
 
     teacher_fwd = None
     if args.distill_teacher:

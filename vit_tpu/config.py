@@ -38,6 +38,12 @@ class ViTConfig:
     # deit_* checkpoint family without touching the encoder kernels (they
     # are token-count-generic — T just grows by one).
     distilled: bool = False
+    # False for configs whose head geometry no published checkpoint family
+    # shares (e.g. vit_b_16_wide): tensor SHAPES may match a torchvision
+    # checkpoint exactly, but the packed-QKV (head, {q,k,v}, head_dim)
+    # column grouping differs, so loading one would silently compute wrong
+    # attention — the loaders refuse instead (io/load_any.py).
+    native_checkpoints: bool = True
     name: str = "vit_b_16"
 
     @property
@@ -143,7 +149,9 @@ VIT_H_14 = ViTConfig(
 # this config exists to let from-scratch / MAE-pretrained users buy that
 # headroom (no torchvision checkpoint has this geometry — B/16 weights do
 # NOT interchange: the packed-QKV column grouping differs).
-VIT_B_16_WIDE = ViTConfig(num_heads=6, name="vit_b_16_wide")
+VIT_B_16_WIDE = ViTConfig(
+    num_heads=6, native_checkpoints=False, name="vit_b_16_wide"
+)
 
 # DeiT distilled family (facebook/deit-*-distilled-patch16-224): same pre-LN
 # encoder geometry as ViT (dh=64 throughout), plus the distillation token and

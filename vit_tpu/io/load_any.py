@@ -33,6 +33,7 @@ def load_params_any(
         if any(p.glob("Weight_*.bin")):
             from vit_tpu.io import weights as wio
 
+            _check_native_checkpoint(cfg, source)
             return wio.load_reference_weights(
                 p, cfg, round_to_6dp=round_to_6dp, allow_synth=allow_synth
             )
@@ -52,11 +53,28 @@ def load_params_any(
     if suffix in (".pth", ".pt"):
         from vit_tpu.io.torch_convert import load_pth
 
+        _check_native_checkpoint(cfg, source)
         return load_pth(p, cfg)
     raise ValueError(
         f"unrecognized weight source {source!r}: expected a Weight_*.bin "
         "directory, an Orbax checkpoint directory, a .npz, or a .pth/.pt"
     )
+
+
+def _check_native_checkpoint(cfg, source):
+    """Published-family loaders (Weight_*.bin, torchvision .pth) pack QKV
+    columns per cfg.num_heads; a config with no published checkpoints
+    (vit_b_16_wide: 6x128 heads in B/16 tensor shapes) would load one
+    without any shape error and silently compute wrong attention."""
+    if not cfg.native_checkpoints:
+        raise ValueError(
+            f"{source} is a published-family checkpoint, but config "
+            f"{cfg.name} has a head geometry ({cfg.num_heads}x"
+            f"{cfg.head_dim}) no published checkpoint shares — its packed-"
+            "QKV column grouping would be misinterpreted.  Train this "
+            "config from scratch (or from an MAE backbone) and load the "
+            "resulting .npz/Orbax checkpoint instead"
+        )
 
 
 def _no_mae(tree, source):

@@ -57,6 +57,13 @@ class MAEConfig:
     def decoder_cfg(self, cfg: ViTConfig) -> ViTConfig:
         """A ViTConfig view of the decoder (so vit.encoder_block and the
         init machinery apply unchanged)."""
+        # positivity first: a zero/negative geometry would otherwise pass
+        # the divisibility check (or die in it with ZeroDivisionError,
+        # which the CLI's ValueError handler can't catch)
+        for field in ("decoder_dim", "decoder_depth", "decoder_heads"):
+            v = getattr(self, field)
+            if v <= 0:
+                raise ValueError(f"{field} must be positive (got {v})")
         if self.decoder_dim % self.decoder_heads:
             raise ValueError(
                 f"decoder_dim {self.decoder_dim} not divisible by "
@@ -74,10 +81,14 @@ class MAEConfig:
     def len_keep(self, cfg: ViTConfig) -> int:
         """Visible patches per image (static — fixed at trace time)."""
         n = int(cfg.num_patches * (1.0 - self.mask_ratio))
-        if not 0 < n <= cfg.num_patches:
+        if not 0 < n < cfg.num_patches:
+            # n == num_patches (mask_ratio ~ 0) would make mask.sum() == 0:
+            # the loss is identically zero and the run silently trains
+            # nothing — fail at config time like mask_ratio = 1 does
             raise ValueError(
                 f"mask_ratio {self.mask_ratio} keeps {n} of "
-                f"{cfg.num_patches} patches; need at least 1 visible patch"
+                f"{cfg.num_patches} patches; need at least 1 visible and "
+                "1 masked patch"
             )
         return n
 

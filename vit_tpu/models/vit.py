@@ -178,17 +178,23 @@ def forward(
 
     ``dropout_rng`` enables training-mode dropout at torchvision's four
     sites (input+pos_embedding here; post-attention, intra-MLP, post-MLP
-    in encoder_block); supported on the unfused jnp block paths ('xla'
-    and 'qat' ops) — the megakernel paths (incl. 'fused_train') have no
-    dropout hooks, and the per-op 'pallas' mlp kernel has no intra-MLP
-    hook.
+    in encoder_block) plus stochastic depth: supported on the unfused jnp
+    block paths ('xla' and 'qat' ops) and on 'fused_train', whose
+    megakernels apply the regularizers in-kernel from per-layer seeds
+    (ops.encoder_block_train); the inference megakernel paths ('fused',
+    'quant') and the per-op 'pallas' debugging tier have no hooks.
     """
-    if dropout_rng is not None and ops.encoder_block is not None:
-        raise ValueError("dropout requires the unfused block path (ops='xla')")
+    if dropout_rng is not None and ops.encoder_block is not None \
+            and ops.encoder_block_train is None:
+        raise ValueError(
+            f"dropout/drop-path on ops={ops.name!r} has no kernel hooks — "
+            "use ops='fused_train' (in-kernel regularizers) or 'xla'/'qat'"
+        )
     if dropout_rng is not None and cfg.dropout > 0 and ops.name == "pallas":
         raise ValueError(
             "cfg.dropout > 0 needs ops.mlp's inner_dropout hook "
-            "(torchvision's intra-MLP site) — use ops='xla' or 'qat'"
+            "(torchvision's intra-MLP site) — use ops='fused_train', "
+            "'xla', or 'qat'"
         )
     compute_dtype = params["pos_embed"].dtype
     x = images.astype(compute_dtype)
@@ -213,18 +219,39 @@ def forward(
             rows *= s
         x2 = x.reshape(rows * t, d)
 
-        def body(carry, blk):
-            out = ops.encoder_block(
-                carry, blk, cfg.num_heads, t, cfg.layernorm_eps, gelu_variant
-            )
-            return out, None
+        if dropout_rng is not None:
+            # regularized kernels: one uint32 seed per layer (scanned),
+            # drop-path rate on the standard linear schedule
+            seeds = jax.random.bits(dropout_rng, (cfg.depth,), jnp.uint32)
+            rates = jnp.asarray(_dp_rates(cfg), jnp.float32)
 
-        if unroll_layers:
-            for l in range(cfg.depth):
-                blk = jax.tree.map(lambda a: a[l], blocks)
-                x2, _ = body(x2, blk)
+            def body(carry, xs):
+                blk, seed, rate = xs
+                out = ops.encoder_block_train(
+                    carry, blk, cfg.num_heads, t, cfg.layernorm_eps,
+                    gelu_variant, seed, cfg.dropout, rate,
+                )
+                return out, None
+
+            if unroll_layers:
+                for l in range(cfg.depth):
+                    blk = jax.tree.map(lambda a: a[l], blocks)
+                    x2, _ = body(x2, (blk, seeds[l], rates[l]))
+            else:
+                x2, _ = jax.lax.scan(body, x2, (blocks, seeds, rates))
         else:
-            x2, _ = jax.lax.scan(body, x2, blocks)
+            def body(carry, blk):
+                out = ops.encoder_block(
+                    carry, blk, cfg.num_heads, t, cfg.layernorm_eps, gelu_variant
+                )
+                return out, None
+
+            if unroll_layers:
+                for l in range(cfg.depth):
+                    blk = jax.tree.map(lambda a: a[l], blocks)
+                    x2, _ = body(x2, blk)
+            else:
+                x2, _ = jax.lax.scan(body, x2, blocks)
         x = x2.reshape(*lead, t, d)
     elif unroll_layers:
         keys = (

@@ -30,6 +30,11 @@ class OpsImpl:
     mlp: Callable
     patch_embed: Callable
     encoder_block: Optional[Callable] = None
+    # Regularized fused block for training recipes: signature
+    # ``(x2d, blk, num_heads, seq_len, eps, gelu_variant, seed, dropout_p,
+    # drop_path_rate) -> x2d`` — dropout + stochastic depth applied inside
+    # the kernels (masks regenerated from the per-layer uint32 seed).
+    encoder_block_train: Optional[Callable] = None
 
 
 REFERENCE_OPS = OpsImpl(

@@ -56,12 +56,15 @@ FUSED_OPS = OpsImpl(
 # native sequence lengths; blockwise flash-attention VJP past
 # VMEM_ATTENTION_MAX_T (pallas_call has no auto-VJP; both carry custom ones).
 from vit_tpu.ops.pallas.trainable import (
+    encoder_block_train,
     encoder_block_trainable,
     fused_encoder_block_trainable,
 )
 
 # Ops outside the encoder blocks (final LN, etc.) must stay differentiable
 # jnp — only the block megakernel carries the custom VJP.
+# encoder_block_train is the regularized twin: dropout + stochastic depth
+# inside the kernels, backed by mask-regenerating backward megakernels.
 TRAINABLE_FUSED_OPS = OpsImpl(
     name="fused_train",
     layer_norm=reference.layer_norm,
@@ -69,6 +72,7 @@ TRAINABLE_FUSED_OPS = OpsImpl(
     mlp=reference.mlp,
     patch_embed=reference.patch_embed,
     encoder_block=encoder_block_trainable,
+    encoder_block_train=encoder_block_train,
 )
 
 # W8A8 path: int8 QKV/MLP GEMMs (2x MXU rate on v5e), bf16 attention core.

@@ -43,7 +43,11 @@ from vit_tpu.ops.pallas.fused_block import (
     _ERF_TANH_Q,
     _gelu,
     _ln,
+    DROP_SITE_ATTN_OUT,
+    DROP_SITE_MLP_INNER,
+    DROP_SITE_MLP_OUT,
     dot_precision,
+    dropout_mask,
     use_fast_erf,
 )
 from vit_tpu.ops.pallas.mlp_kernel import _erf
@@ -106,13 +110,19 @@ def _row_mask(rows_total, block_rows):
 
 def _mlp_bwd_core(
     dy, x1, s_ref, b_ref, w1_ref, b1_ref, w2_ref, u_ref, mask, eps, variant,
-    cdtype,
+    cdtype, inner_mask=None,
 ):
     """The MLP-backward body shared by the split C' kernel and the merged
     C'+B' kernel (one definition, so the two forms cannot drift): recompute
     LN2 (+ pre-GELU u unless the forward stashed it), GELU grad, and the
     LN input gradient.  Returns everything both kernels' accumulators need:
-    (h2, g, du, du_c, dh2, dx_ln, xhat)."""
+    (h2, g, du, du_c, dh2, dx_ln, xhat).
+
+    ``inner_mask`` (rows, F) fp32, when given, is the training forward's
+    intra-MLP dropout multiplier (fused_block.DROP_SITE_MLP_INNER): the
+    returned ``g`` is then the POST-dropout activation g̃ = m ⊙ gelu(u)
+    (what dw2 contracts against) and du carries the mask's gradient gate.
+    ``dy`` must already be the caller's post-FC2-site gradient."""
     prec = dot_precision(cdtype)
     gamma = s_ref[:].astype(jnp.float32)
     # recompute LN in VMEM; use the stashed pre-GELU u when the forward
@@ -126,12 +136,16 @@ def _mlp_bwd_core(
         u = u + b1_ref[:].astype(jnp.float32)
     fast = use_fast_erf(cdtype)
     g = _gelu(u, variant, fast_erf=fast)
+    if inner_mask is not None:
+        g = g * inner_mask
 
     # dm = dy (any residual add passes gradient through — handled by caller)
     dg = jax.lax.dot_general(
         dy.astype(cdtype), w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     )
+    if inner_mask is not None:
+        dg = dg * inner_mask
     du = dg * _gelu_grad(u, variant, fast_erf=fast)
     du_c = du.astype(cdtype)
     dh2 = jax.lax.dot_general(
@@ -396,6 +410,331 @@ def ln_mlp_out_residual_bwd(
         dx1, dctx, dgam.reshape(d), dbeta.reshape(d),
         dw1, db1.reshape(f), dw2, db2.reshape(d), dwo, dbo.reshape(d),
     )
+
+
+# -- train variants: the regularized block's backward --------------------------
+# The training forward applies dropout (3 torchvision in-block sites) and
+# stochastic depth inside kernels B/C (fused_block.out_residual_train /
+# ln_mlp_residual_train).  These backward twins regenerate the identical
+# masks from the same (seed, site, absolute position) hash — nothing mask-
+# shaped is ever stashed — and gate the gradients at the same points:
+#
+#   out = x1 + dp_mlp ⊙ m_out ⊙ (FC2(m_in ⊙ GELU(FC1(LN2(x1)))) + b2)
+#   x1  = x  + dp_attn ⊙ m_attn ⊙ (ctx @ wo + bo)
+#
+# so d(FC2 input chain) sees dy * dp_mlp * m_out, the GELU grad gates
+# through m_in, and d(out_proj chain) sees dx1 * dp_attn * m_attn, while
+# the residual passthroughs stay ungated (dy and dx1 themselves).
+
+
+def _ln_mlp_out_bwd_train_kernel(
+    dy_ref, x1_ref, ctx_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, wo_ref,
+    dpm_ref, dpa_ref, seed_ref,
+    dx_ref, dctx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref,
+    dbeta_ref, dwo_ref, dbo_ref, *, eps, variant, rows_total, dropout_p,
+):
+    cdtype = dy_ref.dtype
+    prec = dot_precision(cdtype)
+    block_rows = dy_ref.shape[0]
+    rows0 = pl.program_id(0) * block_rows
+    seed = seed_ref[0, 0].astype(jnp.uint32)
+    mask = _row_mask(rows_total, block_rows)
+    dy = jnp.where(mask, dy_ref[:].astype(jnp.float32), 0.0)
+    x1 = jnp.where(mask, x1_ref[:].astype(jnp.float32), 0.0)
+    ctx = jnp.where(mask, ctx_ref[:].astype(jnp.float32), 0.0)
+
+    dy_mlp = dy * dpm_ref[:].astype(jnp.float32)
+    inner_mask = None
+    if dropout_p > 0:
+        dy_mlp = dy_mlp * dropout_mask(
+            seed, DROP_SITE_MLP_OUT, rows0, dy_mlp.shape, dropout_p
+        )
+        inner_mask = dropout_mask(
+            seed, DROP_SITE_MLP_INNER, rows0,
+            (block_rows, w1_ref.shape[-1]), dropout_p,
+        )
+    h2, g, du, du_c, dh2, dx_ln, xhat = _mlp_bwd_core(
+        dy_mlp, x1, s_ref, b_ref, w1_ref, b1_ref, w2_ref, None, mask, eps,
+        variant, cdtype, inner_mask=inner_mask,
+    )
+    dx1 = dy + dx_ln
+    dx_ref[:] = dx1.astype(dx_ref.dtype)
+
+    # chain into the out_proj backward through ITS regularizer gates
+    dz = dx1 * dpa_ref[:].astype(jnp.float32)
+    if dropout_p > 0:
+        dz = dz * dropout_mask(
+            seed, DROP_SITE_ATTN_OUT, rows0, dz.shape, dropout_p
+        )
+    dz_c = dz.astype(cdtype)
+    dctx_ref[:] = jax.lax.dot_general(
+        dz_c, wo_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(dctx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+
+    _mlp_grad_accum(
+        dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbeta_ref,
+        h2, g, du, du_c, dy_mlp, dh2, xhat, cdtype,
+    )
+    dwo_ref[:] += jax.lax.dot_general(
+        ctx.astype(ctx_ref.dtype), dz_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dbo_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+
+
+def ln_mlp_out_residual_bwd_train(
+    dy, x1, ctx, ln_scale, ln_bias, w1, b1, w2, wo, dp_mlp, dp_attn, seed,
+    dropout_p, eps, gelu_variant="exact", block_rows=256, interpret=False,
+):
+    """Train twin of :func:`ln_mlp_out_residual_bwd` — same outputs, with
+    the dropout/stochastic-depth gradient gates regenerated in-kernel."""
+    rows, d = dy.shape
+    f = w1.shape[-1]
+    d_ctx = ctx.shape[-1]
+    block_rows = min(block_rows, rows)
+    acc = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)  # noqa: E731
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    rowblk = lambda w: pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    outs = pl.pallas_call(
+        functools.partial(
+            _ln_mlp_out_bwd_train_kernel, eps=eps, variant=gelu_variant,
+            rows_total=rows, dropout_p=dropout_p,
+        ),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            rowblk(d), rowblk(d), rowblk(d_ctx),
+            const((1, d)), const((1, d)),
+            const((d, f)), const((1, f)), const((f, d)),
+            const((d_ctx, d)),
+            rowblk(1), rowblk(1),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            rowblk(d), rowblk(d_ctx),
+            const((d, f)), const((1, f)), const((f, d)), const((1, d)),
+            const((1, d)), const((1, d)),
+            const((d_ctx, d)), const((1, d)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, d), dy.dtype),
+            jax.ShapeDtypeStruct((rows, d_ctx), dy.dtype),
+            acc((d, f)), acc((1, f)), acc((f, d)), acc((1, d)),
+            acc((1, d)), acc((1, d)),
+            acc((d_ctx, d)), acc((1, d)),
+        ),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * rows * d * f + 4 * rows * d * d_ctx,
+            bytes_accessed=(4 * rows * d + 2 * d * f + d_ctx * d) * dy.dtype.itemsize,
+            transcendentals=2 * rows * f,
+        ),
+        interpret=interpret,
+    )(
+        dy, x1, ctx,
+        ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+        w1, b1.reshape(1, f), w2, wo,
+        dp_mlp.astype(jnp.float32), dp_attn.astype(jnp.float32),
+        jnp.asarray(seed).astype(jnp.int32).reshape(1, 1),
+    )
+    (dx1, dctx, dw1, db1, dw2, db2, dgam, dbeta, dwo, dbo) = outs
+    return (
+        dx1, dctx, dgam.reshape(d), dbeta.reshape(d),
+        dw1, db1.reshape(f), dw2, db2.reshape(d), dwo, dbo.reshape(d),
+    )
+
+
+def _ln_mlp_bwd_train_kernel(
+    dy_ref, x1_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, dpm_ref, seed_ref,
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbeta_ref,
+    *, eps, variant, rows_total, dropout_p,
+):
+    cdtype = dy_ref.dtype
+    block_rows = dy_ref.shape[0]
+    rows0 = pl.program_id(0) * block_rows
+    seed = seed_ref[0, 0].astype(jnp.uint32)
+    mask = _row_mask(rows_total, block_rows)
+    dy = jnp.where(mask, dy_ref[:].astype(jnp.float32), 0.0)
+    x1 = jnp.where(mask, x1_ref[:].astype(jnp.float32), 0.0)
+
+    dy_mlp = dy * dpm_ref[:].astype(jnp.float32)
+    inner_mask = None
+    if dropout_p > 0:
+        dy_mlp = dy_mlp * dropout_mask(
+            seed, DROP_SITE_MLP_OUT, rows0, dy_mlp.shape, dropout_p
+        )
+        inner_mask = dropout_mask(
+            seed, DROP_SITE_MLP_INNER, rows0,
+            (block_rows, w1_ref.shape[-1]), dropout_p,
+        )
+    h2, g, du, du_c, dh2, dx_ln, xhat = _mlp_bwd_core(
+        dy_mlp, x1, s_ref, b_ref, w1_ref, b1_ref, w2_ref, None, mask, eps,
+        variant, cdtype, inner_mask=inner_mask,
+    )
+    dx_ref[:] = (dy + dx_ln).astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
+
+    _mlp_grad_accum(
+        dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbeta_ref,
+        h2, g, du, du_c, dy_mlp, dh2, xhat, cdtype,
+    )
+
+
+def ln_mlp_residual_bwd_train(
+    dy, x1, ln_scale, ln_bias, w1, b1, w2, dp_mlp, seed, dropout_p, eps,
+    gelu_variant="exact", block_rows=128, interpret=False,
+):
+    """Train twin of :func:`ln_mlp_residual_bwd` (split form, residual
+    passthrough included) — the fallback when the merged kernel's VMEM
+    bill overflows (H/14, fp32 L/16)."""
+    rows, d = dy.shape
+    f = w1.shape[-1]
+    block_rows = min(block_rows, rows)
+    acc = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)  # noqa: E731
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    rowblk = lambda w: pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    outs = pl.pallas_call(
+        functools.partial(
+            _ln_mlp_bwd_train_kernel, eps=eps, variant=gelu_variant,
+            rows_total=rows, dropout_p=dropout_p,
+        ),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            rowblk(d), rowblk(d),
+            const((1, d)), const((1, d)),
+            const((d, f)), const((1, f)), const((f, d)),
+            rowblk(1),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            rowblk(d),
+            const((d, f)), const((1, f)), const((f, d)), const((1, d)),
+            const((1, d)), const((1, d)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, d), dy.dtype),
+            acc((d, f)), acc((1, f)), acc((f, d)), acc((1, d)),
+            acc((1, d)), acc((1, d)),
+        ),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * rows * d * f,
+            bytes_accessed=(3 * rows * d + 2 * d * f) * dy.dtype.itemsize,
+            transcendentals=2 * rows * f,
+        ),
+        interpret=interpret,
+    )(
+        dy, x1,
+        ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+        w1, b1.reshape(1, f), w2,
+        dp_mlp.astype(jnp.float32),
+        jnp.asarray(seed).astype(jnp.int32).reshape(1, 1),
+    )
+    dx1, dw1, db1, dw2, db2, dgam, dbeta = outs
+    return (
+        dx1, dgam.reshape(d), dbeta.reshape(d),
+        dw1, db1.reshape(f), dw2, db2.reshape(d),
+    )
+
+
+def _out_res_bwd_train_kernel(
+    dx1_ref, ctx_ref, wo_ref, dpa_ref, seed_ref, dctx_ref, dwo_ref, dbo_ref,
+    *, rows_total, dropout_p,
+):
+    cdtype = dx1_ref.dtype
+    prec = dot_precision(cdtype)
+    block_rows = dx1_ref.shape[0]
+    rows0 = pl.program_id(0) * block_rows
+    mask = _row_mask(rows_total, block_rows)
+    dx1 = jnp.where(mask, dx1_ref[:].astype(jnp.float32), 0.0)
+    ctx = jnp.where(mask, ctx_ref[:].astype(jnp.float32), 0.0)
+    dz = dx1 * dpa_ref[:].astype(jnp.float32)
+    if dropout_p > 0:
+        seed = seed_ref[0, 0].astype(jnp.uint32)
+        dz = dz * dropout_mask(
+            seed, DROP_SITE_ATTN_OUT, rows0, dz.shape, dropout_p
+        )
+    dz_c = dz.astype(cdtype)
+    dctx_ref[:] = jax.lax.dot_general(
+        dz_c, wo_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(dctx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+
+    dwo_ref[:] += jax.lax.dot_general(
+        ctx.astype(ctx_ref.dtype), dz_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dbo_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+
+
+def out_residual_bwd_train(
+    dx1, ctx, wo, dp_attn, seed, dropout_p, block_rows=512, interpret=False,
+):
+    """Train twin of :func:`out_residual_bwd`: gates dx1 through the
+    post-attention dropout + stochastic-depth multipliers before the
+    out_proj transposes (the residual gradient stays dx1 at the caller)."""
+    rows, d_in = ctx.shape
+    d = dx1.shape[-1]
+    block_rows = min(block_rows, rows)
+    outs = pl.pallas_call(
+        functools.partial(
+            _out_res_bwd_train_kernel, rows_total=rows, dropout_p=dropout_p
+        ),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, d_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, d_in), dx1.dtype),
+            jax.ShapeDtypeStruct((d_in, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * d * d_in,
+            bytes_accessed=(3 * rows * d + d * d_in) * dx1.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        dx1, ctx, wo, dp_attn.astype(jnp.float32),
+        jnp.asarray(seed).astype(jnp.int32).reshape(1, 1),
+    )
+    dctx, dwo, dbo = outs
+    return dctx, dwo, dbo.reshape(d)
 
 
 # -- kernel B backward: d[out_proj + residual] --------------------------------
@@ -689,6 +1028,62 @@ def fused_encoder_block_bwd(
     dx, dg1, dbt1, dwqkv, dbqkv = ln_qkv_attn_bwd(
         dctx, dx1_mlp, x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
         blk["bqkv"], num_heads, seq_len, eps, interpret=interpret, qkv=qkv,
+    )
+
+    def like(val, ref):
+        return val.astype(ref.dtype)
+
+    dblk = {
+        "ln1_scale": like(dg1, blk["ln1_scale"]),
+        "ln1_bias": like(dbt1, blk["ln1_bias"]),
+        "wqkv": like(dwqkv, blk["wqkv"]),
+        "bqkv": like(dbqkv, blk["bqkv"]),
+        "wo": like(dwo, blk["wo"]),
+        "bo": like(dbo, blk["bo"]),
+        "ln2_scale": like(dg2, blk["ln2_scale"]),
+        "ln2_bias": like(dbt2, blk["ln2_bias"]),
+        "w1": like(dw1, blk["w1"]),
+        "b1": like(db1, blk["b1"]),
+        "w2": like(dw2, blk["w2"]),
+        "b2": like(db2, blk["b2"]),
+    }
+    return dx, dblk
+
+
+def fused_encoder_block_bwd_train(
+    x2d, blk, ctx, x1, g, dp_attn, dp_mlp, seed, dropout_p, num_heads,
+    seq_len, eps, gelu_variant, interpret,
+):
+    """Train twin of :func:`fused_encoder_block_bwd`: the regularized
+    block's full backward (dropout + stochastic-depth gates regenerated
+    in-kernel from ``seed``).  Same merged-vs-split VMEM routing; kernel A'
+    is unchanged (the reference recipe has no attention-probs dropout —
+    torchvision's attention_dropout defaults to 0 across the family)."""
+    d = x2d.shape[-1]
+    f = blk["w1"].shape[-1]
+    d_ctx = blk["wo"].shape[0]
+    itemsize = jnp.dtype(blk["w1"].dtype).itemsize
+    if _merged_bwd_vmem_bytes(d, f, d_ctx, itemsize) <= MERGED_BWD_VMEM_BUDGET:
+        (dx1_mlp, dctx, dg2, dbt2, dw1, db1, dw2, db2, dwo, dbo) = (
+            ln_mlp_out_residual_bwd_train(
+                g, x1, ctx, blk["ln2_scale"], blk["ln2_bias"], blk["w1"],
+                blk["b1"], blk["w2"], blk["wo"], dp_mlp, dp_attn, seed,
+                dropout_p, eps, gelu_variant, interpret=interpret,
+            )
+        )
+    else:
+        (dx1_mlp, dg2, dbt2, dw1, db1, dw2, db2) = ln_mlp_residual_bwd_train(
+            g, x1, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
+            blk["w2"], dp_mlp, seed, dropout_p, eps, gelu_variant,
+            interpret=interpret,
+        )
+        dctx, dwo, dbo = out_residual_bwd_train(
+            dx1_mlp, ctx, blk["wo"], dp_attn, seed, dropout_p,
+            interpret=interpret,
+        )
+    dx, dg1, dbt1, dwqkv, dbqkv = ln_qkv_attn_bwd(
+        dctx, dx1_mlp, x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
+        blk["bqkv"], num_heads, seq_len, eps, interpret=interpret,
     )
 
     def like(val, ref):

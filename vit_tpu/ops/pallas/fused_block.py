@@ -92,6 +92,70 @@ def use_fast_erf(dtype) -> bool:
     return jnp.dtype(dtype) == jnp.bfloat16
 
 
+# -- training-mode regularizer masks ------------------------------------------
+# The fused_train path applies torchvision's in-block dropout (post-out_proj,
+# intra-MLP, post-FC2 — the sites the reference hard-codes to 0,
+# ViT_seq.c:10-21) and stochastic depth INSIDE the megakernels.  Masks are
+# never stashed or streamed: every kernel regenerates them from a
+# counter-based hash of (per-layer seed, site, absolute row, column), so the
+# forward kernels, the backward kernels (different block_rows!), and the jnp
+# parity twin all reproduce bit-identical masks from one uint32 seed.
+
+DROP_SITE_ATTN_OUT = 1   # dropout after the attention out_proj
+DROP_SITE_MLP_INNER = 2  # dropout between GELU and FC2 (torchvision MLPBlock)
+DROP_SITE_MLP_OUT = 3    # dropout after FC2 (+b2)
+DROP_SITE_DP_ATTN = 4    # stochastic depth, attention residual branch
+DROP_SITE_DP_MLP = 5     # stochastic depth, MLP residual branch
+
+
+def mask_hash_u32(seed_u32, site: int, r_u32, c_u32):
+    """Uniform uint32 from absolute position — a murmur3-finalizer mix over
+    (seed, site, row, col).  Pure jnp (uint32 mul/xor/shift), so the same
+    definition runs on the VPU inside kernels and in plain XLA outside."""
+    x = (
+        r_u32 * jnp.uint32(0x9E3779B9)
+        + c_u32 * jnp.uint32(0x85EBCA6B)
+        + seed_u32
+        + jnp.uint32((site * 0x27D4EB2F) & 0xFFFFFFFF)
+    )
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def dropout_mask(seed_u32, site: int, rows0, shape, p: float):
+    """(shape) fp32 inverted-dropout multiplier: 1/(1-p) kept, 0 dropped.
+    ``p`` is static (config), so the drop threshold is an exact compile-time
+    constant; ``rows0`` is the block's absolute first row (traced)."""
+    r = rows0 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    bits = mask_hash_u32(seed_u32, site, r.astype(jnp.uint32), c.astype(jnp.uint32))
+    drop_thresh = jnp.uint32(int(p * 4294967296.0) & 0xFFFFFFFF)
+    return jnp.where(bits >= drop_thresh, jnp.float32(1.0 / (1.0 - p)), 0.0)
+
+
+def drop_path_scale_rows(seed_u32, site: int, batch: int, seq_len: int, rate):
+    """(batch*seq_len, 1) fp32 stochastic-depth multiplier, constant within
+    each sample: 1/(1-rate) kept, 0 dropped.  ``rate`` may be traced (the
+    standard schedule scales it per layer); rate == 0 keeps EVERY sample
+    (the threshold formula is exact at 0, so layer 0 of the linear schedule
+    is a true identity).  Computed in plain XLA (it is tiny) and passed to
+    the kernels as a row-blocked operand."""
+    s = jax.lax.broadcasted_iota(jnp.int32, (batch, 1), 0)
+    bits = mask_hash_u32(
+        seed_u32, site, s.astype(jnp.uint32), jnp.uint32(0)
+    )
+    rate = jnp.asarray(rate, jnp.float32)
+    # 4294967040 = 2^32 - 256, the largest f32 below 2^32: rate ~ 1 cannot
+    # overflow the uint32 cast, and rate == 0 maps to threshold 0 exactly
+    drop_thresh = (rate * jnp.float32(4294967040.0)).astype(jnp.uint32)
+    scale = jnp.where(bits >= drop_thresh, 1.0 / (1.0 - rate), 0.0)
+    return jnp.repeat(scale.astype(jnp.float32), seq_len, axis=0)
+
+
 # -- kernel A: LN1 + QKV projection + attention core --------------------------
 # One grid step per image: the packed QKV never round-trips to HBM
 # (~180 MB/layer at B/16 batch-100 saved) — measured 15% faster end-to-end
@@ -289,6 +353,69 @@ def out_residual(ctx, res, wo, bo, block_rows=512, interpret=False):
     )(ctx, res, wo, bo.reshape(1, d))
 
 
+# -- kernel B train variant: out_proj + dropout + drop-path + residual --------
+
+
+def _out_res_train_kernel(
+    ctx_ref, res_ref, wo_ref, bo_ref, dp_ref, seed_ref, out_ref, *, dropout_p
+):
+    acc = jnp.dot(
+        ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32,
+        precision=dot_precision(ctx_ref.dtype),
+    )
+    acc = acc + bo_ref[:].astype(jnp.float32)
+    if dropout_p > 0:
+        seed = seed_ref[0, 0].astype(jnp.uint32)
+        rows0 = pl.program_id(0) * ctx_ref.shape[0]
+        acc = acc * dropout_mask(
+            seed, DROP_SITE_ATTN_OUT, rows0, acc.shape, dropout_p
+        )
+    acc = acc * dp_ref[:].astype(jnp.float32)  # (block_rows, 1) broadcast
+    out_ref[:] = (acc + res_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def out_residual_train(
+    ctx, res, wo, bo, dp_scale, seed, dropout_p, block_rows=512,
+    interpret=False,
+):
+    """Training form of :func:`out_residual`:
+    ``res + dp_scale * dropout(ctx @ wo + bo)`` — torchvision's
+    post-attention dropout site and the attention branch's stochastic
+    depth, fused into the same GEMM epilogue.
+
+    ``dp_scale`` (rows, 1) fp32 from :func:`drop_path_scale_rows`;
+    ``seed`` uint32/int32 scalar array; ``dropout_p`` static."""
+    rows, d = ctx.shape
+    block_rows = min(block_rows, rows)
+    return pl.pallas_call(
+        functools.partial(_out_res_train_kernel, dropout_p=dropout_p),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, d), ctx.dtype),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * d * d,
+            bytes_accessed=(3 * rows * d + d * d) * ctx.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        ctx, res, wo, bo.reshape(1, d),
+        dp_scale.astype(jnp.float32),
+        jnp.asarray(seed).astype(jnp.int32).reshape(1, 1),
+    )
+
+
 # -- kernel C: LN2 + MLP + residual -----------------------------------------
 
 
@@ -372,6 +499,85 @@ def ln_mlp_residual(
         b2.reshape(1, d),
     )
     return out
+
+
+# -- kernel C train variant: LN2 + MLP with in-block dropout + drop-path ------
+
+
+def _ln_mlp_train_kernel(
+    x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, dp_ref, seed_ref,
+    out_ref, *, eps, variant, dropout_p,
+):
+    prec = dot_precision(x_ref.dtype)
+    rows0 = pl.program_id(0) * x_ref.shape[0]
+    seed = seed_ref[0, 0].astype(jnp.uint32)
+    h = _ln(x_ref[:], s_ref[:], b_ref[:], eps).astype(x_ref.dtype)
+    u = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32, precision=prec)
+    u = u + b1_ref[:].astype(jnp.float32)
+    g = _gelu(u, variant, fast_erf=use_fast_erf(x_ref.dtype))
+    if dropout_p > 0:  # torchvision MLPBlock: dropout after the GELU
+        g = g * dropout_mask(seed, DROP_SITE_MLP_INNER, rows0, g.shape, dropout_p)
+    acc = jnp.dot(
+        g.astype(x_ref.dtype), w2_ref[:],
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    acc = acc + b2_ref[:].astype(jnp.float32)
+    if dropout_p > 0:  # ... and after the second linear
+        acc = acc * dropout_mask(seed, DROP_SITE_MLP_OUT, rows0, acc.shape, dropout_p)
+    acc = acc * dp_ref[:].astype(jnp.float32)
+    out_ref[:] = (acc + x_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def ln_mlp_residual_train(
+    x2d, ln_scale, ln_bias, w1, b1, w2, b2, dp_scale, seed, dropout_p, eps,
+    gelu_variant="exact", block_rows=256, interpret=False,
+):
+    """Training form of :func:`ln_mlp_residual`:
+    ``x + dp_scale * drop(drop(GELU(FC1(LN2(x)))) @ w2 + b2)`` — both
+    torchvision MLP dropout sites and the MLP branch's stochastic depth
+    inside the one kernel (masks regenerated from ``seed``, never stored)."""
+    rows, d = x2d.shape
+    f = w1.shape[-1]
+    block_rows = min(block_rows, rows)
+    return pl.pallas_call(
+        functools.partial(
+            _ln_mlp_train_kernel, eps=eps, variant=gelu_variant,
+            dropout_p=dropout_p,
+        ),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x2d.dtype),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * d * f,
+            bytes_accessed=(2 * rows * d + 2 * d * f) * x2d.dtype.itemsize,
+            transcendentals=rows * f,
+        ),
+        interpret=interpret,
+    )(
+        x2d,
+        ln_scale.reshape(1, d),
+        ln_bias.reshape(1, d),
+        w1,
+        b1.reshape(1, f),
+        w2,
+        b2.reshape(1, d),
+        dp_scale.astype(jnp.float32),
+        jnp.asarray(seed).astype(jnp.int32).reshape(1, 1),
+    )
 
 
 # -- merged kernel B+C: out_proj + residual + LN2 + MLP + residual -----------

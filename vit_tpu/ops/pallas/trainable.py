@@ -14,12 +14,22 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from vit_tpu.ops.pallas.fused_block import (
+    DROP_SITE_ATTN_OUT,
+    DROP_SITE_DP_ATTN,
+    DROP_SITE_DP_MLP,
+    DROP_SITE_MLP_INNER,
+    DROP_SITE_MLP_OUT,
+    drop_path_scale_rows,
+    dropout_mask,
     fused_encoder_block,
     ln_mlp_residual,
+    ln_mlp_residual_train,
     ln_qkv_attn,
     out_residual,
+    out_residual_train,
 )
 
 
@@ -94,6 +104,149 @@ def _bwd(num_heads, seq_len, eps, gelu_variant, residuals, g):
 
 
 fused_encoder_block_trainable.defvjp(_fwd, _bwd)
+
+
+# -- regularized trainable block: dropout + stochastic depth in-kernel --------
+# The standard ViT/DeiT training recipe needs dropout (torchvision's three
+# in-block sites — the constants the reference hard-codes to 0,
+# ViT_seq.c:10-21) and stochastic depth.  Both run INSIDE kernels B/C
+# (fused_block.out_residual_train / ln_mlp_residual_train); the backward
+# megakernels regenerate the identical masks from the per-layer seed
+# (backward.fused_encoder_block_bwd_train), so the 2.1x training path no
+# longer forfeits the regularizers to --ops xla.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _fused_encoder_block_train(
+    x2d, blk, dp_attn, dp_mlp, seed,
+    num_heads: int, seq_len: int, eps: float, gelu_variant: str,
+    dropout_p: float,
+):
+    out, _ = _train_fwd(
+        x2d, blk, dp_attn, dp_mlp, seed, num_heads, seq_len, eps,
+        gelu_variant, dropout_p,
+    )
+    return out
+
+
+def _train_fwd(
+    x2d, blk, dp_attn, dp_mlp, seed, num_heads, seq_len, eps, gelu_variant,
+    dropout_p,
+):
+    from vit_tpu.ops.pallas import interpret_default
+
+    interpret = interpret_default()
+    ctx = ln_qkv_attn(
+        x2d, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["bqkv"],
+        num_heads, seq_len, eps, interpret=interpret,
+    )
+    x1 = out_residual_train(
+        ctx, x2d, blk["wo"], blk["bo"], dp_attn, seed, dropout_p,
+        interpret=interpret,
+    )
+    out = ln_mlp_residual_train(
+        x1, blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
+        blk["w2"], blk["b2"], dp_mlp, seed, dropout_p, eps, gelu_variant,
+        interpret=interpret,
+    )
+    return out, (x2d, blk, ctx, x1, dp_attn, dp_mlp, seed)
+
+
+def _train_bwd(
+    num_heads, seq_len, eps, gelu_variant, dropout_p, residuals, g
+):
+    from vit_tpu.ops.pallas import interpret_default
+    from vit_tpu.ops.pallas.backward import fused_encoder_block_bwd_train
+
+    x2d, blk, ctx, x1, dp_attn, dp_mlp, seed = residuals
+    dx, dblk = fused_encoder_block_bwd_train(
+        x2d, blk, ctx, x1, g, dp_attn, dp_mlp, seed, dropout_p, num_heads,
+        seq_len, eps, gelu_variant, interpret=interpret_default(),
+    )
+    # the mask inputs are deterministic functions of the seed — nothing
+    # differentiates through them (zeros, not None: they are float arrays)
+    return dx, dblk, jnp.zeros_like(dp_attn), jnp.zeros_like(dp_mlp), None
+
+
+_fused_encoder_block_train.defvjp(_train_fwd, _train_bwd)
+
+
+def encoder_block_train(
+    x2d, blk, num_heads: int, seq_len: int, eps: float, gelu_variant: str,
+    seed, dropout_p: float, drop_path_rate,
+):
+    """The fused_train ops table's REGULARIZED encoder block.
+
+    ``seed``: uint32 scalar array (one per layer, scanned); ``dropout_p``:
+    static config rate; ``drop_path_rate``: possibly-traced per-layer
+    stochastic-depth rate (the linear schedule).  The per-sample
+    stochastic-depth scale rows are tiny and computed in plain XLA; the
+    elementwise dropout masks are regenerated in-kernel from the seed."""
+    from vit_tpu.ops.pallas.fused_block import VMEM_ATTENTION_MAX_T
+
+    if seq_len > VMEM_ATTENTION_MAX_T:
+        raise ValueError(
+            f"dropout/drop-path through the fused kernels supports "
+            f"seq_len <= {VMEM_ATTENTION_MAX_T} (got {seq_len}); train "
+            "very long sequences with --ops xla (flash-VJP dropout hooks "
+            "are not wired)"
+        )
+    rows = x2d.shape[0]
+    b = rows // seq_len
+    seed_u = jnp.asarray(seed).astype(jnp.uint32)
+    dp_attn = drop_path_scale_rows(
+        seed_u, DROP_SITE_DP_ATTN, b, seq_len, drop_path_rate
+    )
+    dp_mlp = drop_path_scale_rows(
+        seed_u, DROP_SITE_DP_MLP, b, seq_len, drop_path_rate
+    )
+    return _fused_encoder_block_train(
+        x2d, blk, dp_attn, dp_mlp, seed_u, num_heads, seq_len, eps,
+        gelu_variant, float(dropout_p),
+    )
+
+
+def train_block_reference_2d(
+    x2d, blk, num_heads, seq_len, eps, gelu_variant, seed, dropout_p,
+    drop_path_rate,
+):
+    """jnp twin of :func:`encoder_block_train` with BIT-IDENTICAL masks
+    (same position-hash) — the grad-parity oracle for the regularized
+    kernels (tests/test_backward.py)."""
+    from vit_tpu.ops import reference as R
+
+    rows, d = x2d.shape
+    b = rows // seq_len
+    seed_u = jnp.asarray(seed).astype(jnp.uint32)
+    dp_attn = drop_path_scale_rows(
+        seed_u, DROP_SITE_DP_ATTN, b, seq_len, drop_path_rate
+    )
+    dp_mlp = drop_path_scale_rows(
+        seed_u, DROP_SITE_DP_MLP, b, seq_len, drop_path_rate
+    )
+
+    def drop(x, site, ncols):
+        if dropout_p <= 0:
+            return x
+        m = dropout_mask(seed_u, site, 0, (rows, ncols), dropout_p)
+        return x * m.astype(x.dtype)
+
+    x = x2d.reshape(b, seq_len, d)
+    h = R.layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], eps)
+    h = R.attention(
+        h, blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"], num_heads
+    ).reshape(rows, d)
+    h = drop(h, DROP_SITE_ATTN_OUT, d) * dp_attn.astype(h.dtype)
+    x1 = x2d + h
+    h = R.layer_norm(
+        x1.reshape(b, seq_len, d), blk["ln2_scale"], blk["ln2_bias"], eps
+    ).reshape(rows, d)
+    u = R.linear(h, blk["w1"], blk["b1"])
+    g = R.gelu_exact(u) if gelu_variant == "exact" else R.gelu_tanh(u)
+    g = drop(g, DROP_SITE_MLP_INNER, blk["w1"].shape[-1])
+    y = R.linear(g, blk["w2"], blk["b2"])
+    y = drop(y, DROP_SITE_MLP_OUT, d) * dp_mlp.astype(y.dtype)
+    return x1 + y
 
 
 # -- round-1 fallback: Pallas forward + jnp-recompute backward ----------------

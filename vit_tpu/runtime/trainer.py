@@ -506,6 +506,7 @@ def jit_train_step_dp_shard_map(
     label_smoothing: float = 0.0,
     augment_fn=None,
     grad_accum: int = 1,
+    use_dropout: bool = False,
 ):
     """Data-parallel train step for Pallas-kernel op paths (e.g.
     'fused_train'), which GSPMD cannot partition: per-shard value_and_grad
@@ -526,6 +527,9 @@ def jit_train_step_dp_shard_map(
     across shards via the dp index; mixup/cutmix partners therefore come
     from the same shard) and adds an rng argument to the step.
     ``grad_accum`` accumulates over microbatches of the LOCAL batch.
+    ``use_dropout`` threads a per-step rng into the forward (cfg.dropout /
+    cfg.drop_path through the fused_train kernels' in-kernel regularizers;
+    the rng decorrelates across dp shards like augment's).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -533,14 +537,20 @@ def jit_train_step_dp_shard_map(
         cfg, ops, remat, compute_dtype,
         0.0 if augment_fn is not None else label_smoothing,
     )
-    needs_rng = augment_fn is not None
+    needs_rng = augment_fn is not None or use_dropout
 
     def local(params, images, labels, rng=None):
+        if rng is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
         if augment_fn is not None:
-            k_aug = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+            if use_dropout:
+                k_aug, rng = jax.random.split(rng)
+            else:
+                k_aug, rng = rng, None
             images, labels = augment_fn(k_aug, images, labels)
         loss, grads = _value_and_grad_accum(
-            loss_fn, params, images, labels, grad_accum
+            loss_fn, params, images, labels, grad_accum,
+            rng if use_dropout else None,
         )
         loss = jax.lax.pmean(loss, "dp")
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), grads)
