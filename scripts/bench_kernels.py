@@ -117,6 +117,18 @@ def main():
             x, (s1, b1ln, wqkv_q, wqkv_s, bqkv),
         )
         print(f"A  int8+q8(attn):     {dt*1e3:7.3f} ms/layer  {fl_a/dt/1e12:6.1f} TF/s")
+    if "awide" in which:
+        # VERDICT r4 item 7: the dh=128 floor-thesis measurement.  Same
+        # tensor shapes and FLOPs as kernel A (d=768, packed 3*d columns)
+        # but 6 heads x head_dim 128 — the attention dots contract all 128
+        # MXU lanes instead of B/16's 64.  One row either confirms the
+        # round-3 conclusion ("breaking 26.8 ms means wider heads",
+        # docs/performance.md kernel-A floor) or kills it.
+        dt = timeit_scan(
+            lambda c, w: FB.ln_qkv_attn(c, w[0], w[1], w[2], w[3], 6, t, eps),
+            x, (s1, b1ln, wqkv, bqkv),
+        )
+        print(f"A  bf16 dh=128 (6h):  {dt*1e3:7.3f} ms/layer  {fl_a/dt/1e12:6.1f} TF/s")
     if "b" in which:
         dt = timeit_scan(
             lambda c, w: FB.out_residual(c, c, w[0], w[1]),

@@ -61,7 +61,16 @@ def main(argv=None):
             patch_size=8, name="tome_smoke",
         )
         args.batch, args.iters = 4, 2
-    params = wio.params_from_tensors(wio.synth_reference_tensors(cfg, 0), cfg)
+    if cfg.distilled:
+        # DeiT (dist token + dual heads) has no reference-format synth
+        # tensors; random-init works for throughput
+        from vit_tpu.models import vit as vit_mod
+
+        params = vit_mod.init_params(jax.random.key(0), cfg)
+    else:
+        params = wio.params_from_tensors(
+            wio.synth_reference_tensors(cfg, 0), cfg
+        )
     params = jax.tree.map(
         lambda a: jnp.asarray(a, jnp.float32 if args.smoke else jnp.bfloat16),
         params,
@@ -83,8 +92,7 @@ def main(argv=None):
         dt, dt_min, dt_max = forward_timing(
             lambda: fwd(params, x), args.iters
         )
-        counts = tome.merge_counts(cfg.seq_len, cfg.depth, r,
-                                   cfg.num_prefix_tokens)
+        counts = tome_model.schedule(cfg, r)  # the chunked default
         final_t = cfg.seq_len - sum(counts)
         stats = roofline(cfg, args.batch, dt, chip="v5e", dtype="bf16")
         print(

@@ -40,7 +40,13 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--skip-parity", action="store_true")
-    ap.add_argument("--paths", default="fused_train,xla")
+    ap.add_argument("--paths", default="fused_train,xla",
+                    help="comma list: fused_train / xla / qat "
+                    "(+'+fadamw' suffix for the in-place AdamW kernel); "
+                    "'reg' = fused_train + in-kernel dropout 0.1 + "
+                    "drop-path 0.1 (regularizer overhead); 'mae' = MAE "
+                    "pretraining step (mask 0.75, paper decoder) on the "
+                    "fused kernels; 'tome:R' = train-time ToMe at r=R")
     args = ap.parse_args()
 
     # parse first: --help must never touch the device (the preflight can
@@ -92,6 +98,78 @@ def main():
     labels = jnp.asarray(rng.integers(0, cfg.num_classes, args.batch), jnp.int32)
 
     for ops_name in args.paths.split(","):
+        if ops_name == "mae":
+            # MAE pretraining (VERDICT r4 item 4): the masked encoder runs
+            # ~25% of the tokens through the same fused kernels — measure
+            # the per-image win over supervised fused_train.
+            from vit_tpu.models import mae as mae_mod
+
+            mcfg = mae_mod.MAEConfig()  # mask 0.75, paper decoder 512x8
+            params = mae_mod.init_mae_params(jax.random.key(1), cfg, mcfg)
+            opt_state = optimizer.init(params)
+            raw = trainer.make_mae_train_step(
+                cfg, mcfg, optimizer, get_ops("fused_train"),
+                compute_dtype=jnp.bfloat16,
+            )
+            key = jax.random.key(0)
+            step = jax.jit(
+                lambda p, o, x, _y: raw(p, o, x, key),
+                donate_argnums=(0, 1),
+                compiler_options=trainer.kernel_backward_compiler_options(),
+            )
+            dt, dt_min, dt_max, lv = train_step_timing(
+                step, params, opt_state, imgs, labels, args.iters, warm=3
+            )
+            print(
+                f"mae (mask {mcfg.mask_ratio}): {dt*1e3:.1f} ms/step  "
+                f"({args.batch/dt:.0f} img/s, spread "
+                f"{args.batch/dt_max:.0f}-{args.batch/dt_min:.0f})  "
+                f"loss={lv:.3f}"
+            )
+            continue
+        if ops_name == "reg" or ops_name.startswith("tome:"):
+            # 'reg': the full regularizer recipe in-kernel (VERDICT r4
+            # item 1's <10%-overhead gate); 'tome:R': train-time ToMe.
+            import dataclasses
+
+            if ops_name == "reg":
+                rcfg = dataclasses.replace(cfg, dropout=0.1, drop_path=0.1)
+                raw = trainer.make_train_step(
+                    rcfg, optimizer, get_ops("fused_train"), remat=False,
+                    use_dropout=True, compute_dtype=jnp.bfloat16,
+                )
+                key = jax.random.key(0)
+                step_fn = lambda p, o, x, y: raw(p, o, x, y, key)  # noqa: E731
+                label = "reg (dropout 0.1 + drop-path 0.1)"
+            else:
+                from vit_tpu.models import tome as tome_mod
+
+                r = int(ops_name.split(":")[1])
+                raw = trainer.make_train_step(
+                    cfg, optimizer, get_ops("fused_train"), remat=False,
+                    compute_dtype=jnp.bfloat16,
+                    forward_fn=lambda p, im: tome_mod.forward_train(
+                        p, im, cfg, r
+                    ),
+                )
+                step_fn = raw
+                label = f"tome r={r} train"
+            params, opt_state = trainer.init_train_state(
+                jax.random.key(1), cfg, optimizer
+            )
+            step = jax.jit(
+                step_fn, donate_argnums=(0, 1),
+                compiler_options=trainer.kernel_backward_compiler_options(),
+            )
+            dt, dt_min, dt_max, lv = train_step_timing(
+                step, params, opt_state, imgs, labels, args.iters, warm=3
+            )
+            print(
+                f"{label}: {dt*1e3:.1f} ms/step  ({args.batch/dt:.0f} img/s, "
+                f"spread {args.batch/dt_max:.0f}-{args.batch/dt_min:.0f})  "
+                f"loss={lv:.3f}"
+            )
+            continue
         fused_opt = ops_name.endswith("+fadamw")
         ops_name = ops_name.removesuffix("+fadamw")
         remat = ops_name == "xla"  # custom-VJP paths already recompute

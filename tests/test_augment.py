@@ -335,14 +335,15 @@ def test_train_cli_dropout_drop_path(tiny_cfg, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "dropout: 0.1  drop_path: 0.2" in out and "step    1" in out
-    # kernel paths can't run the regularizers
+    # the fused megakernels run the regularizers in-kernel (round 4);
+    # only non-dp meshes remain rejected
     rc = train_main([
         "--config", "vit_tiny_test", "--steps", "1", "--batch", "4",
         "--dp", "1", "--ops", "fused_train", "--drop-path", "0.2",
         "--no-compile-cache",
     ])
-    assert rc == 2
-    assert "require --ops xla" in capsys.readouterr().err
+    assert rc == 0
+    assert "drop_path: 0.2" in capsys.readouterr().out
 
 
 def test_augmented_accum_through_fused_kernels(tiny_cfg):

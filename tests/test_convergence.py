@@ -207,3 +207,24 @@ def test_fused_train_with_regularizers_converges():
     # eval through the clean (no-dropout) forward, as at deployment
     best = _train_to_gate(cfg, step, params, opt_state, x, y)
     assert best >= GATE, f"regularized fused_train: top-1 {best:.3f} < {GATE}"
+
+
+def test_tome_train_converges():
+    """Train-time ToMe on the fused kernels must memorize: a wrong merge
+    transpose or a biased-probs mismatch in kernel A's VJP stalls this."""
+    from vit_tpu.models import tome as tome_model
+
+    cfg = dataclasses.replace(
+        _tiny(2, 11, "vit_tiny_conv_tome"), image_size=64, patch_size=8
+    )  # 65 tokens: room to merge
+    x, y = _data(cfg)
+    opt = optax.adamw(LR)
+    params, opt_state = trainer.init_train_state(jax.random.key(0), cfg, opt)
+    step = jax.jit(
+        trainer.make_train_step(
+            cfg, opt, get_ops("fused_train"), remat=False,
+            forward_fn=lambda p, im: tome_model.forward_train(p, im, cfg, 4),
+        )
+    )
+    best = _train_to_gate(cfg, step, params, opt_state, x, y)
+    assert best >= GATE, f"tome train: best top-1 {best:.3f} < {GATE}"

@@ -248,3 +248,126 @@ def test_distilled_protects_both_prefix_tokens(cfg, params):
     b = np.asarray(tome_model.forward_fused(dparams, imgs, dcfg, r=4))
     np.testing.assert_allclose(a, b, atol=2e-4)
     assert np.isfinite(a).all()
+
+
+def test_merge_matrix_matches_gather_merge():
+    """The production merge-matrix GEMM (ops/tome.merge_matrix) must equal
+    the gather/scatter merge exactly (same matching, same weighted
+    averages, same row layout)."""
+    rng = np.random.default_rng(7)
+    b, t, d, dm, r, p = 3, 33, 16, 8, 6, 2
+    x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    metric = jnp.asarray(rng.normal(size=(b, t, dm)), jnp.float32)
+    size = jnp.asarray(rng.integers(1, 5, size=(b, t)), jnp.float32)
+    want_x, want_s = tome.merge_tokens(x, metric, size, r, p)
+    w, s_out = tome.merge_matrix(metric, size, r, p)
+    got_x = tome.apply_merge_matrix(x, w, s_out)
+    np.testing.assert_allclose(np.asarray(s_out), np.asarray(want_s))
+    np.testing.assert_allclose(
+        np.asarray(got_x), np.asarray(want_x), atol=1e-5
+    )
+    # size conservation through the matrix form
+    np.testing.assert_allclose(
+        np.asarray(s_out.sum(-1)), np.asarray(size.sum(-1)), rtol=1e-6
+    )
+
+
+def test_merge_matrix_is_differentiable():
+    """Train-time ToMe: gradients flow through the merge GEMM (the
+    matching is piecewise-constant / stop-grad, the values are not)."""
+    rng = np.random.default_rng(8)
+    b, t, d, dm, r, p = 2, 17, 8, 4, 3, 1
+    x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    metric = jnp.asarray(rng.normal(size=(b, t, dm)), jnp.float32)
+    size = jnp.ones((b, t), jnp.float32)
+
+    def loss(x):
+        w, s_out = tome.merge_matrix(metric, size, r, p)
+        return jnp.sum(tome.apply_merge_matrix(x, w, s_out) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_compress_counts_and_validate():
+    """Chunked schedules conserve the total reduction, shrink the distinct
+    token-count set, and stay within the bipartite cap."""
+    seq, depth, r, p = 197, 12, 13, 1
+    per_layer = tome.merge_counts(seq, depth, r, p)
+    chunked = tome.compress_counts(per_layer, 3)
+    assert sum(chunked) == sum(per_layer)
+    assert len(chunked) == depth
+
+    def distinct_ts(counts):
+        t, seen = seq, set()
+        for c in counts:
+            seen.add(t)      # attention half
+            t -= c
+            seen.add(t)      # MLP half
+        return seen
+
+    assert len(distinct_ts(chunked)) < len(distinct_ts(per_layer))
+    tome.validate_counts(chunked, seq, p)
+    with pytest.raises(ValueError, match="bipartite|exist at"):
+        tome.validate_counts([98, 98], 197, 1)
+    # chunk=1 is the identity
+    assert tome.compress_counts(per_layer, 1) == per_layer
+
+
+def test_fused_matches_xla_per_layer_schedule(cfg, params, images):
+    """Explicit counts override: both paths on the same per-layer
+    schedule still agree (the default is chunked)."""
+    counts = tome.merge_counts(
+        cfg.seq_len, cfg.depth, 4, cfg.num_prefix_tokens
+    )
+    a = np.asarray(
+        tome_model.forward_xla(params, images, cfg, 4, counts=counts)
+    )
+    b = np.asarray(
+        tome_model.forward_fused(
+            params, images, cfg, 4, interpret=True, counts=counts
+        )
+    )
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_tome_forward_train_grads_match_xla(cfg, params, images):
+    """Train-time ToMe (models/tome.forward_train): the differentiable
+    kernel halves + merge-matrix GEMM must match jax autodiff of the jnp
+    ToMe forward — same schedule, same stop-gradient matching."""
+    r = 4
+
+    def loss_k(p):
+        return jnp.sum(jnp.sin(tome_model.forward_train(p, images, cfg, r)))
+
+    def loss_x(p):
+        return jnp.sum(jnp.sin(tome_model.forward_xla(p, images, cfg, r)))
+
+    np.testing.assert_allclose(
+        float(loss_k(params)), float(loss_x(params)), rtol=1e-5
+    )
+    gk = jax.grad(loss_k)(params)
+    gx = jax.grad(loss_x)(params)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gx)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, np.abs(b).max())
+        assert np.abs(a - b).max() / scale < 2e-4
+
+
+def test_train_cli_tome(cfg, monkeypatch, capsys):
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tome_test", cfg)
+    base = ["--config", "vit_tome_test", "--steps", "2", "--batch", "4",
+            "--dp", "1", "--no-compile-cache"]
+    assert train_main(base + ["--ops", "fused_train", "--tome", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "tome training: r=4" in out and "step    1" in out
+    # exclusions
+    assert train_main(base + ["--ops", "qat", "--tome", "4"]) == 2
+    assert train_main(
+        base + ["--ops", "fused_train", "--tome", "4", "--drop-path", "0.1"]
+    ) == 2
+    capsys.readouterr()

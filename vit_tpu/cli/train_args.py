@@ -155,6 +155,14 @@ def build_parser() -> argparse.ArgumentParser:
         "runs in-kernel on --ops fused_train, or on xla/qat",
     )
     p.add_argument(
+        "--tome", type=int, default=0, metavar="R",
+        help="train WITH token merging active (ToMe paper §5: merging "
+        "speeds training and recovers the off-the-shelf accuracy cost): "
+        "merge R token pairs per layer on the chunked schedule the "
+        "inference path uses; --ops fused_train (differentiable kernel "
+        "halves + merge-matrix GEMM) or xla, dp mesh only",
+    )
+    p.add_argument(
         "--distill-teacher", metavar="WEIGHTS",
         help="DeiT distillation: train the student's distillation head "
         "against this frozen teacher (any weight source; the teacher "

@@ -217,7 +217,7 @@ def _build_optimizer(args, lr):
 
 def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
                 params, opt_state, compute_dtype, remat, augment_fn,
-                use_dropout, teacher_fwd=None, mae_cfg=None):
+                use_dropout, teacher_fwd=None, mae_cfg=None, forward_fn=None):
     """Place params/opt_state for the chosen parallelism and build the
     jitted train step.  Returns (step, params, opt_state)."""
     import jax
@@ -337,7 +337,7 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
             fused_adamw=fused_adamw,
             label_smoothing=args.label_smoothing,
             augment_fn=augment_fn, grad_accum=args.grad_accum,
-            use_dropout=use_dropout,
+            use_dropout=use_dropout, forward_fn=forward_fn,
         )
     else:
         # GSPMD placement shared by the plain and distillation steps (the
@@ -362,7 +362,7 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
                 remat=remat, compute_dtype=compute_dtype,
                 label_smoothing=args.label_smoothing,
                 augment_fn=augment_fn, grad_accum=args.grad_accum,
-                use_dropout=use_dropout,
+                use_dropout=use_dropout, forward_fn=forward_fn,
             )
     return step, params, opt_state
 
@@ -629,6 +629,40 @@ def prepare(args) -> TrainSetup:
         )
         print(f"dropout: {args.dropout}  drop_path: {args.drop_path}")
 
+    tome_forward = None
+    if args.tome:
+        from vit_tpu.models import tome as tome_mod
+
+        if (ops_name not in ("fused_train", "xla")
+                or args.pp > 1 or args.tp > 1 or args.sp > 1):
+            raise SetupError(
+                "error: --tome training requires --ops fused_train or xla "
+                "on a dp mesh"
+            )
+        if use_dropout or args.mae or args.distill_teacher:
+            raise SetupError(
+                "error: --tome training does not compose with --dropout/"
+                "--drop-path/--mae/--distill-teacher (the merged-token "
+                "forward has no hooks for them)"
+            )
+        try:
+            counts = tome_mod.schedule(cfg, args.tome)
+        except ValueError as e:
+            raise SetupError(f"error: {e}")
+        fwd_impl = (
+            tome_mod.forward_train if ops_name == "fused_train"
+            else tome_mod.forward_xla
+        )
+
+        def tome_forward(p, x, _r=args.tome, _f=fwd_impl, _cfg=cfg):
+            return _f(p, x, _cfg, _r)
+
+        final_t = cfg.seq_len - sum(counts)
+        print(
+            f"tome training: r={args.tome} (chunked schedule, final "
+            f"{final_t} tokens)"
+        )
+
     mae_cfg = None
     if args.mae:
         from vit_tpu.models import mae as mae_mod
@@ -846,7 +880,7 @@ def prepare(args) -> TrainSetup:
     step, params, opt_state = _build_step(
         args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr, params,
         opt_state, compute_dtype, remat, augment_fn, use_dropout,
-        teacher_fwd=teacher_fwd, mae_cfg=mae_cfg,
+        teacher_fwd=teacher_fwd, mae_cfg=mae_cfg, forward_fn=tome_forward,
     )
 
     start_step = 0

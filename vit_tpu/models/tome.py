@@ -32,14 +32,38 @@ from vit_tpu.ops import reference, tome
 from vit_tpu.ops.pallas import fused_block as FB
 
 
+# Default schedule bucketing: merge each group of MERGE_CHUNK consecutive
+# layers' budget at the group's first layer.  Same total reduction as the
+# per-layer schedule at ~1/3 the distinct token counts, so the unrolled
+# fused chain compiles ~15 distinct kernel programs instead of ~36 — this
+# is what keeps deep/aggressive schedules (L/16, r=14/16) inside the
+# backend's validated envelope (docs/performance.md backend-fault log).
+# counts=... overrides (e.g. per-layer: tome.merge_counts(..) unchunked).
+MERGE_CHUNK = 3
+
+
+def schedule(cfg: ViTConfig, r: int, chunk: int = MERGE_CHUNK):
+    """The default (chunked) merge schedule for a (config, r) pair."""
+    p = cfg.num_prefix_tokens
+    counts = tome.compress_counts(
+        tome.merge_counts(cfg.seq_len, cfg.depth, r, p), chunk
+    )
+    return tome.validate_counts(counts, cfg.seq_len, p)
+
+
 def forward_xla(
     params: Dict[str, Any],
     images: jax.Array,
     cfg: ViTConfig,
     r: int,
     gelu_variant: str = "exact",
+    counts=None,
 ) -> jax.Array:
-    """Pure-jnp ToMe forward: images (B, C, H, W) -> logits."""
+    """Pure-jnp ToMe forward: images (B, C, H, W) -> logits.
+
+    The independent oracle for :func:`forward_fused` — deliberately kept
+    on the gather/scatter merge (ops/tome.merge_tokens) so the production
+    path's merge-matrix GEMM is cross-checked against different code."""
     check_config(cfg, r)
     compute_dtype = params["pos_embed"].dtype
     x = images.astype(compute_dtype)
@@ -50,7 +74,7 @@ def forward_xla(
     x = reference.add_cls_and_pos(x, vit.prefix_tokens(params), params["pos_embed"])
     b = x.shape[0]
     p = cfg.num_prefix_tokens
-    counts = tome.merge_counts(cfg.seq_len, cfg.depth, r, p)
+    counts = schedule(cfg, r) if counts is None else counts
     sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
     merged_any = False  # sizes are all ones (bias 0) until the first merge
     for l in range(cfg.depth):
@@ -122,10 +146,12 @@ def forward_fused(
     r: int,
     gelu_variant: str = "exact",
     interpret: bool | None = None,
+    counts=None,
 ) -> jax.Array:
     """Kernel-path ToMe forward: kernel A (LN1+QKV+attention, log-size
     bias in-VMEM, metric emitted) -> kernel B (out_proj+residual) ->
-    XLA merge -> kernel C (LN2+MLP+residual), per layer."""
+    merge-matrix GEMM (ops/tome.merge_matrix) -> kernel C
+    (LN2+MLP+residual), per layer, on the default chunked schedule."""
     check_config(cfg, r)
     if interpret is None:
         from vit_tpu.ops.pallas import interpret_default
@@ -140,7 +166,7 @@ def forward_fused(
     x = reference.add_cls_and_pos(x, vit.prefix_tokens(params), params["pos_embed"])
     b, _, d = x.shape
     p = cfg.num_prefix_tokens
-    counts = tome.merge_counts(cfg.seq_len, cfg.depth, r, p)
+    counts = schedule(cfg, r) if counts is None else counts
     sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
     merged_any = False  # sizes are all ones (bias 0) until the first merge
     for l in range(cfg.depth):
@@ -160,9 +186,11 @@ def forward_fused(
         y = FB.out_residual(ctx, x2, blk["wo"], blk["bo"], interpret=interpret)
         x = y.reshape(b, t, d)
         if counts[l] > 0:
-            x, sizes = tome.merge_tokens(
-                x, kmean.reshape(b, t, -1), sizes, counts[l], p
+            w, s_out = tome.merge_matrix(
+                kmean.reshape(b, t, -1), sizes, counts[l], p
             )
+            x = tome.apply_merge_matrix(x, w, s_out)
+            sizes = s_out
             t = t - counts[l]
             merged_any = True
         x = FB.ln_mlp_residual(
@@ -175,3 +203,73 @@ def forward_fused(
         cfg.layernorm_eps,
     )
     return vit.apply_head(x, params)
+
+
+def forward_train(
+    params: Dict[str, Any],
+    images: jax.Array,
+    cfg: ViTConfig,
+    r: int,
+    gelu_variant: str = "exact",
+    counts=None,
+    separate_heads: bool = False,
+) -> jax.Array:
+    """DIFFERENTIABLE kernel-path ToMe forward — train with merging active
+    (the ToMe paper's other half: merging both speeds training and recovers
+    the accuracy the off-the-shelf trade loses).
+
+    Composition per layer: kernel A via its custom VJP
+    (trainable.tome_ln_qkv_attn_diff — the backward recomputes the
+    log-size-biased probs in VMEM), kernel B / kernel C via theirs, and
+    the merge as the merge-matrix GEMM, whose build is stop-gradient (the
+    matching is piecewise-constant; gradients flow through the GEMM
+    itself).  Gradients land on the stacked params exactly like
+    vit.forward's unrolled path."""
+    from vit_tpu.ops.pallas import interpret_default, trainable as TR
+
+    check_config(cfg, r)
+    interpret = interpret_default()
+    compute_dtype = params["pos_embed"].dtype
+    x = images.astype(compute_dtype)
+    x = reference.patch_embed(
+        x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
+        cfg.patch_size,
+    )
+    x = reference.add_cls_and_pos(x, vit.prefix_tokens(params), params["pos_embed"])
+    b, _, d = x.shape
+    p = cfg.num_prefix_tokens
+    counts = schedule(cfg, r) if counts is None else counts
+    sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
+    merged_any = False
+    for l in range(cfg.depth):
+        blk = jax.tree.map(lambda a: a[l], params["blocks"])
+        t = x.shape[1]
+        x2 = x.reshape(b * t, d)
+        out = TR.tome_ln_qkv_attn_diff(
+            x2, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"], blk["bqkv"],
+            jnp.log(sizes) if merged_any else None,
+            cfg.num_heads, t, cfg.layernorm_eps, counts[l] > 0,
+        )
+        ctx, kmean = out if counts[l] > 0 else (out, None)
+        y = TR._out_residual_diff(ctx, x2, blk["wo"], blk["bo"], interpret)
+        x = y.reshape(b, t, d)
+        if counts[l] > 0:
+            w, s_out = tome.merge_matrix(
+                jax.lax.stop_gradient(kmean.reshape(b, t, -1)),
+                sizes, counts[l], p,
+            )
+            w = jax.lax.stop_gradient(w)
+            sizes = jax.lax.stop_gradient(s_out)
+            x = tome.apply_merge_matrix(x, w, sizes)
+            t = t - counts[l]
+            merged_any = True
+        x = TR._ln_mlp_residual_diff(
+            x.reshape(b * t, d), blk["ln2_scale"], blk["ln2_bias"],
+            blk["w1"], blk["b1"], blk["w2"], blk["b2"], cfg.layernorm_eps,
+            gelu_variant, interpret,
+        ).reshape(b, t, d)
+    x = reference.layer_norm(
+        x, params["ln_final"]["scale"], params["ln_final"]["bias"],
+        cfg.layernorm_eps,
+    )
+    return vit.apply_head(x, params, separate=separate_heads)

@@ -804,15 +804,20 @@ def out_residual_bwd(dx1, ctx, wo, block_rows=512, interpret=False):
 # -- kernel A backward: d[LN1 + QKV + attention] ------------------------------
 
 
-def _ln_qkv_attn_bwd_kernel(*refs, eps, num_heads, scale, have_qkv, have_dres=True):
+def _ln_qkv_attn_bwd_kernel(
+    *refs, eps, num_heads, scale, have_qkv, have_dres=True,
+    have_log_size=False,
+):
     # optional operands are simply absent from the call (not dummy-aliased):
-    # [dctx, dres?, x, s, b, w, bias, qkv?] + outputs + scratch
+    # [dctx, dres?, x, s, b, w, bias, qkv?, log_size?] + outputs + scratch
     rest = list(refs)
     dctx_ref = rest.pop(0)
     dres_ref = rest.pop(0) if have_dres else None
     x_ref, s_ref, b_ref, w_ref, bias_ref = rest[:5]
     rest = rest[5:]
     qkv_ref = rest.pop(0) if have_qkv else None
+    ls_ref = rest.pop(0) if have_log_size else None
+    log_size = ls_ref[0, 0] if have_log_size else None
     (dx_ref, dw_ref, dbq_ref, dg_ref, dbeta_ref, dqkv_scr) = rest
     d3 = w_ref.shape[-1]
     dh = d3 // (3 * num_heads)
@@ -842,6 +847,9 @@ def _ln_qkv_attn_bwd_kernel(*refs, eps, num_heads, scale, have_qkv, have_dres=Tr
             q_s, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=prec,
         )
+        if log_size is not None:  # ToMe proportional-attention bias — must
+            # match the forward's probs (fused_block._head_context)
+            s_scores = s_scores + log_size[None, :]
         m = jnp.max(s_scores, axis=-1, keepdims=True)
         e = jnp.exp(s_scores - m)
         p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))  # fp32 probs
@@ -896,7 +904,7 @@ def _ln_qkv_attn_bwd_kernel(*refs, eps, num_heads, scale, have_qkv, have_dres=Tr
 
 def ln_qkv_attn_bwd(
     dctx, dres, x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps,
-    interpret=False, qkv=None,
+    interpret=False, qkv=None, log_size=None,
 ):
     # ``dres=None`` skips the residual join (standalone-kernel VJP); the
     # operand is omitted from the call entirely — no dummy DMA per block.
@@ -904,8 +912,11 @@ def ln_qkv_attn_bwd(
     gradient join: dx = dres + d(LN1+QKV+attention)/dx.
 
     One grid step per image, mirroring the forward: probs are recomputed in
-    VMEM (nothing T^2 was ever stashed to HBM).  Returns
-    (dx, d_ln_scale, d_ln_bias, dwqkv, dbqkv) with weight grads fp32."""
+    VMEM (nothing T^2 was ever stashed to HBM).  ``log_size`` (B, T) fp32,
+    when the forward applied ToMe's proportional-attention bias, makes the
+    recomputed probs match (sizes are stop-gradient — the bias gets no
+    cotangent).  Returns (dx, d_ln_scale, d_ln_bias, dwqkv, dbqkv) with
+    weight grads fp32."""
     rows, d = x2d.shape
     d3 = wqkv.shape[-1]
     d_ctx = d3 // 3
@@ -937,10 +948,16 @@ def ln_qkv_attn_bwd(
             pl.BlockSpec((1, seq_len, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         )
         inputs.append(qkv.reshape(b, seq_len, d3))
+    if log_size is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, seq_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(log_size.astype(jnp.float32).reshape(b, 1, seq_len))
     outs = pl.pallas_call(
         functools.partial(
             _ln_qkv_attn_bwd_kernel, eps=eps, num_heads=num_heads,
             scale=scale, have_qkv=qkv is not None, have_dres=have_dres,
+            have_log_size=log_size is not None,
         ),
         grid=(b,),
         in_specs=in_specs,

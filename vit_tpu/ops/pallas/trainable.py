@@ -277,6 +277,63 @@ def _bwd_ref(num_heads, seq_len, eps, gelu_variant, residuals, g):
 fused_encoder_block_trainable_ref.defvjp(_fwd_ref, _bwd_ref)
 
 
+# -- differentiable ToMe kernel A ---------------------------------------------
+# Train-time token merging (models/tome.forward_train) runs the block
+# HALVES separately (the merge sits between out_proj and the MLP), so
+# kernel A needs its own VJP — with the ToMe extras: the log-size
+# proportional-attention bias (recomputed into the backward's probs) and
+# the kmean metric output (stop-gradient by construction: the ToMe paper
+# trains with the matching treated as a constant, so its cotangent is
+# discarded).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def tome_ln_qkv_attn_diff(
+    x2d, ln_scale, ln_bias, wqkv, bqkv, log_size,
+    num_heads: int, seq_len: int, eps: float, return_kmean: bool,
+):
+    """Differentiable [LN1+QKV+attention(+bias)] -> ctx (or (ctx, kmean))."""
+    out, _ = _lqa_fwd(
+        x2d, ln_scale, ln_bias, wqkv, bqkv, log_size,
+        num_heads, seq_len, eps, return_kmean,
+    )
+    return out
+
+
+def _lqa_fwd(
+    x2d, ln_scale, ln_bias, wqkv, bqkv, log_size,
+    num_heads, seq_len, eps, return_kmean,
+):
+    from vit_tpu.ops.pallas import interpret_default
+
+    out = ln_qkv_attn(
+        x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads, seq_len, eps,
+        interpret=interpret_default(), log_size=log_size,
+        return_kmean=return_kmean,
+    )
+    return out, (x2d, ln_scale, ln_bias, wqkv, bqkv, log_size)
+
+
+def _lqa_bwd(num_heads, seq_len, eps, return_kmean, residuals, g):
+    from vit_tpu.ops.pallas import interpret_default
+    from vit_tpu.ops.pallas.backward import ln_qkv_attn_bwd
+
+    x2d, ln_scale, ln_bias, wqkv, bqkv, log_size = residuals
+    g_ctx = g[0] if return_kmean else g  # kmean metric is stop-gradient
+    dx, ds, db, dw, dbias = ln_qkv_attn_bwd(
+        g_ctx, None, x2d, ln_scale, ln_bias, wqkv, bqkv, num_heads,
+        seq_len, eps, interpret=interpret_default(), log_size=log_size,
+    )
+    return (
+        dx, ds.astype(ln_scale.dtype), db.astype(ln_bias.dtype),
+        dw.astype(wqkv.dtype), dbias.astype(bqkv.dtype),
+        None if log_size is None else jnp.zeros_like(log_size),
+    )
+
+
+tome_ln_qkv_attn_diff.defvjp(_lqa_fwd, _lqa_bwd)
+
+
 # -- long-sequence trainable block (seq_len > VMEM_ATTENTION_MAX_T) ----------
 # The T^2 work runs through the blockwise flash-attention kernels in BOTH
 # directions (flash_attention carries its own Pallas VJP); out_proj and the

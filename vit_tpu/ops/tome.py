@@ -56,6 +56,107 @@ def merge_counts(seq_len: int, depth: int, r: int, protected: int = 1):
     return counts
 
 
+def compress_counts(counts, chunk: int):
+    """Re-bucket a per-layer merge schedule so each group of ``chunk``
+    consecutive layers merges its whole budget at the group's FIRST layer.
+
+    Same total reduction and same (or slightly lower) total row count —
+    merging earlier within a group means FEWER tokens in the group's tail
+    layers — but the distinct token-count set shrinks from ~depth values
+    to ~depth/chunk: the fused path compiles ~3x fewer distinct kernel
+    programs, which is what keeps long unrolled chains inside this
+    backend's validated envelope (docs/performance.md backend-fault log).
+    The bipartite cap still holds: group totals are at most chunk*r and
+    the per-layer schedule already kept every t above the floor, so the
+    group's merge count <= (t_group_start - protected)//2 whenever the
+    per-layer schedule was valid (asserted)."""
+    if chunk <= 1:
+        return list(counts)
+    out = [0] * len(counts)
+    for g0 in range(0, len(counts), chunk):
+        out[g0] = sum(counts[g0 : g0 + chunk])
+    return out
+
+
+def validate_counts(counts, seq_len: int, protected: int = 1):
+    """Assert a merge schedule is executable: every layer's count fits the
+    bipartite A-set at that layer's live token count."""
+    t = seq_len
+    for l, rl in enumerate(counts):
+        if rl > (t - protected) // 2:
+            raise ValueError(
+                f"layer {l} merges {rl} pairs but only "
+                f"{(t - protected) // 2} exist at t={t}"
+            )
+        t -= rl
+    return counts
+
+
+def merge_matrix(metric: jax.Array, size: jax.Array, r: int, protected: int = 1):
+    """Batched merge operator as a DENSE matrix: (B, T, Dm) metric +
+    (B, T) sizes -> (W (B, T-r, T) fp32, s_out (B, T-r)).
+
+    The merge then is one MXU-friendly batched GEMM,
+    ``x_out = (W @ x) / s_out`` (:func:`apply_merge_matrix`), instead of
+    the vmapped argsort+gather+scatter chains — cheaper between the fused
+    kernels (a (T-r, T, D) GEMM is ~2% of a layer's FLOPs), and trivially
+    differentiable for train-time ToMe (gradients flow through the GEMM;
+    the matching itself is piecewise-constant, i.e. stop-gradient, exactly
+    the ToMe paper's training treatment).  Row layout matches
+    :func:`merge_tokens`: [protected | surviving A (original order) | B]."""
+    if r <= 0:
+        raise ValueError("merge_matrix needs r > 0")
+    return jax.vmap(
+        lambda mi, si: _merge_matrix_one(mi, si, r, protected)
+    )(metric, size)
+
+
+def _merge_matrix_one(metric, size, r, protected):
+    t = metric.shape[0]
+    n = t - protected
+    mr = metric[protected:].astype(jnp.float32)
+    mr = mr / (jnp.linalg.norm(mr, axis=-1, keepdims=True) + 1e-6)
+    a_idx = jnp.arange(0, n, 2)
+    b_idx = jnp.arange(1, n, 2)
+    na, nb = a_idx.shape[0], b_idx.shape[0]
+    scores = mr[a_idx] @ mr[b_idx].T
+    best = jnp.argmax(scores, axis=-1)
+    best_val = jnp.take_along_axis(scores, best[:, None], axis=-1)[:, 0]
+    order = jnp.argsort(-best_val)
+    src = order[:r]              # A-rows that merge away
+    keep = jnp.sort(order[r:])   # A-rows that survive, original order
+    dst = best[src]              # B-slots receiving them
+
+    t_out = t - r
+    w = jnp.zeros((t_out, t), jnp.float32)
+    sz = size.astype(jnp.float32)
+    pidx = jnp.arange(protected)
+    w = w.at[pidx, pidx].set(sz[:protected])
+    # surviving A rows, original order
+    rows_a = protected + jnp.arange(na - r)
+    cols_a = protected + a_idx[keep]
+    w = w.at[rows_a, cols_a].set(sz[cols_a])
+    # all B rows
+    rows_b = protected + (na - r) + jnp.arange(nb)
+    cols_b = protected + b_idx
+    w = w.at[rows_b, cols_b].set(sz[cols_b])
+    # merged A rows land in their B destination rows
+    rows_m = protected + (na - r) + dst
+    cols_m = protected + a_idx[src]
+    w = w.at[rows_m, cols_m].add(sz[cols_m])
+    return w, w.sum(axis=-1)
+
+
+def apply_merge_matrix(x: jax.Array, w: jax.Array, s_out: jax.Array) -> jax.Array:
+    """x (B, T, D) through the merge operator: (W @ x) / s_out — the
+    size-weighted average as one batched GEMM (fp32 accumulate)."""
+    acc = jnp.einsum(
+        "bot,btd->bod", w, x.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return (acc / s_out[..., None]).astype(x.dtype)
+
+
 def _merge_one(
     x: jax.Array, metric: jax.Array, size: jax.Array, r: int, protected: int
 ) -> Tuple[jax.Array, jax.Array]:

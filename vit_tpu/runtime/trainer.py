@@ -240,12 +240,20 @@ def jit_mae_step_dp_shard_map(
     )
 
 
-def _make_loss_fn(cfg, ops, remat, compute_dtype, label_smoothing=0.0):
+def _make_loss_fn(cfg, ops, remat, compute_dtype, label_smoothing=0.0,
+                  forward_fn=None):
+    """``forward_fn`` overrides the model forward with any
+    ``(params, images) -> logits`` closure (e.g. the train-time ToMe
+    forward, models/tome.forward_train); the default is vit.forward with
+    the chosen op table (rng threads into its dropout)."""
+
     def loss_fn(params, images, labels, rng=None):
         def fwd(p, x):
             if compute_dtype is not None:
                 p = vit.cast_params(p, compute_dtype)
                 x = x.astype(compute_dtype)
+            if forward_fn is not None:
+                return forward_fn(p, x)
             return vit.forward(p, x, cfg, ops, dropout_rng=rng)
 
         if remat:
@@ -313,6 +321,7 @@ def make_train_step(
     label_smoothing: float = 0.0,
     augment_fn=None,
     grad_accum: int = 1,
+    forward_fn=None,
 ):
     """Build ``(params, opt_state, images, labels[, rng]) -> (params,
     opt_state, loss)``.
@@ -336,6 +345,7 @@ def make_train_step(
     loss_fn = _make_loss_fn(
         cfg, ops, remat, compute_dtype,
         0.0 if augment_fn is not None else label_smoothing,
+        forward_fn=forward_fn,
     )
     needs_rng = use_dropout or augment_fn is not None
 
@@ -383,6 +393,7 @@ def jit_train_step_for_mesh(
     augment_fn=None,
     grad_accum: int = 1,
     use_dropout: bool = False,
+    forward_fn=None,
 ):
     """jit the train step with explicit mesh shardings.
 
@@ -401,7 +412,7 @@ def jit_train_step_for_mesh(
         cfg, optimizer, ops, remat, use_dropout=use_dropout,
         compute_dtype=compute_dtype,
         label_smoothing=label_smoothing, augment_fn=augment_fn,
-        grad_accum=grad_accum,
+        grad_accum=grad_accum, forward_fn=forward_fn,
     )
     data_sh = (batch_sharding(mesh, 4), batch_sharding(mesh, 1))
     if augment_fn is not None or use_dropout:
@@ -507,6 +518,7 @@ def jit_train_step_dp_shard_map(
     augment_fn=None,
     grad_accum: int = 1,
     use_dropout: bool = False,
+    forward_fn=None,
 ):
     """Data-parallel train step for Pallas-kernel op paths (e.g.
     'fused_train'), which GSPMD cannot partition: per-shard value_and_grad
@@ -536,6 +548,7 @@ def jit_train_step_dp_shard_map(
     loss_fn = _make_loss_fn(
         cfg, ops, remat, compute_dtype,
         0.0 if augment_fn is not None else label_smoothing,
+        forward_fn=forward_fn,
     )
     needs_rng = augment_fn is not None or use_dropout
 
