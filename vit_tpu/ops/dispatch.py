@@ -50,9 +50,14 @@ def get_ops(impl: str = "xla") -> OpsImpl:
     """Return the op table for ``impl`` ∈ {'xla', 'pallas', 'fused',
     'quant', 'fused_train', 'qat'}.
 
-    'xla' is the pure-jnp reference (oracle) path; 'pallas' swaps in the
-    fused TPU kernels (vit_tpu.ops.pallas), which replace the reference's
-    kernel.cl.  Imported lazily so CPU-only use never touches Pallas.
+    'xla' is the pure-jnp reference (oracle) path.  'pallas' is the
+    PER-OP kernel tier (one Pallas kernel per layer op) — a DEBUGGING
+    surface for isolating a kernel regression against the fused paths,
+    not a production path: it is dp-only (no tensor-parallel dispatch)
+    and has no regularizer hooks.  Production kernel paths are 'fused'
+    (inference megakernels), 'quant' (W8A8), and 'fused_train'
+    (megakernels + hand-written backward, in-kernel dropout/DropPath).
+    Imported lazily so CPU-only use never touches Pallas.
     """
     if impl == "xla":
         return REFERENCE_OPS

@@ -95,9 +95,11 @@ class InferenceEngine:
                 self._tp_shard_map = True
             else:
                 raise ValueError(
-                    f"ops={self._ops.name!r} shards data-parallel only; "
-                    "tensor-parallel meshes need ops='xla' (GSPMD), 'fused', "
-                    "or 'quant' (shard_map kernel TP)"
+                    f"ops={self._ops.name!r} shards data-parallel only "
+                    "(the per-op pallas tier exists for kernel debugging, "
+                    "not production); tensor-parallel meshes need "
+                    "ops='xla' (GSPMD), 'fused', or 'quant' (shard_map "
+                    "kernel TP)"
                 )
 
         self.params = self._prepare_params(params)
