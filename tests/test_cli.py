@@ -154,6 +154,56 @@ def test_train_cli_fused_adamw(tiny_cfg, monkeypatch, capsys):
     assert "step    1" in capsys.readouterr().out
 
 
+def test_train_cli_zero1(tiny_cfg, monkeypatch, capsys):
+    # --zero1 shards the optimizer state over dp on both the GSPMD (xla)
+    # and fused_train (shard_map dp) paths; --pp rejects it cleanly.
+    import jax
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    for ops in ("xla", "fused_train"):
+        rc = train_main([
+            "--config", "vit_tiny_test", "--steps", "2", "--batch", "4",
+            "--dp", "4", "--ops", ops, "--zero1", "--no-compile-cache",
+        ])
+        assert rc == 0, ops
+        assert "step    1" in capsys.readouterr().out
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "1", "--batch", "4",
+        "--pp", "2", "--zero1", "--no-compile-cache",
+    ])
+    assert rc != 0
+    assert "--zero1" in capsys.readouterr().err
+
+
+def test_train_cli_fsdp(tiny_cfg, monkeypatch, capsys):
+    # --fsdp (ZeRO-3) trains on the GSPMD path; kernel paths reject it.
+    import jax
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tiny_test", tiny_cfg)
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "2", "--batch", "4",
+        "--dp", "4", "--ops", "xla", "--fsdp", "--no-compile-cache",
+    ])
+    assert rc == 0
+    assert "step    1" in capsys.readouterr().out
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "1", "--batch", "4",
+        "--dp", "4", "--ops", "fused_train", "--fsdp", "--no-compile-cache",
+    ])
+    assert rc != 0
+    assert "--fsdp" in capsys.readouterr().err
+
+
 def test_train_cli_fused_train_with_tp(tiny_cfg, monkeypatch, capsys):
     # Round 2: fused_train trains tensor-parallel via the kernel-TP step
     # (trainer.jit_train_step_kernel_tp) — was rejected before.

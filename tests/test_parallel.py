@@ -468,3 +468,196 @@ def test_distributed_initialize_explicit_is_idempotent(monkeypatch):
     distributed.initialize(**args)
     distributed.initialize(**args)  # must not raise
     assert len(calls) == 1  # latched after the first real init
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-1 optimizer-state sharding (parallel/sharding.zero1_pspec +
+# trainer._opt_state_shardings(zero1=True)): adam mu/nu shard over dp while
+# params stay replicated; one mesh step must still match the unsharded step.
+# ---------------------------------------------------------------------------
+
+
+def test_zero1_pspec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    from vit_tpu.parallel.sharding import zero1_pspec
+
+    names = ("dp", "tp")
+    # replicated 3D leaf: dp lands on the largest dp-divisible axis
+    assert zero1_pspec(P(), (2, 64, 192), names, 4) == P(None, None, "dp")
+    # tp-taken output axis: dp falls back to the next-largest free axis
+    assert zero1_pspec(P(None, None, "tp"), (2, 64, 192), names, 4) == P(
+        None, "dp", "tp"
+    )
+    # nothing divisible / scalar / dp absent or trivial: unchanged
+    assert zero1_pspec(P(), (3, 5), names, 4) == P()
+    assert zero1_pspec(P(), (), names, 4) == P()
+    assert zero1_pspec(P(), (64,), ("tp",), 4) == P()
+    assert zero1_pspec(P(), (64,), names, 1) == P()
+
+
+def test_zero1_opt_state_is_dp_sharded(tiny_cfg):
+    optimizer = optax.adamw(1e-3)
+    params, opt_state = trainer.init_train_state(
+        jax.random.key(3), tiny_cfg, optimizer
+    )
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    p_sh = param_shardings(mesh, params)
+    o_sh = trainer._opt_state_shardings(opt_state, params, p_sh, mesh, zero1=True)
+    # every moment leaf with a free (not-tp-taken), dp-divisible axis must
+    # carry 'dp'; leaves with no such axis stay as the param rule says.
+    leaves, shs = jax.tree.leaves(opt_state), jax.tree.leaves(o_sh)
+    n_dp = 0
+    for leaf, sh in zip(leaves, shs):
+        spec = tuple(sh.spec) + (None,) * (
+            getattr(leaf, "ndim", 0) - len(tuple(sh.spec))
+        )
+        free_divisible = any(
+            s is None and d % 4 == 0 and d > 1
+            for s, d in zip(spec, getattr(leaf, "shape", ()))
+        )
+        if free_divisible or "dp" in spec:
+            assert "dp" in spec, (leaf.shape, sh.spec)
+            n_dp += 1
+    assert n_dp > 0
+
+
+def test_zero1_train_step_matches_unsharded(tiny_cfg):
+    # ZeRO-1 must be a pure placement change: same params after one step as
+    # the single-device step.  SGD+momentum keeps the check linear in the
+    # grads (adamw's first step is ~sign(g)*lr, which amplifies fp noise
+    # where |g|~0) while still carrying param-shaped state to shard.
+    optimizer = optax.sgd(1e-2, momentum=0.9)
+    params0, opt0 = trainer.init_train_state(jax.random.key(4), tiny_cfg, optimizer)
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(
+        rng.normal(size=(8, 3, tiny_cfg.image_size, tiny_cfg.image_size)),
+        jnp.float32,
+    )
+    labels = jnp.asarray(rng.integers(0, tiny_cfg.num_classes, 8), jnp.int32)
+    p1, _, loss1 = jax.jit(
+        trainer.make_train_step(tiny_cfg, optimizer, remat=False)
+    )(params0, opt0, images, labels)
+
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    p_s = shard_params(jax.device_get(params0), mesh)
+    o_sh = trainer._opt_state_shardings(
+        opt0, p_s, param_shardings(mesh, p_s), mesh, zero1=True
+    )
+    o_s = jax.device_put(jax.device_get(opt0), o_sh)
+    step = trainer.jit_train_step_for_mesh(
+        tiny_cfg, optimizer, mesh, p_s, o_s, remat=False, zero1=True
+    )
+    p2, o2, loss2 = step(
+        p_s, o_s,
+        jax.device_put(images, batch_sharding(mesh, 4)),
+        jax.device_put(labels, batch_sharding(mesh, 1)),
+    )
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(jax.device_get(p2))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    # the updated state keeps the dp-sharded placement
+    dp_specs = [
+        s.sharding.spec for s in jax.tree.leaves(o2)
+        if hasattr(s, "sharding") and "dp" in tuple(s.sharding.spec)
+    ]
+    assert dp_specs
+
+
+def test_zero1_fused_train_dp_matches_plain(tiny_cfg):
+    # The fused_train (shard_map dp) path with zero1_like: optimizer state
+    # dp-sharded outside the shard_map, same numerics as the replicated jit.
+    from vit_tpu.ops.dispatch import get_ops
+
+    optimizer = optax.sgd(1e-2, momentum=0.9)
+    params0, opt0 = trainer.init_train_state(jax.random.key(5), tiny_cfg, optimizer)
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(
+        rng.normal(size=(8, 3, tiny_cfg.image_size, tiny_cfg.image_size)),
+        jnp.float32,
+    )
+    labels = jnp.asarray(rng.integers(0, tiny_cfg.num_classes, 8), jnp.int32)
+    ops = get_ops("fused_train")
+    p1, _, l1 = jax.jit(
+        trainer.make_train_step(tiny_cfg, optimizer, ops, remat=False)
+    )(params0, opt0, images, labels)
+
+    mesh = make_mesh({"dp": 4}, jax.devices()[:4])
+    from vit_tpu.parallel import replicate
+
+    p_s = jax.device_put(jax.device_get(params0), replicate(mesh))
+    rep_tree = jax.tree.map(lambda _: replicate(mesh), params0)
+    o_sh = trainer._opt_state_shardings(opt0, params0, rep_tree, mesh, zero1=True)
+    o_s = jax.device_put(jax.device_get(opt0), o_sh)
+    step = trainer.jit_train_step_dp_shard_map(
+        tiny_cfg, optimizer, mesh, ops, remat=False,
+        zero1_like=(params0, opt0),
+    )
+    p2, o2, l2 = step(
+        p_s, o_s,
+        jax.device_put(images, batch_sharding(mesh, 4)),
+        jax.device_put(labels, batch_sharding(mesh, 1)),
+    )
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(jax.device_get(p2))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fsdp_param_shardings_cover_params(tiny_cfg):
+    # FSDP (ZeRO-3): every param leaf with a free dp-divisible axis carries
+    # 'dp' on top of its TP rule; TP axes are preserved.
+    from vit_tpu.parallel.sharding import fsdp_param_shardings
+
+    params = vit.init_params(jax.random.key(0), tiny_cfg)
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    shs = fsdp_param_shardings(mesh, params)
+    # wqkv keeps tp on the packed output axis AND gains dp
+    sp = tuple(shs["blocks"]["wqkv"].spec)
+    assert "tp" in sp and "dp" in sp
+    n_dp = sum(
+        "dp" in tuple(s.spec) for s in jax.tree.leaves(shs)
+    )
+    # the big leaves all shard; tiny odd ones may stay replicated
+    assert n_dp >= 10
+
+
+def test_fsdp_train_step_matches_unsharded(tiny_cfg):
+    # FSDP must be placement-only: XLA all-gathers weights just-in-time,
+    # reduce-scatters grads — same params after one step as single-device.
+    optimizer = optax.sgd(1e-2, momentum=0.9)
+    params0, opt0 = trainer.init_train_state(jax.random.key(6), tiny_cfg, optimizer)
+    rng = np.random.default_rng(6)
+    images = jnp.asarray(
+        rng.normal(size=(8, 3, tiny_cfg.image_size, tiny_cfg.image_size)),
+        jnp.float32,
+    )
+    labels = jnp.asarray(rng.integers(0, tiny_cfg.num_classes, 8), jnp.int32)
+    p1, _, loss1 = jax.jit(
+        trainer.make_train_step(tiny_cfg, optimizer, remat=False)
+    )(params0, opt0, images, labels)
+
+    from vit_tpu.parallel.sharding import fsdp_param_shardings
+
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    p_sh = fsdp_param_shardings(mesh, params0)
+    p_s = jax.device_put(jax.device_get(params0), p_sh)
+    o_s = jax.device_put(
+        jax.device_get(opt0),
+        trainer._opt_state_shardings(opt0, p_s, p_sh, mesh),
+    )
+    step = trainer.jit_train_step_for_mesh(
+        tiny_cfg, optimizer, mesh, p_s, o_s, remat=False, fsdp=True
+    )
+    p2, o2, loss2 = step(
+        p_s, o_s,
+        jax.device_put(images, batch_sharding(mesh, 4)),
+        jax.device_put(labels, batch_sharding(mesh, 1)),
+    )
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(jax.device_get(p2))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    # updated params keep the dp-sharded placement (ZeRO-3, not a gather)
+    assert any(
+        "dp" in tuple(x.sharding.spec)
+        for x in jax.tree.leaves(p2) if hasattr(x, "sharding")
+    )

@@ -48,6 +48,22 @@ def build_parser() -> argparse.ArgumentParser:
         "attention runs as ring attention (parallel/sequence.py). Composes "
         "with --dp; requires --ops xla; excludes --pp/--tp",
     )
+    p.add_argument(
+        "--zero1", action="store_true",
+        help="ZeRO-1: shard optimizer state (adam mu/nu) over the dp mesh "
+        "axis instead of replicating it — ~dp x less optimizer HBM per "
+        "device; params stay replicated over dp. Works with --ops xla/qat "
+        "GSPMD training, fused_train (dp and dp x tp), and --mae; "
+        "excludes --pp/--sp (those own their placements)",
+    )
+    p.add_argument(
+        "--fsdp", action="store_true",
+        help="fully-sharded data parallelism (ZeRO-3): params, grads, AND "
+        "optimizer state shard over dp (GSPMD all-gathers weights "
+        "just-in-time on ICI) — ~dp x less param+optimizer HBM per device. "
+        "Requires the GSPMD op paths (--ops xla/qat); composes with --tp "
+        "and --mae; excludes --pp/--sp and the kernel op paths",
+    )
     p.add_argument("--input", help="input-100.bin-format images (else synthetic)")
     p.add_argument("--labels", help="raw int32 label file matching --input")
     p.add_argument(

@@ -226,6 +226,20 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
     from vit_tpu.parallel import param_shardings, shard_params
     from vit_tpu.runtime import trainer
 
+    zero1 = bool(getattr(args, "zero1", False))
+    if zero1 and (args.pp > 1 or args.sp > 1):
+        raise SetupError(
+            "error: --zero1 composes with dp/tp GSPMD and fused_train "
+            "placements only; --pp/--sp own their optimizer placement"
+        )
+    fsdp = bool(getattr(args, "fsdp", False))
+    if fsdp and (args.pp > 1 or args.sp > 1 or ops_name not in ("xla", "qat")):
+        raise SetupError(
+            "error: --fsdp needs the GSPMD op paths (--ops xla/qat) and "
+            "excludes --pp/--sp (the kernel paths and the pp/sp schedules "
+            "require whole local weights per device)"
+        )
+
     if mae_cfg is not None:
         # MAE pretraining: no labels — adapt to the loop's
         # (params, opt_state, images, labels, rng) calling convention.
@@ -233,22 +247,26 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
             from vit_tpu.parallel import replicate
 
             params = jax.device_put(params, replicate(mesh))
-            opt_state = jax.device_put(opt_state, replicate(mesh))
+            zero1_like = (params, opt_state) if zero1 else None
             raw = trainer.jit_mae_step_dp_shard_map(
                 cfg, mae_cfg, optimizer, mesh, ops,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, zero1_like=zero1_like,
             )
-        else:
-            params = shard_params(params, mesh)
             opt_state = jax.device_put(
                 opt_state,
                 trainer._opt_state_shardings(
-                    opt_state, params, param_shardings(mesh, params), mesh
-                ),
+                    opt_state, params,
+                    jax.tree.map(lambda _: replicate(mesh), params), mesh,
+                    zero1=zero1,
+                ) if zero1 else replicate(mesh),
+            )
+        else:
+            params, opt_state = _place_gspmd(
+                params, opt_state, mesh, zero1, fsdp
             )
             raw = trainer.jit_mae_step_for_mesh(
                 cfg, mae_cfg, optimizer, mesh, params, opt_state, ops=ops,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, zero1=zero1, fsdp=fsdp,
             )
 
         def step(p, o, images, _labels, rng):
@@ -311,13 +329,14 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
         opt_state = jax.device_put(
             opt_state,
             trainer._opt_state_shardings(
-                opt_state, params, param_shardings(mesh, params), mesh
+                opt_state, params, param_shardings(mesh, params), mesh,
+                zero1=zero1,
             ),
         )
         step = trainer.jit_train_step_kernel_tp(
             cfg, optimizer, mesh, params, opt_state,
             remat=remat, compute_dtype=compute_dtype,
-            label_smoothing=args.label_smoothing,
+            label_smoothing=args.label_smoothing, zero1=zero1,
         )
     elif ops_name == "fused_train":
         # dp-only: params/optimizer replicated, batch over dp, per-shard
@@ -330,7 +349,15 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
         if args.optimizer == "fused_adamw":
             fused_adamw = {"lr": lr, "weight_decay": args.weight_decay}
             opt_state = _tr.init_fused_adamw_state(params)
-        opt_state = jax.device_put(opt_state, replicate(mesh))
+        zero1_like = (params, opt_state) if zero1 else None
+        opt_state = jax.device_put(
+            opt_state,
+            trainer._opt_state_shardings(
+                opt_state, params,
+                jax.tree.map(lambda _: replicate(mesh), params), mesh,
+                zero1=True,
+            ) if zero1 else replicate(mesh),
+        )
         step = trainer.jit_train_step_dp_shard_map(
             cfg, optimizer, mesh, ops,
             remat=remat, compute_dtype=compute_dtype,
@@ -338,23 +365,19 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
             label_smoothing=args.label_smoothing,
             augment_fn=augment_fn, grad_accum=args.grad_accum,
             use_dropout=use_dropout, forward_fn=forward_fn,
+            zero1_like=zero1_like,
         )
     else:
         # GSPMD placement shared by the plain and distillation steps (the
         # frozen teacher rides as a replicated closure constant).
-        params = shard_params(params, mesh)
-        opt_state = jax.device_put(
-            opt_state,
-            trainer._opt_state_shardings(
-                opt_state, params, param_shardings(mesh, params), mesh
-            ),
-        )
+        params, opt_state = _place_gspmd(params, opt_state, mesh, zero1, fsdp)
         if teacher_fwd is not None:
             step = trainer.jit_distill_step_for_mesh(
                 cfg, optimizer, mesh, params, opt_state, teacher_fwd,
                 ops=ops, remat=remat, compute_dtype=compute_dtype,
                 alpha=args.distill_alpha, hard=not args.distill_soft,
                 tau=args.distill_tau, label_smoothing=args.label_smoothing,
+                zero1=zero1, fsdp=fsdp,
             )
         else:
             step = trainer.jit_train_step_for_mesh(
@@ -363,8 +386,33 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
                 label_smoothing=args.label_smoothing,
                 augment_fn=augment_fn, grad_accum=args.grad_accum,
                 use_dropout=use_dropout, forward_fn=forward_fn,
+                zero1=zero1, fsdp=fsdp,
             )
     return step, params, opt_state
+
+
+def _place_gspmd(params, opt_state, mesh, zero1, fsdp):
+    """device_put params + optimizer state for the GSPMD train paths:
+    TP/replication rules, optionally ZeRO-1 (opt state over dp) or FSDP
+    (params AND opt state over dp, parallel/sharding.fsdp_param_shardings)."""
+    import jax
+
+    from vit_tpu.parallel import param_shardings
+    from vit_tpu.parallel.sharding import fsdp_param_shardings
+    from vit_tpu.runtime import trainer
+
+    p_sh = (
+        fsdp_param_shardings(mesh, params) if fsdp
+        else param_shardings(mesh, params)
+    )
+    params = jax.device_put(params, p_sh)
+    opt_state = jax.device_put(
+        opt_state,
+        trainer._opt_state_shardings(
+            opt_state, params, p_sh, mesh, zero1=zero1 and not fsdp
+        ),
+    )
+    return params, opt_state
 
 
 def _build_data(args, cfg, mesh, start_step, procs, rng):

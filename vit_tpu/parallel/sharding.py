@@ -96,6 +96,57 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
     )
 
 
+def zero1_pspec(spec: P, shape, axis_names, dp_size: int) -> P:
+    """Extend a param leaf's PartitionSpec with ``'dp'`` on the largest
+    still-unsharded, dp-divisible axis — the ZeRO-1 rule (Rajbhandari et
+    al. 2019 §5.1) for optimizer-moment leaves.
+
+    Params themselves stay replicated over dp (plain data parallelism);
+    only the optimizer state (adam mu/nu, fp32 masters) shards, cutting
+    its per-device HBM by ~dp×.  GSPMD then materializes the classic
+    ZeRO dataflow for free: the dp grad all-reduce splits into a
+    reduce-scatter into the sharded moment update plus an all-gather of
+    the applied updates — both riding ICI.  Leaves with no dp-divisible
+    free axis (or a 1-device dp axis) are left unchanged (replicated).
+    """
+    if "dp" not in axis_names or dp_size <= 1:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best, best_n = -1, 0
+    for i, (s, n) in enumerate(zip(entries, shape)):
+        if s is None and n % dp_size == 0 and n > best_n:
+            best, best_n = i, n
+    if best < 0:
+        return spec
+    entries[best] = "dp"
+    return P(*entries)
+
+
+def fsdp_param_shardings(mesh: Mesh, params: Any) -> Any:
+    """Fully-sharded (ZeRO-3 / FSDP) param placement: every leaf's TP spec
+    extends with 'dp' on its largest free, dp-divisible axis (the same
+    rule as :func:`zero1_pspec`), so params, grads, AND optimizer state
+    all shard over the data axis — per-device param HBM drops ~dp×.
+
+    This is the GSPMD formulation of FSDP (as in t5x/maxtext): the jit
+    forward/backward all-gathers each layer's weights just-in-time on ICI
+    and reduce-scatters its grads; XLA overlaps both with compute.  Only
+    the GSPMD op paths (xla/qat) can run under it — the shard_map kernel
+    paths require whole local weights per device by construction.
+    Leaves with no dp-divisible free axis (LN scales of odd size etc.)
+    stay at their base rule (replicated or tp-sharded).
+    """
+    dp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("dp", 1)
+    specs = param_pspecs(mesh.axis_names, params)
+    return jax.tree.map(
+        lambda leaf, spec: NamedSharding(
+            mesh, zero1_pspec(spec, leaf.shape, mesh.axis_names, dp_size)
+        ),
+        params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard the leading (batch) axis over dp; rest replicated."""
     return NamedSharding(mesh, _pspec(mesh.axis_names, *(["dp"] + [None] * (ndim - 1))))

@@ -14,6 +14,7 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import NamedSharding
 
 from vit_tpu.config import ViTConfig
 from vit_tpu.models import vit
@@ -175,12 +176,22 @@ def jit_mae_step_for_mesh(
     opt_state_like: Any,
     ops: OpsImpl = REFERENCE_OPS,
     compute_dtype=None,
+    zero1: bool = False,
+    fsdp: bool = False,
 ):
     """jit the MAE step with explicit mesh shardings: batch over dp,
     encoder params under the standard TP/replication rules, decoder
-    replicated (parallel/sharding.py), rng replicated."""
-    p_shard = param_shardings(mesh, params_like)
-    o_shard = _opt_state_shardings(opt_state_like, params_like, p_shard, mesh)
+    replicated (parallel/sharding.py), rng replicated.  ``zero1``/``fsdp``
+    as in :func:`jit_train_step_for_mesh`."""
+    if fsdp:
+        from vit_tpu.parallel.sharding import fsdp_param_shardings
+
+        p_shard = fsdp_param_shardings(mesh, params_like)
+    else:
+        p_shard = param_shardings(mesh, params_like)
+    o_shard = _opt_state_shardings(
+        opt_state_like, params_like, p_shard, mesh, zero1=zero1 and not fsdp
+    )
     step = make_mae_train_step(cfg, mae_cfg, optimizer, ops, compute_dtype)
     return jax.jit(
         step,
@@ -197,12 +208,15 @@ def jit_mae_step_dp_shard_map(
     mesh,
     ops: OpsImpl,
     compute_dtype=None,
+    zero1_like=None,
 ):
     """Data-parallel MAE step for the Pallas-kernel op paths (GSPMD cannot
     partition pallas calls — same split as jit_train_step_dp_shard_map):
     per-shard value_and_grad under shard_map, pmean'd loss/grads, optimizer
     update on replicated params outside.  The mask rng decorrelates across
-    dp shards via the axis index (each shard masks its own images)."""
+    dp shards via the axis index (each shard masks its own images).
+    ``zero1_like`` = ``(params_like, opt_state_like)`` shards the optimizer
+    state over dp exactly as in jit_train_step_dp_shard_map."""
     from jax.sharding import PartitionSpec as P
 
     from vit_tpu.models import mae as mae_mod
@@ -233,10 +247,23 @@ def jit_mae_step_dp_shard_map(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    jit_kw = {}
+    if zero1_like is not None:
+        params_like, opt_state_like = zero1_like
+        rep = replicate(mesh)
+        p_shard = jax.tree.map(lambda _: rep, params_like)
+        o_shard = _opt_state_shardings(
+            opt_state_like, params_like, p_shard, mesh, zero1=True
+        )
+        jit_kw = dict(
+            in_shardings=(p_shard, o_shard, batch_sharding(mesh, 4), rep),
+            out_shardings=(p_shard, o_shard, rep),
+        )
     return jax.jit(
         step,
         donate_argnums=(0, 1),
         compiler_options=kernel_backward_compiler_options(),
+        **jit_kw,
     )
 
 
@@ -394,6 +421,8 @@ def jit_train_step_for_mesh(
     grad_accum: int = 1,
     use_dropout: bool = False,
     forward_fn=None,
+    zero1: bool = False,
+    fsdp: bool = False,
 ):
     """jit the train step with explicit mesh shardings.
 
@@ -403,11 +432,22 @@ def jit_train_step_for_mesh(
     (fp32 master weights/optimizer state, casts inside the loss);
     ``label_smoothing``/``augment_fn``/``grad_accum`` forward too (an
     augment_fn adds a replicated rng argument to the jitted step).
+    ``zero1`` shards the optimizer state over dp (see
+    :func:`_opt_state_shardings`); ``fsdp`` shards the PARAMS themselves
+    over dp as well (parallel/sharding.fsdp_param_shardings — ZeRO-3;
+    optimizer state follows the params, so zero1 is implied).
     """
-    p_shard = param_shardings(mesh, params_like)
+    if fsdp:
+        from vit_tpu.parallel.sharding import fsdp_param_shardings
+
+        p_shard = fsdp_param_shardings(mesh, params_like)
+    else:
+        p_shard = param_shardings(mesh, params_like)
     # optax states are pytrees whose array leaves mirror param shapes (mu/nu)
     # or are scalars (count); map matching-structure leaves to param rules.
-    o_shard = _opt_state_shardings(opt_state_like, params_like, p_shard, mesh)
+    o_shard = _opt_state_shardings(
+        opt_state_like, params_like, p_shard, mesh, zero1=zero1 and not fsdp
+    )
     step = make_train_step(
         cfg, optimizer, ops, remat, use_dropout=use_dropout,
         compute_dtype=compute_dtype,
@@ -439,13 +479,23 @@ def jit_distill_step_for_mesh(
     hard: bool = True,
     tau: float = 1.0,
     label_smoothing: float = 0.0,
+    zero1: bool = False,
+    fsdp: bool = False,
 ):
     """jit ``make_distill_train_step`` with explicit mesh shardings
     (student params TP/replication rules, batch over dp — the same
     placement as jit_train_step_for_mesh).  The frozen teacher params ride
-    as closure constants inside ``teacher_fwd`` and replicate via GSPMD."""
-    p_shard = param_shardings(mesh, params_like)
-    o_shard = _opt_state_shardings(opt_state_like, params_like, p_shard, mesh)
+    as closure constants inside ``teacher_fwd`` and replicate via GSPMD.
+    ``zero1``/``fsdp`` as in :func:`jit_train_step_for_mesh`."""
+    if fsdp:
+        from vit_tpu.parallel.sharding import fsdp_param_shardings
+
+        p_shard = fsdp_param_shardings(mesh, params_like)
+    else:
+        p_shard = param_shardings(mesh, params_like)
+    o_shard = _opt_state_shardings(
+        opt_state_like, params_like, p_shard, mesh, zero1=zero1 and not fsdp
+    )
     step = make_distill_train_step(
         cfg, optimizer, teacher_fwd, ops, remat=remat,
         compute_dtype=compute_dtype, alpha=alpha, hard=hard, tau=tau,
@@ -519,6 +569,7 @@ def jit_train_step_dp_shard_map(
     grad_accum: int = 1,
     use_dropout: bool = False,
     forward_fn=None,
+    zero1_like=None,
 ):
     """Data-parallel train step for Pallas-kernel op paths (e.g.
     'fused_train'), which GSPMD cannot partition: per-shard value_and_grad
@@ -542,6 +593,12 @@ def jit_train_step_dp_shard_map(
     ``use_dropout`` threads a per-step rng into the forward (cfg.dropout /
     cfg.drop_path through the fused_train kernels' in-kernel regularizers;
     the rng decorrelates across dp shards like augment's).
+
+    ``zero1_like`` = ``(params_like, opt_state_like)`` enables ZeRO-1:
+    the optimizer state shards over dp (``_opt_state_shardings`` with
+    zero1=True) while params stay replicated — the kernels inside the
+    shard_map see full params, but the optax update outside it runs
+    dp-sharded, and GSPMD all-gathers only the applied updates.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -605,10 +662,26 @@ def jit_train_step_dp_shard_map(
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+    jit_kw = {}
+    if zero1_like is not None:
+        params_like, opt_state_like = zero1_like
+        rep = replicate(mesh)
+        p_shard = jax.tree.map(lambda _: rep, params_like)
+        o_shard = _opt_state_shardings(
+            opt_state_like, params_like, p_shard, mesh, zero1=True
+        )
+        data_sh = (batch_sharding(mesh, 4), batch_sharding(mesh, 1))
+        if needs_rng:
+            data_sh = data_sh + (rep,)
+        jit_kw = dict(
+            in_shardings=(p_shard, o_shard) + data_sh,
+            out_shardings=(p_shard, o_shard, rep),
+        )
     return jax.jit(
         step,
         donate_argnums=(0, 1),
         compiler_options=kernel_backward_compiler_options(),
+        **jit_kw,
     )
 
 
@@ -622,6 +695,7 @@ def jit_train_step_kernel_tp(
     compute_dtype=None,
     gelu_variant: str = "exact",
     label_smoothing: float = 0.0,
+    zero1: bool = False,
 ):
     """Tensor-parallel training THROUGH the fused Pallas kernels: the
     forward is parallel/tp_forward's shard_map (local-head attention
@@ -652,7 +726,9 @@ def jit_train_step_kernel_tp(
         return params, opt_state, loss
 
     p_shard = param_shardings(mesh, params_like)
-    o_shard = _opt_state_shardings(opt_state_like, params_like, p_shard, mesh)
+    o_shard = _opt_state_shardings(
+        opt_state_like, params_like, p_shard, mesh, zero1=zero1
+    )
     return jax.jit(
         step,
         in_shardings=(p_shard, o_shard, batch_sharding(mesh, 4), batch_sharding(mesh, 1)),
@@ -662,15 +738,34 @@ def jit_train_step_kernel_tp(
     )
 
 
-def _opt_state_shardings(opt_state, params, p_shard, mesh):
+def _opt_state_shardings(opt_state, params, p_shard, mesh, zero1=False):
     """Shard optimizer-state leaves like their corresponding params when the
     shapes line up (adam mu/nu mirror param shapes); replicate everything
-    else (step counts etc.)."""
+    else (step counts etc.).
+
+    ``zero1`` additionally shards each param-shaped state leaf over the
+    'dp' mesh axis on its largest still-free axis (parallel/sharding.py
+    ``zero1_pspec`` — the ZeRO-1 optimizer-state partition, Rajbhandari et
+    al. 2019 §5.1).  Params stay replicated over dp; GSPMD materializes
+    the ZeRO dataflow from the shardings alone: the dp grad all-reduce
+    becomes a reduce-scatter into the sharded moment update plus an
+    all-gather of the applied updates.  Cuts optimizer HBM ~dp× — at
+    ViT-H scale (632M params) adam mu/nu are 5.1 GB replicated, 0.64 GB
+    on an 8-way dp mesh.
+    """
+    from vit_tpu.parallel.sharding import zero1_pspec
+
+    dp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("dp", 1)
     param_leaves = jax.tree.leaves(params)
     shard_leaves = jax.tree.leaves(p_shard)
     by_shape = {}
     for leaf, s in zip(param_leaves, shard_leaves):
-        by_shape.setdefault((leaf.shape, leaf.dtype), s)
+        key = (leaf.shape, leaf.dtype)
+        if zero1:
+            s = NamedSharding(
+                mesh, zero1_pspec(s.spec, leaf.shape, mesh.axis_names, dp_size)
+            )
+        by_shape.setdefault(key, s)
 
     rep = replicate(mesh)
 
