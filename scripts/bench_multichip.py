@@ -220,6 +220,85 @@ def bench_train_dp(name, cfg, mesh_axes, batch, iters, ops_name,
     }
 
 
+def bench_train_gspmd(name, cfg, mesh_axes, batch, iters, zero1=False,
+                      fsdp=False, dtype="bfloat16"):
+    """GSPMD training step with optional ZeRO-1 / FSDP placement
+    (parallel/sharding.py) -> BENCH dict in images/sec, plus the measured
+    per-device param/optimizer HBM bytes the placement actually uses."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vit_tpu.parallel import batch_sharding, param_shardings
+    from vit_tpu.parallel.sharding import fsdp_param_shardings
+    from vit_tpu.runtime import trainer
+
+    mesh, n_chips, mesh_desc = _mesh_and_result_stub(mesh_axes, batch)
+    optimizer = optax.adamw(1e-3)
+    p, o = trainer.init_train_state(jax.random.key(1), cfg, optimizer)
+    p_sh = fsdp_param_shardings(mesh, p) if fsdp else param_shardings(mesh, p)
+    p = jax.device_put(p, p_sh)
+    o = jax.device_put(
+        o, trainer._opt_state_shardings(o, p, p_sh, mesh, zero1=zero1)
+    )
+    step = trainer.jit_train_step_for_mesh(
+        cfg, optimizer, mesh, p, o, remat=True,
+        compute_dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
+        zero1=zero1, fsdp=fsdp,
+    )
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        jnp.asarray(rng.normal(size=(batch, cfg.in_channels, cfg.image_size,
+                                     cfg.image_size)), jnp.float32),
+        batch_sharding(mesh, 4),
+    )
+    labels = jax.device_put(
+        jnp.asarray(rng.integers(0, cfg.num_classes, batch), jnp.int32),
+        batch_sharding(mesh, 1),
+    )
+
+    def dev0_bytes(tree):
+        d0 = mesh.devices.flat[0]
+        return sum(
+            s.data.nbytes
+            for leaf in jax.tree.leaves(tree)
+            for s in leaf.addressable_shards if s.device == d0
+        )
+
+    param_b, opt_b = dev0_bytes(p), dev0_bytes(o)
+
+    def t_pass(n, p, o):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            p, o, loss = step(p, o, images, labels)
+        float(loss)
+        return (time.perf_counter() - t0) / n, p, o
+
+    from vit_tpu.runtime.profiler import timing_spread_stateful
+
+    _, p, o = t_pass(1, p, o)  # warm (compile)
+    dt, dt_min, dt_max, _ = timing_spread_stateful(t_pass, iters, (p, o))
+    mode = "fsdp" if fsdp else ("zero1" if zero1 else "gspmd")
+    return {
+        "metric": f"train images/sec, {name} {mesh_desc} batch={batch} "
+                  f"xla+{mode}",
+        "value": round(batch / dt, 2),
+        "unit": "images/sec",
+        "step_latency_ms": round(dt * 1e3, 3),
+        "step_latency_ms_spread": [round(dt_min * 1e3, 3),
+                                   round(dt_max * 1e3, 3)],
+        "images_per_sec_per_chip": round(batch / dt / n_chips, 2),
+        "per_device_param_mb": round(param_b / 2**20, 2),
+        "per_device_opt_state_mb": round(opt_b / 2**20, 2),
+        "n_chips": n_chips,
+        "mesh": dict(mesh_axes),
+        "ops_impl": f"xla+{mode}",
+        "dtype": dtype,
+        "train_step": True,
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
@@ -305,6 +384,12 @@ def main(argv=None) -> int:
             ("dp-train", lambda: bench_train_dp(
                 "vit_tiny_smoke", tiny, {"dp": w}, 2 * w, 1, "fused_train",
                 dtype=dtype)),
+            ("zero1-train", lambda: bench_train_gspmd(
+                "vit_tiny_smoke", tiny, {"dp": w}, 2 * w, 1, zero1=True,
+                dtype=dtype)),
+            ("fsdp-train", lambda: bench_train_gspmd(
+                "vit_tiny_smoke", tiny, {"dp": w}, 2 * w, 1, fsdp=True,
+                dtype=dtype)),
         ]
     else:
         # BASELINE.json config 5: H/14 DP over the pod; dp x tp B/16 (the
@@ -331,6 +416,15 @@ def main(argv=None) -> int:
             ("dp-train", lambda: bench_train_dp(
                 "vit_b_16", b16, {"dp": n_dev}, 64 * n_dev,
                 max(iters // 2, 5), "fused_train")),
+            # ZeRO rows on H/14 (632M params): where sharding the fp32 adam
+            # moments (5.1 GB replicated) / params actually moves the HBM
+            # needle — per_device_*_mb in the output shows the measured cut.
+            ("zero1-train", lambda: bench_train_gspmd(
+                "vit_h_14", h14, {"dp": n_dev}, 16 * n_dev,
+                max(iters // 2, 5), zero1=True)),
+            ("fsdp-train", lambda: bench_train_gspmd(
+                "vit_h_14", h14, {"dp": n_dev}, 16 * n_dev,
+                max(iters // 2, 5), fsdp=True)),
         ]
 
     rc = 0

@@ -75,8 +75,9 @@ def test_bench_multichip_smoke(capsys):
     rc = bench_multichip.main(["--smoke"])
     assert rc == 0
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
-    # dp-infer, dpxtp-infer, dpxsp-infer (ring), pp-infer, dp-train
-    assert len(lines) == 5
+    # dp-infer, dpxtp-infer, dpxsp-infer (ring), pp-infer, dp-train,
+    # zero1-train, fsdp-train
+    assert len(lines) == 7
     recs = [json.loads(l) for l in lines]
     for rec in recs:
         assert "error" not in rec, rec
@@ -86,5 +87,13 @@ def test_bench_multichip_smoke(capsys):
     assert {"dp": 8} in meshes and {"dp": 4, "tp": 2} in meshes
     assert {"dp": 2, "sp": 4} in meshes and {"pp": 2} in meshes
     train = [rec for rec in recs if rec.get("train_step")]
-    assert len(train) == 1 and train[0]["ops_impl"] == "fused_train"
-    assert train[0]["mesh"] == {"dp": 8}
+    assert len(train) == 3
+    assert {t["ops_impl"] for t in train} == {
+        "fused_train", "xla+zero1", "xla+fsdp"
+    }
+    by_mode = {t["ops_impl"]: t for t in train}
+    # the measured per-device HBM cut: zero1 shards the moments (~dp x
+    # less opt state than params x 2), fsdp shards the params too
+    z, f = by_mode["xla+zero1"], by_mode["xla+fsdp"]
+    assert z["per_device_opt_state_mb"] < 0.5 * z["per_device_param_mb"]
+    assert f["per_device_param_mb"] < 0.5 * z["per_device_param_mb"]
