@@ -178,6 +178,14 @@ def test_train_cli_zero1(tiny_cfg, monkeypatch, capsys):
     ])
     assert rc != 0
     assert "--zero1" in capsys.readouterr().err
+    # the in-place Pallas AdamW kernel owns whole leaves — reject too
+    rc = train_main([
+        "--config", "vit_tiny_test", "--steps", "1", "--batch", "4",
+        "--dp", "4", "--ops", "fused_train", "--optimizer", "fused_adamw",
+        "--zero1", "--no-compile-cache",
+    ])
+    assert rc != 0
+    assert "fused_adamw" in capsys.readouterr().err
 
 
 def test_train_cli_fsdp(tiny_cfg, monkeypatch, capsys):

@@ -239,6 +239,13 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
             "excludes --pp/--sp (the kernel paths and the pp/sp schedules "
             "require whole local weights per device)"
         )
+    if zero1 and args.optimizer == "fused_adamw":
+        raise SetupError(
+            "error: --zero1 with --optimizer fused_adamw would all-gather "
+            "the sharded moments around the (unpartitionable) Pallas AdamW "
+            "kernel every step, defeating the sharding; use the optax "
+            "optimizers with --zero1"
+        )
 
     if mae_cfg is not None:
         # MAE pretraining: no labels — adapt to the loop's
