@@ -37,6 +37,10 @@ def main(argv=None):
                     "on this stack — docs/performance.md; validate any "
                     "new r here before production use)")
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--ops", default="fused", choices=["fused", "quant"],
+                    help="'quant' composes ToMe with the W8A8 kernels "
+                    "(models/tome.forward_quant) — the two throughput "
+                    "levers stack")
     ap.add_argument("--smoke", action="store_true",
                     help="CPU smoke: tiny config, 2 iters (CI gate)")
     args = ap.parse_args(argv)
@@ -75,6 +79,12 @@ def main(argv=None):
         lambda a: jnp.asarray(a, jnp.float32 if args.smoke else jnp.bfloat16),
         params,
     )
+    fwd_fn = tome_model.forward_fused
+    if args.ops == "quant":
+        from vit_tpu.ops import quant
+
+        params = quant.quantize_params(params)
+        fwd_fn = tome_model.forward_quant
     x = jnp.asarray(synth_images(args.batch, cfg, seed=0),
                     jnp.float32 if args.smoke else jnp.bfloat16)
 
@@ -86,7 +96,7 @@ def main(argv=None):
         jit_kw["compiler_options"] = opts
     for r in [int(v) for v in args.r.split(",")]:
         fwd = jax.jit(
-            lambda p, xx, _r=r: tome_model.forward_fused(p, xx, cfg, _r),
+            lambda p, xx, _r=r: fwd_fn(p, xx, cfg, _r),
             **jit_kw,
         )
         dt, dt_min, dt_max = forward_timing(
@@ -96,8 +106,8 @@ def main(argv=None):
         final_t = cfg.seq_len - sum(counts)
         stats = roofline(cfg, args.batch, dt, chip="v5e", dtype="bf16")
         print(
-            f"{cfg.name} batch={args.batch} r={r:3d} (T {cfg.seq_len}->"
-            f"{final_t:3d}): {dt*1e3:7.2f} ms  "
+            f"{cfg.name} batch={args.batch} ops={args.ops} r={r:3d} "
+            f"(T {cfg.seq_len}->{final_t:3d}): {dt*1e3:7.2f} ms  "
             f"{stats['images_per_sec_per_chip']:8.1f} img/s  "
             f"(spread {args.batch/dt_max:.1f}-{args.batch/dt_min:.1f})"
         )

@@ -28,6 +28,9 @@ step python scripts/bench_tome.py --r 0,13,8,14,16
 step python scripts/bench_tome.py --config vit_l_16 --batch 50 --r 0,13
 step python scripts/bench_tome.py --config deit_b_16 --r 13
 
+# 3b. int8 x ToMe composition (round-4 feature): both throughput levers
+step python scripts/bench_tome.py --ops quant --r 0,13
+
 # 4. training: regularizer overhead gate (<10%), MAE row, train-time ToMe row
 step python scripts/bench_train.py --skip-parity --paths fused_train,reg,mae,tome:13
 

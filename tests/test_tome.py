@@ -164,7 +164,7 @@ def test_engine_tome(cfg, params, images):
     lm, tm = merged.classify(np.asarray(images))
     assert lm.shape == lp.shape and np.isfinite(tm).all()
     with pytest.raises(ValueError, match="tome"):
-        InferenceEngine(cfg, params, ops="quant", tome_r=4)
+        InferenceEngine(cfg, params, ops="pallas", tome_r=4)
 
 
 def test_serving_wraps_tome_engine(cfg, params):
@@ -200,9 +200,18 @@ def test_cli_tome(cfg, monkeypatch, capsys, tmp_path):
     ])
     assert rc == 0
     assert "[0] label:" in capsys.readouterr().out
+    # W8A8 composition: --ops quant + --tome classifies end-to-end
     rc = cli_main([
         "--config", "vit_tome_test", "--weights", str(tmp_path / "w.npz"),
         "--synth", "2", "--ops", "quant", "--tome", "4",
+        "--no-compile-cache",
+    ])
+    assert rc == 0
+    assert "[0] label:" in capsys.readouterr().out
+    # the per-op pallas debug tier has no ToMe hooks
+    rc = cli_main([
+        "--config", "vit_tome_test", "--weights", str(tmp_path / "w.npz"),
+        "--synth", "2", "--ops", "pallas", "--tome", "4",
         "--no-compile-cache",
     ])
     assert rc == 2
@@ -235,6 +244,10 @@ def test_bench_tome_smoke(capsys):
     # the smoke config must actually merge (T 65 -> 57 at r=4), so the
     # in-model merge wiring can't rot behind a no-op schedule
     assert "65-> 57" in out
+    # the W8A8 composition (models/tome.forward_quant)
+    assert bench_tome.main(["--smoke", "--r", "4", "--ops", "quant"]) == 0
+    out = capsys.readouterr().out
+    assert "ops=quant" in out and "65-> 57" in out
 
 
 def test_distilled_protects_both_prefix_tokens(cfg, params):
@@ -371,3 +384,128 @@ def test_train_cli_tome(cfg, monkeypatch, capsys):
         base + ["--ops", "fused_train", "--tome", "4", "--drop-path", "0.1"]
     ) == 2
     capsys.readouterr()
+
+
+# ---------------------------------------------------------------------------
+# ToMe x W8A8 composition (models/tome.forward_quant): the int8 kernel-A
+# twin gains the ToMe hooks (log-size bias on the fp attention, mean-key
+# metric) and a standalone int8 kernel C carries the post-merge MLP.
+# ---------------------------------------------------------------------------
+
+
+def _quant_tree(params):
+    from vit_tpu.ops import quant
+
+    return quant.quantize_params(jax.tree.map(jnp.asarray, params))
+
+
+def test_quant_tome_r0_matches_plain_quant(cfg, params, images):
+    # r=0 runs the split A / B / C int8 chain with no merges — same math
+    # as the production merged-B+C quant path, so logits must agree.
+    from vit_tpu.runtime import InferenceEngine
+
+    plain = InferenceEngine(cfg, params, dtype="float32", ops="quant",
+                            batch_pad=2)
+    got = np.asarray(
+        tome_model.forward_quant(_quant_tree(params), images, cfg, r=0)
+    )
+    np.testing.assert_allclose(got, np.asarray(plain.logits(images)),
+                               atol=1e-5)
+
+
+def test_quant_tome_matches_jnp_oracle(cfg, params, images):
+    # Full r>0 parity against an inline jnp oracle sharing only the W8A8
+    # grouping helpers (QK._qkv_q8 / _quant_rows are plain jnp): attention
+    # with the log-size bias written independently, and the merge on the
+    # gather form (ops.tome.merge_tokens) — cross-checking the production
+    # merge-matrix GEMM with different code.
+    from vit_tpu.models.vit import prefix_tokens
+    from vit_tpu.ops import reference
+    from vit_tpu.ops.pallas import quant_kernels as QK
+    from vit_tpu.ops.pallas.fused_block import _gelu
+
+    qparams = _quant_tree(params)
+    r = 4
+    counts = tome_model.schedule(cfg, r)
+
+    x = reference.patch_embed(
+        images, qparams["patch_embed"]["kernel"],
+        qparams["patch_embed"]["bias"], cfg.patch_size,
+    )
+    x = reference.add_cls_and_pos(
+        x, prefix_tokens(qparams), qparams["pos_embed"]
+    )
+    b = x.shape[0]
+    p = cfg.num_prefix_tokens
+    dh = cfg.embed_dim // cfg.num_heads
+    sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
+    merged = False
+    for l in range(cfg.depth):
+        blk = jax.tree.map(lambda a: a[l], qparams["blocks"])
+        t = x.shape[1]
+        qkv = jax.vmap(
+            lambda row: QK._qkv_q8(
+                row, blk["ln1_scale"].reshape(1, -1),
+                blk["ln1_bias"].reshape(1, -1), blk["wqkv"],
+                blk["wqkv_scale"].reshape(1, -1),
+                blk["bqkv"].reshape(1, -1), cfg.layernorm_eps,
+            )
+        )(x)  # (b, t, 3D), fp32
+        heads_ctx, kacc = [], 0.0
+        for h in range(cfg.num_heads):
+            base = h * 3 * dh
+            q = qkv[..., base : base + dh]
+            k = qkv[..., base + dh : base + 2 * dh]
+            v = qkv[..., base + 2 * dh : base + 3 * dh]
+            s = jnp.einsum("bqd,bkd->bqk", q, k) / (dh ** 0.5)
+            if merged:
+                s = s + jnp.log(sizes)[:, None, :]
+            a = jax.nn.softmax(s, axis=-1)
+            heads_ctx.append(jnp.einsum("bqk,bkd->bqd", a, v))
+            kacc = kacc + k
+        ctx = jnp.concatenate(heads_ctx, -1)
+        kmean = kacc / cfg.num_heads
+        x = x + ctx @ blk["wo"] + blk["bo"]
+        if counts[l] > 0:
+            x, sizes = tome.merge_tokens(x, kmean, sizes, counts[l], p)
+            merged = True
+        h_ln = reference.layer_norm(
+            x, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps
+        )
+        hq, hs = QK._quant_rows(h_ln)
+        mid = (
+            jnp.einsum("btk,kf->btf", hq.astype(jnp.int32),
+                       blk["w1"].astype(jnp.int32)).astype(jnp.float32)
+            * hs * blk["w1_scale"][None, None, :]
+        )
+        mid = _gelu(mid + blk["b1"], "exact", fast_erf=False)
+        mq, ms = QK._quant_rows(mid)
+        out = (
+            jnp.einsum("btf,fk->btk", mq.astype(jnp.int32),
+                       blk["w2"].astype(jnp.int32)).astype(jnp.float32)
+            * ms * blk["w2_scale"][None, None, :]
+        )
+        x = x + out + blk["b2"]
+    x = reference.layer_norm(
+        x, qparams["ln_final"]["scale"], qparams["ln_final"]["bias"],
+        cfg.layernorm_eps,
+    )
+    want = np.asarray(vit.apply_head(x, qparams))
+
+    got = np.asarray(tome_model.forward_quant(qparams, images, cfg, r=r))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_engine_quant_tome(cfg, params, images):
+    # the engine route: quantizes the tree itself and jits forward_quant
+    from vit_tpu.runtime import InferenceEngine
+
+    eng = InferenceEngine(cfg, params, dtype="float32", ops="quant",
+                          batch_pad=2, tome_r=4)
+    labels, probs = eng.classify(np.asarray(images))
+    assert labels.shape == (2,) and np.isfinite(probs).all()
+    want = np.asarray(
+        tome_model.forward_quant(_quant_tree(params), images, cfg, r=4)
+    )
+    np.testing.assert_allclose(np.asarray(eng.logits(images)), want,
+                               atol=1e-5)

@@ -92,8 +92,8 @@ def main(argv=None) -> int:
     if args.tome < 0:
         print("error: --tome must be >= 0", file=sys.stderr)
         return 2
-    if args.tome and (ops not in ("fused", "xla") or args.tp > 1):
-        print("error: --tome needs --ops fused or xla on a dp mesh (no "
+    if args.tome and (ops not in ("fused", "quant", "xla") or args.tp > 1):
+        print("error: --tome needs --ops fused/quant/xla on a dp mesh (no "
               "--tp)", file=sys.stderr)
         return 2
 

@@ -138,9 +138,9 @@ def main(argv=None) -> int:
     if args.tome < 0:
         print("error: --tome must be >= 0", file=sys.stderr)
         return 2
-    if args.tome and ops not in ("fused", "xla"):
+    if args.tome and ops not in ("fused", "quant", "xla"):
         print(
-            "error: --tome (token merging) needs --ops fused or xla",
+            "error: --tome (token merging) needs --ops fused, quant, or xla",
             file=sys.stderr,
         )
         return 2

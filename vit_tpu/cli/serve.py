@@ -466,9 +466,9 @@ def main(argv=None) -> int:
         print("error: --tome must be >= 0", file=sys.stderr)
         return 2
     if args.tome and (args.multihost or args.tp > 1
-                      or args.ops not in ("auto", "fused", "xla")):
-        print("error: --tome needs --ops fused/xla on a single-host dp "
-              "mesh (no --tp/--multihost)", file=sys.stderr)
+                      or args.ops not in ("auto", "fused", "quant", "xla")):
+        print("error: --tome needs --ops fused/quant/xla on a single-host "
+              "dp mesh (no --tp/--multihost)", file=sys.stderr)
         return 2
     if args.selftest is not None and args.max_queue is None:
         # the selftest intentionally enqueues the whole burst up front to

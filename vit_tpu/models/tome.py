@@ -205,6 +205,77 @@ def forward_fused(
     return vit.apply_head(x, params)
 
 
+def forward_quant(
+    params: Dict[str, Any],
+    images: jax.Array,
+    cfg: ViTConfig,
+    r: int,
+    gelu_variant: str = "exact",
+    interpret: bool | None = None,
+    counts=None,
+) -> jax.Array:
+    """W8A8 ToMe forward over a QUANTIZED params tree
+    (ops/quant.quantize_params): kernel A's int8 twin (LN1 -> dynamic-int8
+    QKV GEMM -> fp attention with the log-size bias, metric emitted) ->
+    kernel B (fp out_proj+residual — wo stays fp in the quant path) ->
+    merge-matrix GEMM -> kernel C's int8 twin (LN2 -> int8 MLP).
+
+    Composes the two independent throughput levers: int8 MXU rate on the
+    GEMMs and ToMe's token-count reduction (docs/performance.md)."""
+    from vit_tpu.ops.pallas import quant_kernels as QK
+
+    check_config(cfg, r)
+    if interpret is None:
+        from vit_tpu.ops.pallas import interpret_default
+
+        interpret = interpret_default()
+    compute_dtype = params["pos_embed"].dtype
+    x = images.astype(compute_dtype)
+    x = reference.patch_embed(
+        x, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
+        cfg.patch_size,
+    )
+    x = reference.add_cls_and_pos(x, vit.prefix_tokens(params), params["pos_embed"])
+    b, _, d = x.shape
+    p = cfg.num_prefix_tokens
+    counts = schedule(cfg, r) if counts is None else counts
+    sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
+    merged_any = False
+    for l in range(cfg.depth):
+        blk = jax.tree.map(lambda a: a[l], params["blocks"])
+        t = x.shape[1]
+        x2 = x.reshape(b * t, d)
+        out = QK.ln_qkv_attn_q8(
+            x2, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
+            blk["wqkv_scale"], blk["bqkv"], cfg.num_heads, t,
+            cfg.layernorm_eps, interpret=interpret,
+            log_size=jnp.log(sizes) if merged_any else None,
+            return_kmean=counts[l] > 0,
+        )
+        ctx, kmean = out if counts[l] > 0 else (out, None)
+        y = FB.out_residual(ctx, x2, blk["wo"], blk["bo"], interpret=interpret)
+        x = y.reshape(b, t, d)
+        if counts[l] > 0:
+            w, s_out = tome.merge_matrix(
+                kmean.reshape(b, t, -1), sizes, counts[l], p
+            )
+            x = tome.apply_merge_matrix(x, w, s_out)
+            sizes = s_out
+            t = t - counts[l]
+            merged_any = True
+        x = QK.ln_mlp_residual_q8(
+            x.reshape(b * t, d), blk["ln2_scale"], blk["ln2_bias"],
+            blk["w1"], blk["w1_scale"], blk["b1"],
+            blk["w2"], blk["w2_scale"], blk["b2"], cfg.layernorm_eps,
+            gelu_variant, interpret=interpret,
+        ).reshape(b, t, d)
+    x = reference.layer_norm(
+        x, params["ln_final"]["scale"], params["ln_final"]["bias"],
+        cfg.layernorm_eps,
+    )
+    return vit.apply_head(x, params)
+
+
 def forward_train(
     params: Dict[str, Any],
     images: jax.Array,

@@ -50,11 +50,17 @@ def _qkv_q8(x, ln_scale, ln_bias, wq, ws, bias, eps):
 
 
 def _ln_qkv_attn_q8_kernel(
-    x_ref, s_ref, b_ref, wq_ref, ws_ref, bias_ref, out_ref, *, eps, num_heads,
-    scale, attn_q8, quant_pv,
+    x_ref, s_ref, b_ref, wq_ref, ws_ref, bias_ref, *refs, eps, num_heads,
+    scale, attn_q8, quant_pv, has_log_size=False, emit_kmean=False,
 ):
     # head_dim from the weight (tensor parallelism: the kernel may hold only
     # this shard's head columns; see fused_block._ln_qkv_attn_kernel)
+    if has_log_size:
+        ls_ref, *out_refs = refs
+        log_size = ls_ref[0, 0]
+    else:
+        log_size, out_refs = None, list(refs)
+    out_ref = out_refs[0]
     dh = wq_ref.shape[-1] // (3 * num_heads)
     qkv = _qkv_q8(
         x_ref[0], s_ref[:], b_ref[:], wq_ref[:], ws_ref[:], bias_ref[:], eps
@@ -63,62 +69,97 @@ def _ln_qkv_attn_q8_kernel(
         ctx = (
             _head_context_q8(qkv, hh, dh, scale, quant_pv)
             if attn_q8
-            else _head_context(qkv, hh, dh, scale)
+            else _head_context(qkv, hh, dh, scale, log_size)
         )
         out_ref[0, :, hh * dh : (hh + 1) * dh] = ctx.astype(out_ref.dtype)
+    if emit_kmean:
+        # mean attention key over heads — ToMe's similarity metric, same
+        # definition as fused_block._ln_qkv_attn_kernel (the dequantized
+        # qkv is the q8 path's source of truth for the keys)
+        acc = qkv[:, dh : 2 * dh].astype(jnp.float32)
+        for hh in range(1, num_heads):
+            base = hh * 3 * dh
+            acc = acc + qkv[:, base + dh : base + 2 * dh].astype(jnp.float32)
+        out_refs[1][0] = (acc * (1.0 / num_heads)).astype(out_refs[1].dtype)
 
 
 def _ln_qkv_attn_q8_call(
     x2d, ln_scale, ln_bias, wq, w_scale, bqkv, num_heads, seq_len, eps,
-    attn_q8, quant_pv, interpret,
+    attn_q8, quant_pv, interpret, log_size=None, return_kmean=False,
 ):
     """Shared pallas_call scaffold for both kernel-A int8 twins (the only
-    divergence is the per-head context helper, switched by ``attn_q8``)."""
+    divergence is the per-head context helper, switched by ``attn_q8``).
+    ``log_size``/``return_kmean`` mirror fused_block.ln_qkv_attn's ToMe
+    hooks (bias on the key logits; mean-key metric output)."""
+    if attn_q8 and (log_size is not None or return_kmean):
+        raise ValueError("the int8-attention study kernel has no ToMe hooks")
     rows, d = x2d.shape
     d3 = wq.shape[-1]
     d_ctx = d3 // 3
+    dh = d_ctx // num_heads
     b = rows // seq_len
-    scale = 1.0 / ((d_ctx // num_heads) ** 0.5)
-    out = pl.pallas_call(
-        functools.partial(
-            _ln_qkv_attn_q8_kernel, eps=eps, num_heads=num_heads, scale=scale,
-            attn_q8=attn_q8, quant_pv=quant_pv,
-        ),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, seq_len, d_ctx), x2d.dtype),
-        compiler_params=_VMEM_LIMIT,
-        interpret=interpret,
-    )(
+    scale = 1.0 / (dh ** 0.5)
+    in_specs = [
+        pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [
         x2d.reshape(b, seq_len, d),
         ln_scale.reshape(1, d),
         ln_bias.reshape(1, d),
         wq,
         w_scale.reshape(1, d3),
         bqkv.reshape(1, d3),
+    ]
+    if log_size is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, seq_len), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(log_size.astype(jnp.float32).reshape(b, 1, seq_len))
+    out_specs = pl.BlockSpec(
+        (1, seq_len, d_ctx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    out_shape = jax.ShapeDtypeStruct((b, seq_len, d_ctx), x2d.dtype)
+    if return_kmean:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, seq_len, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (out_shape, jax.ShapeDtypeStruct((b, seq_len, dh), x2d.dtype))
+    out = pl.pallas_call(
+        functools.partial(
+            _ln_qkv_attn_q8_kernel, eps=eps, num_heads=num_heads, scale=scale,
+            attn_q8=attn_q8, quant_pv=quant_pv,
+            has_log_size=log_size is not None, emit_kmean=return_kmean,
+        ),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(*operands)
+    if return_kmean:
+        ctx, kmean = out
+        return ctx.reshape(rows, d_ctx), kmean.reshape(rows, dh)
     return out.reshape(rows, d_ctx)
 
 
 def ln_qkv_attn_q8(
     x2d, ln_scale, ln_bias, wq, w_scale, bqkv, num_heads, seq_len, eps,
-    interpret=False,
+    interpret=False, log_size=None, return_kmean=False,
 ):
     """int8 twin of fused_block.ln_qkv_attn: LN -> dynamic-int8 row quant ->
-    int8 QKV GEMM -> dequant -> attention, all in one kernel per image."""
+    int8 QKV GEMM -> dequant -> attention, all in one kernel per image.
+    ``log_size``/``return_kmean`` are the ToMe hooks (models/tome.py)."""
     return _ln_qkv_attn_q8_call(
         x2d, ln_scale, ln_bias, wq, w_scale, bqkv, num_heads, seq_len, eps,
         attn_q8=False, quant_pv=True, interpret=interpret,
+        log_size=log_size, return_kmean=return_kmean,
     )
 
 
@@ -185,6 +226,71 @@ def out_ln_mlp_residual_q8(
     )(
         ctx, res,
         wo, bo.reshape(1, d),
+        ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+        w1q, w1s.reshape(1, f), b1.reshape(1, f),
+        w2q, w2s.reshape(1, d), b2.reshape(1, d),
+    )
+
+
+def _ln_mlp_q8_kernel(
+    x_ref, s_ref, b_ref, w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref,
+    out_ref, *, eps, variant,
+):
+    # body shared with _out_ln_mlp_q8_kernel's MLP tail: x1 is the residual
+    # input directly (no out_proj head — ToMe's merge sits between them)
+    x1 = x_ref[:].astype(jnp.float32)
+    h = _ln(x1, s_ref[:], b_ref[:], eps)
+    hq, hs = _quant_rows(h)
+    acc1 = jax.lax.dot_general(
+        hq, w1q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    mid = acc1.astype(jnp.float32) * hs * w1s_ref[:].astype(jnp.float32)
+    mid = _gelu(
+        mid + b1_ref[:].astype(jnp.float32), variant,
+        fast_erf=use_fast_erf(x_ref.dtype),
+    )
+    mq, ms = _quant_rows(mid)
+    acc2 = jax.lax.dot_general(
+        mq, w2q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = acc2.astype(jnp.float32) * ms * w2s_ref[:].astype(jnp.float32)
+    out_ref[:] = (out + b2_ref[:].astype(jnp.float32) + x1).astype(out_ref.dtype)
+
+
+def ln_mlp_residual_q8(
+    x2d, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2, eps,
+    gelu_variant="exact", block_rows=128, interpret=False,
+):
+    """int8 twin of fused_block.ln_mlp_residual (kernel C standalone):
+    LN2 -> dynamic-int8 quant -> int8 FC1 -> GELU -> int8 FC2 -> +residual.
+    The W8A8 grouping is identical to out_ln_mlp_residual_q8's MLP tail —
+    this split form exists for ToMe, whose merge sits between kernels B
+    and C (models/tome.forward_quant)."""
+    rows, d = x2d.shape
+    f = w1q.shape[-1]
+    block_rows = min(block_rows, rows)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    rowblk = lambda w: pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_q8_kernel, eps=eps, variant=gelu_variant),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            rowblk(d),
+            const((1, d)), const((1, d)),
+            const((d, f)), const((1, f)), const((1, f)),
+            const((f, d)), const((1, d)), const((1, d)),
+        ],
+        out_specs=rowblk(d),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x2d.dtype),
+        compiler_params=_VMEM_LIMIT,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * d * f,
+            bytes_accessed=(2 * rows * d + 2 * d * f) * x2d.dtype.itemsize,
+            transcendentals=rows * f,
+        ),
+        interpret=interpret,
+    )(
+        x2d,
         ln_scale.reshape(1, d), ln_bias.reshape(1, d),
         w1q, w1s.reshape(1, f), b1.reshape(1, f),
         w2q, w2s.reshape(1, d), b2.reshape(1, d),

@@ -65,9 +65,10 @@ class InferenceEngine:
 
             self._tome_mod = tome_model
             tome_model.check_config(cfg, self.tome_r)  # r >= 0, T ceiling
-            if ops not in ("fused", "xla"):
+            if ops not in ("fused", "xla", "quant"):
                 raise ValueError(
-                    "tome_r (token merging) supports ops='fused' or 'xla'"
+                    "tome_r (token merging) supports ops='fused', 'quant', "
+                    "or 'xla'"
                 )
             if mesh is not None and mesh.shape.get("tp", 1) != 1:
                 raise ValueError(
@@ -105,10 +106,11 @@ class InferenceEngine:
         self.params = self._prepare_params(params)
 
         if self.tome_r:
-            _tfn = (
-                self._tome_mod.forward_fused if self._ops.name == "fused"
-                else self._tome_mod.forward_xla
-            )
+            _tfn = {
+                "fused": self._tome_mod.forward_fused,
+                "quant": self._tome_mod.forward_quant,
+                "xla": self._tome_mod.forward_xla,
+            }[self._ops.name]
             r = self.tome_r
 
             def base_fwd(p, x, _fn=_tfn, _r=r):
@@ -141,7 +143,7 @@ class InferenceEngine:
         # per-compile options themselves: JAX rejects compiler_options on
         # a nested jit outright.
         self.forward_compiler_options = None
-        if self.tome_r and self._ops.name == "fused":
+        if self.tome_r and self._ops.name in ("fused", "quant"):
             opts = self._tome_mod.fused_compiler_options()
             if opts:
                 jit_kwargs["compiler_options"] = opts
