@@ -509,3 +509,21 @@ def test_engine_quant_tome(cfg, params, images):
     )
     np.testing.assert_allclose(np.asarray(eng.logits(images)), want,
                                atol=1e-5)
+
+
+def test_engine_quant_tome_dp_mesh(cfg, params, images):
+    # quant x ToMe under a dp shard_map mesh matches single-device
+    from vit_tpu.parallel import make_mesh
+    from vit_tpu.runtime import InferenceEngine
+
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    mesh = make_mesh({"dp": 2}, jax.devices()[:2])
+    single = InferenceEngine(cfg, params, dtype="float32", ops="quant",
+                             batch_pad=2, tome_r=4)
+    sharded = InferenceEngine(cfg, params, dtype="float32", ops="quant",
+                              batch_pad=2, tome_r=4, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded.logits(images)),
+        np.asarray(single.logits(images)), atol=1e-5,
+    )
