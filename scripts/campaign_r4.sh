@@ -44,4 +44,9 @@ step python -m vit_tpu.cli.serve --weights /root/reference/Network \
   --allow-synth-weights --selftest 40 --staged --max-batch 100 --batch-pad 100 \
   --tome 13
 
+# 7. best-tier serving: int8 x ToMe through the daemon (round-4 feature)
+step python -m vit_tpu.cli.serve --weights /root/reference/Network \
+  --allow-synth-weights --selftest 40 --staged --max-batch 100 --batch-pad 100 \
+  --ops quant --tome 13
+
 echo "=== campaign_r4 done $(date -u +%FT%TZ) ===" | tee -a "$LOG"
