@@ -308,7 +308,7 @@ def test_compress_counts_and_validate():
     token-count set, and stay within the bipartite cap."""
     seq, depth, r, p = 197, 12, 13, 1
     per_layer = tome.merge_counts(seq, depth, r, p)
-    chunked = tome.compress_counts(per_layer, 3)
+    chunked = tome.compress_counts(per_layer, 3, seq, p)
     assert sum(chunked) == sum(per_layer)
     assert len(chunked) == depth
 
@@ -325,7 +325,22 @@ def test_compress_counts_and_validate():
     with pytest.raises(ValueError, match="bipartite|exist at"):
         tome.validate_counts([98, 98], 197, 1)
     # chunk=1 is the identity
-    assert tome.compress_counts(per_layer, 1) == per_layer
+    assert tome.compress_counts(per_layer, 1, seq, p) == per_layer
+    # aggressive r at depth: a group's budget can exceed the bipartite
+    # A-set at its start layer (r=14 wants 38 pairs at t=71 where only 35
+    # exist — found live, campaign r4); the cap+carry keeps every group
+    # executable and validate_counts must pass for the whole r sweep
+    for rr in range(1, 33):
+        for pp in (1, 2):
+            pl = tome.merge_counts(seq, depth, rr, pp)
+            ch = tome.compress_counts(pl, 3, seq, pp)
+            tome.validate_counts(ch, seq, pp)
+            assert sum(ch) <= sum(pl)  # carry may drop a tail residue
+    # r=14's specific shape: group 9 takes the 35-pair cap, carry dropped
+    ch14 = tome.compress_counts(tome.merge_counts(seq, depth, 14, 1), 3, seq, 1)
+    assert ch14[9] == 35 and sum(ch14) >= sum(
+        tome.merge_counts(seq, depth, 14, 1)
+    ) - 3
 
 
 def test_fused_matches_xla_per_layer_schedule(cfg, params, images):

@@ -46,7 +46,8 @@ def schedule(cfg: ViTConfig, r: int, chunk: int = MERGE_CHUNK):
     """The default (chunked) merge schedule for a (config, r) pair."""
     p = cfg.num_prefix_tokens
     counts = tome.compress_counts(
-        tome.merge_counts(cfg.seq_len, cfg.depth, r, p), chunk
+        tome.merge_counts(cfg.seq_len, cfg.depth, r, p), chunk,
+        cfg.seq_len, p,
     )
     return tome.validate_counts(counts, cfg.seq_len, p)
 

@@ -56,25 +56,38 @@ def merge_counts(seq_len: int, depth: int, r: int, protected: int = 1):
     return counts
 
 
-def compress_counts(counts, chunk: int):
+def compress_counts(counts, chunk: int, seq_len: int, protected: int = 1):
     """Re-bucket a per-layer merge schedule so each group of ``chunk``
     consecutive layers merges its whole budget at the group's FIRST layer.
 
-    Same total reduction and same (or slightly lower) total row count —
-    merging earlier within a group means FEWER tokens in the group's tail
-    layers — but the distinct token-count set shrinks from ~depth values
-    to ~depth/chunk: the fused path compiles ~3x fewer distinct kernel
-    programs, which is what keeps long unrolled chains inside this
-    backend's validated envelope (docs/performance.md backend-fault log).
-    The bipartite cap still holds: group totals are at most chunk*r and
-    the per-layer schedule already kept every t above the floor, so the
-    group's merge count <= (t_group_start - protected)//2 whenever the
-    per-layer schedule was valid (asserted)."""
+    Same (or near-same) total reduction and same (or slightly lower)
+    total row count — merging earlier within a group means FEWER tokens
+    in the group's tail layers — but the distinct token-count set shrinks
+    from ~depth values to ~depth/chunk: the fused path compiles ~3x fewer
+    distinct kernel programs, which is what keeps long unrolled chains
+    inside this backend's validated envelope (docs/performance.md
+    backend-fault log).
+
+    A group's budget can exceed the bipartite A-set at its start layer
+    even when the per-layer schedule was valid (the per-layer caps were
+    taken at each layer's own, larger-sum t): aggressive r at depth hits
+    this — r=14 on B/16 wants 38 pairs at t=71 where only 35 exist.  Each
+    group therefore takes ``min(budget, (t - protected) // 2)`` and
+    carries the excess into the next group (whose cap is evaluated at its
+    own live t); any residue after the last group is dropped.  The total
+    never exceeds the per-layer schedule's, so the T floor
+    (:func:`merge_counts`) still holds, and the result passes
+    :func:`validate_counts` by construction."""
     if chunk <= 1:
         return list(counts)
     out = [0] * len(counts)
+    t, carry = seq_len, 0
     for g0 in range(0, len(counts), chunk):
-        out[g0] = sum(counts[g0 : g0 + chunk])
+        want = sum(counts[g0 : g0 + chunk]) + carry
+        take = min(want, (t - protected) // 2)
+        out[g0] = take
+        carry = want - take
+        t -= take
     return out
 
 
