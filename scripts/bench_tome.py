@@ -33,9 +33,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=100)
     ap.add_argument("--r", default="0,8,13",
                     help="comma-separated merge counts per layer "
-                    "(r=14/16 at B/16 hit a measured TPU backend fault "
-                    "on this stack — docs/performance.md; validate any "
-                    "new r here before production use)")
+                    "(r=0..16 measured clean at B/16, L/16, DeiT under "
+                    "the chunked schedule — docs/performance.md round 4)")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--ops", default="fused", choices=["fused", "quant"],
                     help="'quant' composes ToMe with the W8A8 kernels "
