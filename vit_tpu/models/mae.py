@@ -208,10 +208,14 @@ def decode(
     cfg: ViTConfig,
     mae_cfg: MAEConfig,
     gelu_variant: str = "exact",
+    ops: OpsImpl = REFERENCE_OPS,
 ) -> jax.Array:
     """Decoder: latent (B, 1+K, D) + restore (B, N) -> per-patch pixel
     predictions (B, N, C*p*p).  Mask tokens fill the hidden positions; the
-    full grid (plus CLS) runs through the lightweight decoder blocks."""
+    full grid (plus CLS) runs through the lightweight decoder blocks —
+    through the SAME op table as the encoder (the kernels are
+    token-count- and width-generic; the decoder hard-coding the jnp path
+    cost ~26% of the measured MAE step, docs/performance.md round 4)."""
     dec = params["decoder"]
     dcfg = mae_cfg.decoder_cfg(cfg)
     y = reference.linear(latent, dec["embed"]["kernel"], dec["embed"]["bias"])
@@ -227,7 +231,7 @@ def decode(
     grid = jnp.take_along_axis(grid, restore[..., None], axis=1)
     y = jnp.concatenate([y[:, :1], grid], axis=1)
     y = y + dec["pos_embed"].astype(y.dtype)
-    y = _run_blocks(y, dec["blocks"], dcfg, REFERENCE_OPS, gelu_variant)
+    y = _run_blocks(y, dec["blocks"], dcfg, ops, gelu_variant)
     y = reference.layer_norm(
         y, dec["ln"]["scale"], dec["ln"]["bias"], cfg.layernorm_eps
     )
@@ -255,7 +259,7 @@ def forward_loss(
         rng, b, cfg.num_patches, mae_cfg.len_keep(cfg)
     )
     latent = encode(params, images, keep, cfg, ops, gelu_variant)
-    pred = decode(params, latent, restore, cfg, mae_cfg, gelu_variant)
+    pred = decode(params, latent, restore, cfg, mae_cfg, gelu_variant, ops)
     target = patchify(images.astype(jnp.float32), cfg.patch_size)
     if mae_cfg.norm_pix_loss:
         mean = target.mean(axis=-1, keepdims=True)
