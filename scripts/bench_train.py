@@ -46,7 +46,9 @@ def main():
                     "'reg' = fused_train + in-kernel dropout 0.1 + "
                     "drop-path 0.1 (regularizer overhead); 'mae' = MAE "
                     "pretraining step (mask 0.75, paper decoder) on the "
-                    "fused kernels; 'tome:R' = train-time ToMe at r=R")
+                    "fused kernels; 'tome:R[:CHUNK]' = train-time ToMe at "
+                    "r=R (optional coarser merge-schedule chunk for the "
+                    "longer fwd+bwd chain; default models/tome.MERGE_CHUNK)")
     args = ap.parse_args()
 
     # parse first: --help must never touch the device (the preflight can
@@ -144,16 +146,20 @@ def main():
             else:
                 from vit_tpu.models import tome as tome_mod
 
-                r = int(ops_name.split(":")[1])
+                parts = ops_name.split(":")
+                r = int(parts[1])
+                chunk = int(parts[2]) if len(parts) > 2 else None
                 raw = trainer.make_train_step(
                     cfg, optimizer, get_ops("fused_train"), remat=False,
                     compute_dtype=jnp.bfloat16,
                     forward_fn=lambda p, im: tome_mod.forward_train(
-                        p, im, cfg, r
+                        p, im, cfg, r, chunk=chunk
                     ),
                 )
                 step_fn = raw
-                label = f"tome r={r} train"
+                label = f"tome r={r} train" + (
+                    f" (chunk {chunk})" if chunk else ""
+                )
             params, opt_state = trainer.init_train_state(
                 jax.random.key(1), cfg, optimizer
             )

@@ -383,6 +383,36 @@ def test_tome_forward_train_grads_match_xla(cfg, params, images):
         assert np.abs(a - b).max() / scale < 2e-4
 
 
+def test_tome_forward_train_chunk_override(cfg, params, images):
+    """The train-side ``chunk`` knob (backend-envelope control for the
+    ~2x-longer fwd+bwd chain): a coarser schedule must (a) actually change
+    the schedule and (b) still match jax autodiff of the jnp forward run
+    on the SAME counts."""
+    r = 4
+    coarse = tome_model.schedule(cfg, r, chunk=2)
+    assert coarse != tome_model.schedule(cfg, r)  # knob is live
+
+    def loss_k(p):
+        return jnp.sum(
+            jnp.sin(tome_model.forward_train(p, images, cfg, r, chunk=2))
+        )
+
+    def loss_x(p):
+        return jnp.sum(
+            jnp.sin(tome_model.forward_xla(p, images, cfg, r, counts=coarse))
+        )
+
+    np.testing.assert_allclose(
+        float(loss_k(params)), float(loss_x(params)), rtol=1e-5
+    )
+    gk = jax.grad(loss_k)(params)
+    gx = jax.grad(loss_x)(params)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gx)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, np.abs(b).max())
+        assert np.abs(a - b).max() / scale < 2e-4
+
+
 def test_train_cli_tome(cfg, monkeypatch, capsys):
     import vit_tpu.config as config_mod
     from vit_tpu.cli.train import main as train_main

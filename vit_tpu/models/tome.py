@@ -285,10 +285,18 @@ def forward_train(
     gelu_variant: str = "exact",
     counts=None,
     separate_heads: bool = False,
+    chunk: int | None = None,
 ) -> jax.Array:
     """DIFFERENTIABLE kernel-path ToMe forward — train with merging active
     (the ToMe paper's other half: merging both speeds training and recovers
     the accuracy the off-the-shelf trade loses).
+
+    ``chunk`` overrides the merge-schedule bucketing (default
+    :data:`MERGE_CHUNK`): the train chain is ~2x the inference chain
+    (fwd + bwd megakernels per layer), so the distinct-program count that
+    the chunking bounds (docs/performance.md backend-fault log) bites at
+    roughly half the schedule complexity — a coarser train-side chunk
+    trades a few merged tokens for staying inside the backend envelope.
 
     Composition per layer: kernel A via its custom VJP
     (trainable.tome_ln_qkv_attn_diff — the backward recomputes the
@@ -310,7 +318,8 @@ def forward_train(
     x = reference.add_cls_and_pos(x, vit.prefix_tokens(params), params["pos_embed"])
     b, _, d = x.shape
     p = cfg.num_prefix_tokens
-    counts = schedule(cfg, r) if counts is None else counts
+    if counts is None:
+        counts = schedule(cfg, r, MERGE_CHUNK if chunk is None else chunk)
     sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
     merged_any = False
     for l in range(cfg.depth):
