@@ -47,8 +47,9 @@ def main():
                     "drop-path 0.1 (regularizer overhead); 'mae' = MAE "
                     "pretraining step (mask 0.75, paper decoder) on the "
                     "fused kernels; 'tome:R[:CHUNK]' = train-time ToMe at "
-                    "r=R (optional coarser merge-schedule chunk for the "
-                    "longer fwd+bwd chain; default models/tome.MERGE_CHUNK)")
+                    "r=R (optional merge-schedule chunk override; default "
+                    "models/tome.TRAIN_MERGE_CHUNK=2 — the measured "
+                    "fwd+bwd-chain envelope; 3 and 6 hard-fault)")
     args = ap.parse_args()
 
     # parse first: --help must never touch the device (the preflight can

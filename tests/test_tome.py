@@ -363,14 +363,18 @@ def test_fused_matches_xla_per_layer_schedule(cfg, params, images):
 def test_tome_forward_train_grads_match_xla(cfg, params, images):
     """Train-time ToMe (models/tome.forward_train): the differentiable
     kernel halves + merge-matrix GEMM must match jax autodiff of the jnp
-    ToMe forward — same schedule, same stop-gradient matching."""
+    ToMe forward — same schedule (the TRAIN_MERGE_CHUNK default), same
+    stop-gradient matching."""
     r = 4
+    counts = tome_model.schedule(cfg, r, tome_model.TRAIN_MERGE_CHUNK)
 
     def loss_k(p):
         return jnp.sum(jnp.sin(tome_model.forward_train(p, images, cfg, r)))
 
     def loss_x(p):
-        return jnp.sum(jnp.sin(tome_model.forward_xla(p, images, cfg, r)))
+        return jnp.sum(
+            jnp.sin(tome_model.forward_xla(p, images, cfg, r, counts=counts))
+        )
 
     np.testing.assert_allclose(
         float(loss_k(params)), float(loss_x(params)), rtol=1e-5
@@ -385,16 +389,18 @@ def test_tome_forward_train_grads_match_xla(cfg, params, images):
 
 def test_tome_forward_train_chunk_override(cfg, params, images):
     """The train-side ``chunk`` knob (backend-envelope control for the
-    ~2x-longer fwd+bwd chain): a coarser schedule must (a) actually change
-    the schedule and (b) still match jax autodiff of the jnp forward run
-    on the SAME counts."""
+    fwd+bwd chain): an override away from TRAIN_MERGE_CHUNK must (a)
+    actually change the schedule and (b) still match jax autodiff of the
+    jnp forward run on the SAME counts."""
     r = 4
-    coarse = tome_model.schedule(cfg, r, chunk=2)
-    assert coarse != tome_model.schedule(cfg, r)  # knob is live
+    coarse = tome_model.schedule(cfg, r, chunk=3)
+    assert coarse != tome_model.schedule(
+        cfg, r, tome_model.TRAIN_MERGE_CHUNK
+    )  # knob is live
 
     def loss_k(p):
         return jnp.sum(
-            jnp.sin(tome_model.forward_train(p, images, cfg, r, chunk=2))
+            jnp.sin(tome_model.forward_train(p, images, cfg, r, chunk=3))
         )
 
     def loss_x(p):
@@ -428,6 +434,26 @@ def test_train_cli_tome(cfg, monkeypatch, capsys):
     assert train_main(
         base + ["--ops", "fused_train", "--tome", "4", "--drop-path", "0.1"]
     ) == 2
+    capsys.readouterr()
+
+
+def test_train_cli_tome_chunk(cfg, monkeypatch, capsys):
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tome_test", cfg)
+    base = ["--config", "vit_tome_test", "--steps", "2", "--batch", "4",
+            "--dp", "1", "--no-compile-cache"]
+    assert train_main(base + ["--ops", "fused_train", "--tome", "4",
+                              "--tome-chunk", "3"]) == 0
+    out = capsys.readouterr().out
+    final_t = cfg.seq_len - sum(tome_model.schedule(cfg, 4, chunk=3))
+    assert f"tome training: r=4 (chunk 3, final {final_t} tokens)" in out
+    # exclusions: chunk without --tome, and chunk < 1
+    assert train_main(base + ["--ops", "fused_train",
+                              "--tome-chunk", "2"]) == 2
+    assert train_main(base + ["--ops", "fused_train", "--tome", "4",
+                              "--tome-chunk", "0"]) == 2
     capsys.readouterr()
 
 

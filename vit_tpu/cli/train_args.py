@@ -179,6 +179,14 @@ def build_parser() -> argparse.ArgumentParser:
         "halves + merge-matrix GEMM) or xla, dp mesh only",
     )
     p.add_argument(
+        "--tome-chunk", type=int, default=None, metavar="N",
+        help="override the ToMe merge-schedule bucketing for training "
+        "(default models/tome.TRAIN_MERGE_CHUNK=2, the schedule measured "
+        "inside the fwd+bwd chain's backend envelope — chunk 3/6 "
+        "hard-fault the worker at B/16 r=13; docs/performance.md "
+        "backend-fault log)",
+    )
+    p.add_argument(
         "--distill-teacher", metavar="WEIGHTS",
         help="DeiT distillation: train the student's distillation head "
         "against this frozen teacher (any weight source; the teacher "

@@ -685,6 +685,8 @@ def prepare(args) -> TrainSetup:
         print(f"dropout: {args.dropout}  drop_path: {args.drop_path}")
 
     tome_forward = None
+    if not args.tome and args.tome_chunk is not None:
+        raise SetupError("error: --tome-chunk requires --tome")
     if args.tome:
         from vit_tpu.models import tome as tome_mod
 
@@ -700,8 +702,14 @@ def prepare(args) -> TrainSetup:
                 "--drop-path/--mae/--distill-teacher (the merged-token "
                 "forward has no hooks for them)"
             )
+        chunk = args.tome_chunk
+        if chunk is not None and chunk < 1:
+            raise SetupError("error: --tome-chunk must be >= 1")
         try:
-            counts = tome_mod.schedule(cfg, args.tome)
+            counts = tome_mod.schedule(
+                cfg, args.tome,
+                tome_mod.TRAIN_MERGE_CHUNK if chunk is None else chunk,
+            )
         except ValueError as e:
             raise SetupError(f"error: {e}")
         fwd_impl = (
@@ -709,13 +717,15 @@ def prepare(args) -> TrainSetup:
             else tome_mod.forward_xla
         )
 
-        def tome_forward(p, x, _r=args.tome, _f=fwd_impl, _cfg=cfg):
-            return _f(p, x, _cfg, _r)
+        def tome_forward(p, x, _r=args.tome, _f=fwd_impl, _cfg=cfg,
+                         _counts=tuple(counts)):
+            return _f(p, x, _cfg, _r, counts=list(_counts))
 
         final_t = cfg.seq_len - sum(counts)
         print(
-            f"tome training: r={args.tome} (chunked schedule, final "
-            f"{final_t} tokens)"
+            f"tome training: r={args.tome} (chunk "
+            f"{tome_mod.TRAIN_MERGE_CHUNK if chunk is None else chunk}, "
+            f"final {final_t} tokens)"
         )
 
     mae_cfg = None

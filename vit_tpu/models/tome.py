@@ -41,6 +41,15 @@ from vit_tpu.ops.pallas import fused_block as FB
 # counts=... overrides (e.g. per-layer: tome.merge_counts(..) unchunked).
 MERGE_CHUNK = 3
 
+# Train-side default (forward_train).  The fwd+bwd chain's envelope turned
+# out to be the OPPOSITE of the inference chain's: measured on-chip at
+# B/16 r=13 b64, chunk=2 runs clean (45.2 ms/step) while chunk=3 and the
+# coarser chunk=6 both hard-fault the TPU worker — so the failing resource
+# is per-merge-event size (26 pairs/event vs 39/78), not the
+# distinct-program count the inference fix targeted.  See
+# docs/performance.md "backend-fault log" for the full measurement table.
+TRAIN_MERGE_CHUNK = 2
+
 
 def schedule(cfg: ViTConfig, r: int, chunk: int = MERGE_CHUNK):
     """The default (chunked) merge schedule for a (config, r) pair."""
@@ -292,11 +301,11 @@ def forward_train(
     the accuracy the off-the-shelf trade loses).
 
     ``chunk`` overrides the merge-schedule bucketing (default
-    :data:`MERGE_CHUNK`): the train chain is ~2x the inference chain
-    (fwd + bwd megakernels per layer), so the distinct-program count that
-    the chunking bounds (docs/performance.md backend-fault log) bites at
-    roughly half the schedule complexity — a coarser train-side chunk
-    trades a few merged tokens for staying inside the backend envelope.
+    :data:`TRAIN_MERGE_CHUNK` = 2, NOT the inference default): the
+    fwd+bwd chain's backend envelope is per-merge-event size, not
+    distinct-program count — measured at B/16 r=13 b64, chunk=2 runs
+    clean on-chip while chunk=3/6 hard-fault the worker
+    (docs/performance.md backend-fault log).
 
     Composition per layer: kernel A via its custom VJP
     (trainable.tome_ln_qkv_attn_diff — the backward recomputes the
@@ -319,7 +328,9 @@ def forward_train(
     b, _, d = x.shape
     p = cfg.num_prefix_tokens
     if counts is None:
-        counts = schedule(cfg, r, MERGE_CHUNK if chunk is None else chunk)
+        counts = schedule(
+            cfg, r, TRAIN_MERGE_CHUNK if chunk is None else chunk
+        )
     sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
     merged_any = False
     for l in range(cfg.depth):
