@@ -150,6 +150,11 @@ def main():
                 parts = ops_name.split(":")
                 r = int(parts[1])
                 chunk = int(parts[2]) if len(parts) > 2 else None
+                if chunk is not None and chunk < 1:
+                    raise SystemExit(
+                        f"tome:{r}:{chunk}: chunk must be >= 1 "
+                        "(mirrors --tome-chunk's validation)"
+                    )
                 raw = trainer.make_train_step(
                     cfg, optimizer, get_ops("fused_train"), remat=False,
                     compute_dtype=jnp.bfloat16,
@@ -159,7 +164,7 @@ def main():
                 )
                 step_fn = raw
                 label = f"tome r={r} train" + (
-                    f" (chunk {chunk})" if chunk else ""
+                    f" (chunk {chunk})" if chunk is not None else ""
                 )
             params, opt_state = trainer.init_train_state(
                 jax.random.key(1), cfg, optimizer

@@ -113,8 +113,9 @@ def _resolve_ops(args, cfg, mesh_axes):
 
     ops_name = args.ops
     if ops_name == "auto":
-        if getattr(args, "distill_teacher", None):
-            # the separate-head distillation forward runs the unfused blocks
+        if getattr(args, "distill_teacher", None) and args.tp > 1:
+            # the kernel-TP train step has no teacher leg; GSPMD xla
+            # partitions the separate-head forward over tp
             ops_name = "xla"
         else:
             ops_name = "fused_train" if jax.default_backend() == "tpu" else "xla"
@@ -365,6 +366,12 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
                 zero1=True,
             ) if zero1 else replicate(mesh),
         )
+        distill = None
+        if teacher_fwd is not None:
+            distill = dict(
+                teacher_fwd=teacher_fwd, alpha=args.distill_alpha,
+                hard=not args.distill_soft, tau=args.distill_tau,
+            )
         step = trainer.jit_train_step_dp_shard_map(
             cfg, optimizer, mesh, ops,
             remat=remat, compute_dtype=compute_dtype,
@@ -372,7 +379,7 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
             label_smoothing=args.label_smoothing,
             augment_fn=augment_fn, grad_accum=args.grad_accum,
             use_dropout=use_dropout, forward_fn=forward_fn,
-            zero1_like=zero1_like,
+            zero1_like=zero1_like, distill=distill,
         )
     else:
         # GSPMD placement shared by the plain and distillation steps (the
@@ -685,8 +692,14 @@ def prepare(args) -> TrainSetup:
         print(f"dropout: {args.dropout}  drop_path: {args.drop_path}")
 
     tome_forward = None
-    if not args.tome and args.tome_chunk is not None:
-        raise SetupError("error: --tome-chunk requires --tome")
+    if args.tome_chunk is not None and not args.tome:
+        # distinguish "--tome absent" from an explicit "--tome 0" so the
+        # message doesn't claim a flag the user passed is missing
+        raise SetupError(
+            "error: --tome-chunk requires --tome > 0"
+            if args.tome is not None
+            else "error: --tome-chunk requires --tome"
+        )
     if args.tome:
         from vit_tpu.models import tome as tome_mod
 
@@ -806,10 +819,16 @@ def prepare(args) -> TrainSetup:
                 f"error: --distill-teacher needs a distilled student "
                 f"--config (deit_*), got {cfg.name}"
             )
-        if ops_name not in ("xla", "qat"):
+        if ops_name not in ("xla", "qat", "fused_train"):
             raise SetupError(
-                "error: --distill-teacher requires --ops xla or qat "
-                "(the separate-head forward runs the unfused blocks)"
+                "error: --distill-teacher requires --ops xla, qat, or "
+                "fused_train"
+            )
+        if ops_name == "fused_train" and args.tp > 1:
+            raise SetupError(
+                "error: --distill-teacher with --tp > 1 requires --ops "
+                "xla or qat (the kernel-TP train step has no teacher leg); "
+                "fused_train distillation runs on a dp mesh"
             )
         if (args.pp > 1 or args.sp > 1 or args.multihost or args.augment
                 or args.grad_accum > 1 or args.dropout or args.drop_path):
@@ -851,8 +870,17 @@ def prepare(args) -> TrainSetup:
 
         from vit_tpu.models import vit as _vit
 
-        def teacher_fwd(x, _p=t_params, _c=t_cfg):
-            return _vit.forward(_p, x, _c)
+        # The teacher leg is frozen inference inside the step jit — on the
+        # fused_train path it runs the inference megakernels (measured
+        # ~2.1x the xla per-op rate); the GSPMD paths (xla/qat, tp-capable)
+        # keep the partitionable jnp forward.  Logit parity between the two
+        # teacher tables is gated at 1e-4 (tests/test_deit.py).
+        t_ops = get_ops("fused") if ops_name == "fused_train" else None
+
+        def teacher_fwd(x, _p=t_params, _c=t_cfg, _o=t_ops):
+            if _o is None:
+                return _vit.forward(_p, x, _c)
+            return _vit.forward(_p, x, _c, _o)
 
         mode = (
             f"soft KD (tau={args.distill_tau})" if args.distill_soft
@@ -861,6 +889,7 @@ def prepare(args) -> TrainSetup:
         print(
             f"distillation: teacher {t_cfg.name} from "
             f"{args.distill_teacher}, alpha={args.distill_alpha}, {mode}"
+            + (" [teacher on fused kernels]" if t_ops is not None else "")
         )
 
     augment_fn = None

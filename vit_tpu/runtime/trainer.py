@@ -291,6 +291,37 @@ def _make_loss_fn(cfg, ops, remat, compute_dtype, label_smoothing=0.0,
     return loss_fn
 
 
+def _make_distill_loss_fn(cfg, ops, remat, compute_dtype, teacher_fwd,
+                          alpha, hard, tau, label_smoothing=0.0):
+    """Distillation twin of :func:`_make_loss_fn` for the shard_map kernel
+    train paths: separate-head student forward through ``ops`` plus the
+    frozen-teacher inference, both inside the step (one dispatch).  The
+    teacher closure may itself run the fused inference megakernels — the
+    teacher leg is frozen inference, exactly what those kernels exist for
+    (measured ~2.1x the xla per-op rate, docs/performance.md)."""
+
+    def loss_fn(params, images, labels, rng=None):
+        del rng  # distillation composes with no dropout (train_setup guard)
+        t_logits = jax.lax.stop_gradient(teacher_fwd(images))
+
+        def fwd(p, x):
+            if compute_dtype is not None:
+                p = vit.cast_params(p, compute_dtype)
+                x = x.astype(compute_dtype)
+            return vit.forward(p, x, cfg, ops, separate_heads=True)
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+        cls_logits, dist_logits = fwd(params, images)
+        return distillation_loss(
+            cls_logits, dist_logits, labels, t_logits,
+            alpha=alpha, hard=hard, tau=tau,
+            label_smoothing=label_smoothing,
+        )
+
+    return loss_fn
+
+
 def _value_and_grad_accum(loss_fn, params, images, labels, k, rng=None):
     """(loss, grads) with the batch split into ``k`` microbatches whose
     gradients accumulate under ``lax.scan`` — k× less activation memory at
@@ -570,6 +601,7 @@ def jit_train_step_dp_shard_map(
     use_dropout: bool = False,
     forward_fn=None,
     zero1_like=None,
+    distill: dict = None,
 ):
     """Data-parallel train step for Pallas-kernel op paths (e.g.
     'fused_train'), which GSPMD cannot partition: per-shard value_and_grad
@@ -599,14 +631,32 @@ def jit_train_step_dp_shard_map(
     zero1=True) while params stay replicated — the kernels inside the
     shard_map see full params, but the optax update outside it runs
     dp-sharded, and GSPMD all-gathers only the applied updates.
+
+    ``distill`` (dict with teacher_fwd/alpha/hard/tau) swaps the loss for
+    DeiT distillation (:func:`_make_distill_loss_fn`): the student runs the
+    separate-head forward through ``ops`` and the frozen teacher closure
+    runs inside the same shard_map shard — this is what lets
+    ``--distill-teacher`` ride the fused_train kernels end-to-end.
     """
     from jax.sharding import PartitionSpec as P
 
-    loss_fn = _make_loss_fn(
-        cfg, ops, remat, compute_dtype,
-        0.0 if augment_fn is not None else label_smoothing,
-        forward_fn=forward_fn,
-    )
+    if distill is not None:
+        if augment_fn is not None or use_dropout or forward_fn is not None:
+            raise ValueError(
+                "distillation composes with none of augment/dropout/"
+                "forward_fn on the shard_map path (train_setup guards this)"
+            )
+        loss_fn = _make_distill_loss_fn(
+            cfg, ops, remat, compute_dtype,
+            distill["teacher_fwd"], distill["alpha"], distill["hard"],
+            distill["tau"], label_smoothing,
+        )
+    else:
+        loss_fn = _make_loss_fn(
+            cfg, ops, remat, compute_dtype,
+            0.0 if augment_fn is not None else label_smoothing,
+            forward_fn=forward_fn,
+        )
     needs_rng = augment_fn is not None or use_dropout
 
     def local(params, images, labels, rng=None):
