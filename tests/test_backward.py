@@ -321,6 +321,45 @@ def test_regularized_block_split_bwd_matches_merged(
     _tree_close(gb_s, gb_m, atol=1e-5)
 
 
+def test_regularized_block_grads_partial_block_padding(
+    tiny_cfg, tiny_params, monkeypatch
+):
+    """Regression: rows NOT a multiple of block_rows.  Pallas pads the
+    final partial block with unspecified values (NaN in interpret mode);
+    the train backwards must mask the dp_* row-scale operands too or
+    0 * NaN poisons the dw/db accumulators (found via ToMe x dropout,
+    whose merged token counts make b*t spill the 256-row block)."""
+    from vit_tpu.ops.pallas import backward as B
+    from vit_tpu.ops.pallas.trainable import (
+        encoder_block_train,
+        train_block_reference_2d,
+    )
+
+    x2d, blk, t = _reg_case(tiny_cfg, tiny_params, batch=60)  # rows=300
+    assert x2d.shape[0] % 256 != 0 and x2d.shape[0] > 256
+    seed = jnp.uint32(2468)
+    args = (tiny_cfg.num_heads, t, tiny_cfg.layernorm_eps, "exact",
+            seed, 0.25, 0.25)
+
+    def check():
+        def loss_k(x, b):
+            return jnp.sum(jnp.sin(encoder_block_train(x, b, *args)))
+
+        def loss_r(x, b):
+            return jnp.sum(jnp.sin(train_block_reference_2d(x, b, *args)))
+
+        gk = jax.grad(loss_k, argnums=(0, 1))(x2d, blk)
+        assert not any(
+            bool(jnp.isnan(g).any()) for g in jax.tree.leaves(gk)
+        )
+        gr = jax.grad(loss_r, argnums=(0, 1))(x2d, blk)
+        _tree_close(gk, gr, atol=1e-4)
+
+    check()  # merged train backward
+    monkeypatch.setattr(B, "MERGED_BWD_VMEM_BUDGET", 0)
+    check()  # split C'/B' train backwards
+
+
 def test_regularized_block_zero_rates_is_identity(tiny_cfg, tiny_params):
     """p=0, rate=0 must equal the unregularized trainable block exactly
     (the drop-path threshold formula is exact at rate 0), so layer 0 of

@@ -68,13 +68,40 @@ def forward_xla(
     r: int,
     gelu_variant: str = "exact",
     counts=None,
+    dropout_rng: jax.Array | None = None,
 ) -> jax.Array:
     """Pure-jnp ToMe forward: images (B, C, H, W) -> logits.
 
     The independent oracle for :func:`forward_fused` — deliberately kept
     on the gather/scatter merge (ops/tome.merge_tokens) so the production
-    path's merge-matrix GEMM is cross-checked against different code."""
+    path's merge-matrix GEMM is cross-checked against different code.
+
+    ``dropout_rng`` applies the regularizer recipe with masks
+    BIT-IDENTICAL to :func:`forward_train`'s in-kernel ones (same
+    position-hash, fused_block.dropout_mask / drop_path_scale_rows) —
+    this is the grad-parity oracle for ToMe x dropout, in the mold of
+    trainable.train_block_reference_2d."""
     check_config(cfg, r)
+    use_reg = dropout_rng is not None
+    if use_reg:
+        from vit_tpu.ops.pallas.fused_block import (
+            DROP_SITE_ATTN_OUT,
+            DROP_SITE_DP_ATTN,
+            DROP_SITE_DP_MLP,
+            DROP_SITE_MLP_INNER,
+            DROP_SITE_MLP_OUT,
+            drop_path_scale_rows,
+            dropout_mask,
+        )
+
+        rates = vit._dp_rates(cfg)
+
+        def drop(h2d, seed_l, site, p_drop):
+            if p_drop <= 0:
+                return h2d
+            m = dropout_mask(seed_l, site, 0, h2d.shape, p_drop)
+            return h2d * m.astype(h2d.dtype)
+
     compute_dtype = params["pos_embed"].dtype
     x = images.astype(compute_dtype)
     x = reference.patch_embed(
@@ -83,6 +110,11 @@ def forward_xla(
     )
     x = reference.add_cls_and_pos(x, vit.prefix_tokens(params), params["pos_embed"])
     b = x.shape[0]
+    d = x.shape[-1]
+    if use_reg and cfg.dropout > 0:
+        x = vit._dropout(
+            x, cfg.dropout, jax.random.fold_in(dropout_rng, cfg.depth)
+        )
     p = cfg.num_prefix_tokens
     counts = schedule(cfg, r) if counts is None else counts
     sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
@@ -98,6 +130,19 @@ def forward_xla(
             cfg.num_heads, logit_bias=bias, return_kmean=counts[l] > 0,
         )
         attn, kmean = out if counts[l] > 0 else (out, None)
+        if use_reg:
+            t = x.shape[1]
+            seed_l = jax.random.bits(
+                jax.random.fold_in(dropout_rng, l), (), jnp.uint32
+            )
+            a2 = drop(
+                attn.reshape(b * t, d), seed_l, DROP_SITE_ATTN_OUT,
+                cfg.dropout,
+            )
+            dp_attn = drop_path_scale_rows(
+                seed_l, DROP_SITE_DP_ATTN, b, t, rates[l]
+            )
+            attn = (a2 * dp_attn.astype(a2.dtype)).reshape(b, t, d)
         x = x + attn
         if counts[l] > 0:
             x, sizes = tome.merge_tokens(x, kmean, sizes, counts[l], p)
@@ -105,9 +150,25 @@ def forward_xla(
         h = reference.layer_norm(
             x, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps
         )
-        x = x + reference.mlp(
-            h, blk["w1"], blk["b1"], blk["w2"], blk["b2"], gelu_variant
-        )
+        if use_reg:
+            t = x.shape[1]
+            h2 = h.reshape(b * t, d)
+            u = reference.linear(h2, blk["w1"], blk["b1"])
+            g = (
+                reference.gelu_exact(u) if gelu_variant == "exact"
+                else reference.gelu_tanh(u)
+            )
+            g = drop(g, seed_l, DROP_SITE_MLP_INNER, cfg.dropout)
+            y = reference.linear(g, blk["w2"], blk["b2"])
+            y = drop(y, seed_l, DROP_SITE_MLP_OUT, cfg.dropout)
+            dp_mlp = drop_path_scale_rows(
+                seed_l, DROP_SITE_DP_MLP, b, t, rates[l]
+            )
+            x = x + (y * dp_mlp.astype(y.dtype)).reshape(b, t, d)
+        else:
+            x = x + reference.mlp(
+                h, blk["w1"], blk["b1"], blk["w2"], blk["b2"], gelu_variant
+            )
     x = reference.layer_norm(
         x, params["ln_final"]["scale"], params["ln_final"]["bias"],
         cfg.layernorm_eps,
@@ -295,10 +356,20 @@ def forward_train(
     counts=None,
     separate_heads: bool = False,
     chunk: int | None = None,
+    dropout_rng: jax.Array | None = None,
 ) -> jax.Array:
     """DIFFERENTIABLE kernel-path ToMe forward — train with merging active
     (the ToMe paper's other half: merging both speeds training and recovers
     the accuracy the off-the-shelf trade loses).
+
+    ``dropout_rng`` enables the full regularizer recipe on merged tokens
+    (the ToMe paper trains with dropout + stochastic depth): the split
+    train kernels (out_residual_train / ln_mlp_residual_train) regenerate
+    torchvision's three in-block dropout masks and the per-sample
+    drop-path scales from a per-layer seed, exactly like
+    encoder_block_train — the mask row-hash follows the CURRENT (merged)
+    token count per layer.  Parity gate: :func:`forward_xla` with the same
+    rng applies bit-identical masks in jnp (tests/test_tome.py).
 
     ``chunk`` overrides the merge-schedule bucketing (default
     :data:`TRAIN_MERGE_CHUNK` = 2, NOT the inference default): the
@@ -333,6 +404,14 @@ def forward_train(
         )
     sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
     merged_any = False
+    use_reg = dropout_rng is not None
+    if use_reg:
+        if cfg.dropout > 0:
+            # torchvision's input+pos_embedding dropout site (vit.forward)
+            x = vit._dropout(
+                x, cfg.dropout, jax.random.fold_in(dropout_rng, cfg.depth)
+            )
+        rates = vit._dp_rates(cfg)
     for l in range(cfg.depth):
         blk = jax.tree.map(lambda a: a[l], params["blocks"])
         t = x.shape[1]
@@ -343,7 +422,19 @@ def forward_train(
             cfg.num_heads, t, cfg.layernorm_eps, counts[l] > 0,
         )
         ctx, kmean = out if counts[l] > 0 else (out, None)
-        y = TR._out_residual_diff(ctx, x2, blk["wo"], blk["bo"], interpret)
+        if use_reg:
+            seed_l = jax.random.bits(
+                jax.random.fold_in(dropout_rng, l), (), jnp.uint32
+            )
+            dp_attn = TR.drop_path_scale_rows(
+                seed_l, TR.DROP_SITE_DP_ATTN, b, t, rates[l]
+            )
+            y = TR._out_residual_diff_train(
+                ctx, x2, blk["wo"], blk["bo"], dp_attn, seed_l,
+                float(cfg.dropout), interpret,
+            )
+        else:
+            y = TR._out_residual_diff(ctx, x2, blk["wo"], blk["bo"], interpret)
         x = y.reshape(b, t, d)
         if counts[l] > 0:
             w, s_out = tome.merge_matrix(
@@ -355,11 +446,22 @@ def forward_train(
             x = tome.apply_merge_matrix(x, w, sizes)
             t = t - counts[l]
             merged_any = True
-        x = TR._ln_mlp_residual_diff(
-            x.reshape(b * t, d), blk["ln2_scale"], blk["ln2_bias"],
-            blk["w1"], blk["b1"], blk["w2"], blk["b2"], cfg.layernorm_eps,
-            gelu_variant, interpret,
-        ).reshape(b, t, d)
+        if use_reg:
+            dp_mlp = TR.drop_path_scale_rows(
+                seed_l, TR.DROP_SITE_DP_MLP, b, t, rates[l]
+            )
+            x = TR._ln_mlp_residual_diff_train(
+                x.reshape(b * t, d), blk["ln2_scale"], blk["ln2_bias"],
+                blk["w1"], blk["b1"], blk["w2"], blk["b2"], dp_mlp, seed_l,
+                float(cfg.dropout), cfg.layernorm_eps, gelu_variant,
+                interpret,
+            ).reshape(b, t, d)
+        else:
+            x = TR._ln_mlp_residual_diff(
+                x.reshape(b * t, d), blk["ln2_scale"], blk["ln2_bias"],
+                blk["w1"], blk["b1"], blk["w2"], blk["b2"], cfg.layernorm_eps,
+                gelu_variant, interpret,
+            ).reshape(b, t, d)
     x = reference.layer_norm(
         x, params["ln_final"]["scale"], params["ln_final"]["bias"],
         cfg.layernorm_eps,

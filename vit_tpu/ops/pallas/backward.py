@@ -442,8 +442,13 @@ def _ln_mlp_out_bwd_train_kernel(
     dy = jnp.where(mask, dy_ref[:].astype(jnp.float32), 0.0)
     x1 = jnp.where(mask, x1_ref[:].astype(jnp.float32), 0.0)
     ctx = jnp.where(mask, ctx_ref[:].astype(jnp.float32), 0.0)
+    # the dp_* row-scale operands must be masked too: pallas pads the
+    # final partial block with unspecified values (NaN in interpret mode),
+    # and 0 * NaN = NaN would poison the dw/db accumulators
+    dpm = jnp.where(mask, dpm_ref[:].astype(jnp.float32), 0.0)
+    dpa = jnp.where(mask, dpa_ref[:].astype(jnp.float32), 0.0)
 
-    dy_mlp = dy * dpm_ref[:].astype(jnp.float32)
+    dy_mlp = dy * dpm
     inner_mask = None
     if dropout_p > 0:
         dy_mlp = dy_mlp * dropout_mask(
@@ -461,7 +466,7 @@ def _ln_mlp_out_bwd_train_kernel(
     dx_ref[:] = dx1.astype(dx_ref.dtype)
 
     # chain into the out_proj backward through ITS regularizer gates
-    dz = dx1 * dpa_ref[:].astype(jnp.float32)
+    dz = dx1 * dpa
     if dropout_p > 0:
         dz = dz * dropout_mask(
             seed, DROP_SITE_ATTN_OUT, rows0, dz.shape, dropout_p
@@ -567,8 +572,11 @@ def _ln_mlp_bwd_train_kernel(
     mask = _row_mask(rows_total, block_rows)
     dy = jnp.where(mask, dy_ref[:].astype(jnp.float32), 0.0)
     x1 = jnp.where(mask, x1_ref[:].astype(jnp.float32), 0.0)
+    # mask the row-scale operand: partial-block padding is unspecified
+    # (NaN in interpret mode) and 0 * NaN would poison the accumulators
+    dpm = jnp.where(mask, dpm_ref[:].astype(jnp.float32), 0.0)
 
-    dy_mlp = dy * dpm_ref[:].astype(jnp.float32)
+    dy_mlp = dy * dpm
     inner_mask = None
     if dropout_p > 0:
         dy_mlp = dy_mlp * dropout_mask(
@@ -667,7 +675,10 @@ def _out_res_bwd_train_kernel(
     mask = _row_mask(rows_total, block_rows)
     dx1 = jnp.where(mask, dx1_ref[:].astype(jnp.float32), 0.0)
     ctx = jnp.where(mask, ctx_ref[:].astype(jnp.float32), 0.0)
-    dz = dx1 * dpa_ref[:].astype(jnp.float32)
+    # mask the row-scale operand (partial-block padding is unspecified;
+    # NaN in interpret mode) so 0 * NaN can't poison dwo/dbo
+    dpa = jnp.where(mask, dpa_ref[:].astype(jnp.float32), 0.0)
+    dz = dx1 * dpa
     if dropout_p > 0:
         seed = seed_ref[0, 0].astype(jnp.uint32)
         dz = dz * dropout_mask(

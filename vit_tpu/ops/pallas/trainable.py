@@ -394,6 +394,82 @@ def _lmr_bwd(eps, gelu_variant, interpret, residuals, g):
 _ln_mlp_residual_diff.defvjp(_lmr_fwd, _lmr_bwd)
 
 
+# -- regularized split pieces (train-time ToMe x dropout/drop-path) -----------
+# The merged-token forward composes split kernels (A / B / C with a merge
+# GEMM between B and C), so its regularizers ride the split train kernels
+# (out_residual_train / ln_mlp_residual_train) with the split mask-
+# regenerating backwards — same in-kernel masks as encoder_block_train.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _out_residual_diff_train(ctx, res, wo, bo, dp_attn, seed, dropout_p,
+                             interpret):
+    return out_residual_train(
+        ctx, res, wo, bo, dp_attn, seed, dropout_p, interpret=interpret
+    )
+
+
+def _orest_fwd(ctx, res, wo, bo, dp_attn, seed, dropout_p, interpret):
+    out = _out_residual_diff_train(
+        ctx, res, wo, bo, dp_attn, seed, dropout_p, interpret
+    )
+    return out, (ctx, wo, bo, dp_attn, seed)
+
+
+def _orest_bwd(dropout_p, interpret, residuals, g):
+    from vit_tpu.ops.pallas.backward import out_residual_bwd_train
+
+    ctx, wo, bo, dp_attn, seed = residuals
+    dctx, dwo, dbo = out_residual_bwd_train(
+        g, ctx, wo, dp_attn, seed, dropout_p, interpret=interpret
+    )
+    # the residual gradient passes through untouched (g); masks/seed are
+    # deterministic functions of the seed — nothing differentiates them
+    return (
+        dctx, g, dwo.astype(wo.dtype), dbo.astype(bo.dtype),
+        jnp.zeros_like(dp_attn), None,
+    )
+
+
+_out_residual_diff_train.defvjp(_orest_fwd, _orest_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _ln_mlp_residual_diff_train(x1, s, b, w1, b1, w2, b2, dp_mlp, seed,
+                                dropout_p, eps, gelu_variant, interpret):
+    return ln_mlp_residual_train(
+        x1, s, b, w1, b1, w2, b2, dp_mlp, seed, dropout_p, eps,
+        gelu_variant, interpret=interpret,
+    )
+
+
+def _lmrt_fwd(x1, s, b, w1, b1, w2, b2, dp_mlp, seed, dropout_p, eps,
+              gelu_variant, interpret):
+    out = _ln_mlp_residual_diff_train(
+        x1, s, b, w1, b1, w2, b2, dp_mlp, seed, dropout_p, eps,
+        gelu_variant, interpret,
+    )
+    return out, (x1, s, b, w1, b1, w2, b2, dp_mlp, seed)
+
+
+def _lmrt_bwd(dropout_p, eps, gelu_variant, interpret, residuals, g):
+    from vit_tpu.ops.pallas.backward import ln_mlp_residual_bwd_train
+
+    x1, s, b, w1, b1, w2, b2, dp_mlp, seed = residuals
+    dx1, ds, db, dw1, db1, dw2, db2 = ln_mlp_residual_bwd_train(
+        g, x1, s, b, w1, b1, w2, dp_mlp, seed, dropout_p, eps,
+        gelu_variant, interpret=interpret,
+    )
+    return (
+        dx1, ds.astype(s.dtype), db.astype(b.dtype), dw1.astype(w1.dtype),
+        db1.astype(b1.dtype), dw2.astype(w2.dtype), db2.astype(b2.dtype),
+        jnp.zeros_like(dp_mlp), None,
+    )
+
+
+_ln_mlp_residual_diff_train.defvjp(_lmrt_fwd, _lmrt_bwd)
+
+
 def _long_seq_block_trainable(x2d, blk, num_heads, seq_len, eps, gelu_variant):
     """Differentiable long-sequence encoder block: flash attention (Pallas
     VJP) + megakernel out_proj/MLP (custom VJPs over the backward kernels).

@@ -272,7 +272,21 @@ def _make_loss_fn(cfg, ops, remat, compute_dtype, label_smoothing=0.0,
     """``forward_fn`` overrides the model forward with any
     ``(params, images) -> logits`` closure (e.g. the train-time ToMe
     forward, models/tome.forward_train); the default is vit.forward with
-    the chosen op table (rng threads into its dropout)."""
+    the chosen op table (rng threads into its dropout).  A forward_fn
+    declaring a third parameter receives the per-step dropout rng too
+    (the ToMe x dropout composition)."""
+    fwd_takes_rng = False
+    if forward_fn is not None:
+        import inspect
+
+        sig = inspect.signature(forward_fn)
+        required = [
+            q for q in sig.parameters.values()
+            if q.default is inspect.Parameter.empty
+            and q.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                           inspect.Parameter.POSITIONAL_OR_KEYWORD)
+        ]
+        fwd_takes_rng = len(required) >= 3
 
     def loss_fn(params, images, labels, rng=None):
         def fwd(p, x):
@@ -280,6 +294,8 @@ def _make_loss_fn(cfg, ops, remat, compute_dtype, label_smoothing=0.0,
                 p = vit.cast_params(p, compute_dtype)
                 x = x.astype(compute_dtype)
             if forward_fn is not None:
+                if fwd_takes_rng:
+                    return forward_fn(p, x, rng)
                 return forward_fn(p, x)
             return vit.forward(p, x, cfg, ops, dropout_rng=rng)
 
