@@ -162,6 +162,109 @@ def test_pp_fused_train_step_matches_single_device(cfg4, params4):
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("ops_name", ["xla", "fused_train"])
+def test_pp_dropout_train_matches_plain_step(cfg4, params4, ops_name):
+    """VERDICT r4 item 6a: dropout/drop-path x pp.  With microbatches=1
+    the pipelined regularized step must match the plain dp step under the
+    SAME rng — the per-layer seeds/rates shard over 'pp' with the blocks,
+    so ABSOLUTE layer indices drive the masks on every stage (pp=2 is the
+    real gate; pp would silently restart the drop-path schedule per stage
+    otherwise)."""
+    import optax
+
+    from vit_tpu.ops.dispatch import get_ops
+    from vit_tpu.parallel.pipeline import make_pp_train_step
+    from vit_tpu.runtime import trainer
+
+    rcfg = dataclasses.replace(cfg4, dropout=0.2, drop_path=0.3)
+    optimizer = optax.sgd(0.05)
+    opt0 = optimizer.init(params4)
+    rng = np.random.default_rng(8)
+    images = jnp.asarray(rng.normal(size=(8, 3, 32, 32)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, cfg4.num_classes, 8), jnp.int32)
+    step_rng = jax.random.key(21)
+
+    step_ref = jax.jit(
+        trainer.make_train_step(rcfg, optimizer, get_ops(ops_name),
+                                remat=False, use_dropout=True)
+    )
+    p_ref, _, l_ref = step_ref(params4, opt0, images, labels, step_rng)
+
+    for pp in (1, 2):
+        mesh = make_mesh({"pp": pp}, jax.devices()[:pp])
+        p_pp = _place(params4, mesh)
+        opt_pp = optimizer.init(p_pp)
+        step_pp = make_pp_train_step(
+            rcfg, optimizer, mesh, num_microbatches=1, ops_name=ops_name,
+            use_dropout=True,
+        )
+        p_out, _, l_pp = step_pp(p_pp, opt_pp, images, labels, step_rng)
+        assert abs(float(l_ref) - float(l_pp)) < 1e-5, (pp, ops_name)
+        for a, b in zip(
+            jax.tree.leaves(p_ref), jax.tree.leaves(jax.device_get(p_out))
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            )
+
+
+def test_pp_dropout_train_microbatched(cfg4, params4):
+    """Microbatched regularized pipeline: masks decorrelate across
+    microbatches (loss differs from m=1), training stays finite and
+    deterministic given the rng, and zero rates reproduce the
+    unregularized pipeline exactly."""
+    import optax
+
+    from vit_tpu.parallel.pipeline import make_pp_train_step
+
+    rcfg = dataclasses.replace(cfg4, dropout=0.2, drop_path=0.3)
+    mesh = make_mesh({"pp": 2}, jax.devices()[:2])
+    optimizer = optax.sgd(0.05)
+    rng = np.random.default_rng(9)
+    images = jnp.asarray(rng.normal(size=(8, 3, 32, 32)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, cfg4.num_classes, 8), jnp.int32)
+    step_rng = jax.random.key(33)
+
+    params = _place(params4, mesh)
+    opt0 = optimizer.init(params)
+
+    step_m4 = make_pp_train_step(
+        rcfg, optimizer, mesh, num_microbatches=4, ops_name="fused_train",
+        use_dropout=True,
+    )
+    _, _, l_a = step_m4(params, opt0, images, labels, step_rng)
+    _, _, l_b = step_m4(params, opt0, images, labels, step_rng)
+    assert np.isfinite(float(l_a))
+    np.testing.assert_array_equal(np.asarray(l_a), np.asarray(l_b))
+
+    step_m1 = make_pp_train_step(
+        rcfg, optimizer, mesh, num_microbatches=1, ops_name="fused_train",
+        use_dropout=True,
+    )
+    _, _, l_m1 = step_m1(params, opt0, images, labels, step_rng)
+    assert abs(float(l_a) - float(l_m1)) > 1e-6  # decorrelated masks
+
+    # zero rates: the regularized schedule is a true no-op
+    step_plain = make_pp_train_step(
+        cfg4, optimizer, mesh, num_microbatches=4, ops_name="fused_train",
+    )
+    step_zero = make_pp_train_step(
+        cfg4, optimizer, mesh, num_microbatches=4, ops_name="fused_train",
+        use_dropout=True,
+    )
+    _, _, l_p = step_plain(params, opt0, images, labels)
+    _, _, l_z = step_zero(params, opt0, images, labels, step_rng)
+    np.testing.assert_array_equal(np.asarray(l_p), np.asarray(l_z))
+
+
+def test_pp_dropout_rejects_tp(cfg4):
+    from vit_tpu.parallel.pipeline import shard_forward_pp
+
+    mesh = make_mesh({"pp": 2, "tp": 2}, jax.devices()[:4])
+    with pytest.raises(ValueError, match="regularized"):
+        shard_forward_pp(cfg4, mesh, 2, ops_name="fused", use_dropout=True)
+
+
 def test_pp_train_rejects_nondifferentiable_fused(cfg4):
     import optax
 

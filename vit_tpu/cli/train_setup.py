@@ -61,11 +61,14 @@ def _build_mesh(args, cfg, n_dev, procs):
             )
         if args.optimizer == "fused_adamw":
             raise SetupError("error: --sp supports the plain optax optimizer")
-        if args.ops not in ("auto", "xla"):
+        if args.ops not in ("auto", "xla", "fused_train"):
             raise SetupError(
-                "error: --sp requires --ops xla (the ring runs the jnp ops)"
+                "error: --sp requires --ops xla or fused_train (the ring "
+                "itself is XLA collectives; fused_train runs each shard's "
+                "out_proj/MLP through the split Pallas kernels)"
             )
-        args.ops = "xla"
+        if args.ops == "auto":
+            args.ops = "xla"
         dp = args.dp or max(n_dev // args.sp, 1)
         mesh_axes = {"dp": dp, "sp": args.sp} if dp > 1 else {"sp": args.sp}
         need = dp * args.sp
@@ -294,9 +297,9 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
         )
         step = make_sp_train_step(
             cfg, optimizer, mesh, label_smoothing=args.label_smoothing,
-            compute_dtype=compute_dtype, remat=remat,
+            compute_dtype=compute_dtype, remat=remat, ops_name=ops_name,
         )
-        print(f"sequence parallel: ring size {args.sp}")
+        print(f"sequence parallel: ring size {args.sp} (ops {ops_name})")
     elif args.pp > 1:
         # Pipeline (optionally 3D: dp x pp x tp) training over the
         # stacked-layer seam (parallel/pipeline.py).
@@ -326,7 +329,7 @@ def _build_step(args, cfg, mesh, mesh_axes, ops_name, ops, optimizer, lr,
         opt_state = optimizer.init(params)  # inherits the pp placement
         step = make_pp_train_step(
             cfg, optimizer, mesh, num_microbatches=m, ops_name=ops_name,
-            label_smoothing=args.label_smoothing,
+            label_smoothing=args.label_smoothing, use_dropout=use_dropout,
         )
         print(f"pipeline: {args.pp} stage(s), {m} microbatches")
     elif ops_name == "fused_train" and mesh_axes["tp"] != 1:
@@ -672,13 +675,20 @@ def prepare(args) -> TrainSetup:
     if use_dropout:
         # xla/qat: regularizers in the unfused jnp blocks; fused_train:
         # in-kernel dropout + stochastic depth (the megakernels regenerate
-        # the masks in the backward — ops/pallas/trainable.py), dp-mesh
-        # only like the rest of the fused_train path.
-        if (ops_name not in ("xla", "qat", "fused_train") or args.pp > 1
+        # the masks in the backward — ops/pallas/trainable.py).  Composes
+        # with dp meshes and with --pp pipelines (absolute-layer seeds and
+        # drop-path rates shard over 'pp' with the block stack —
+        # parallel/pipeline.py); --tp/--sp have no regularized kernels.
+        if (ops_name not in ("xla", "qat", "fused_train")
                 or args.tp > 1 or args.sp > 1):
             raise SetupError(
                 "error: --dropout/--drop-path require --ops xla, qat, or "
-                "fused_train on a dp mesh"
+                "fused_train on a dp or dp x pp mesh (no --tp/--sp)"
+            )
+        if args.pp > 1 and ops_name == "qat":
+            raise SetupError(
+                "error: --dropout/--drop-path with --pp support --ops "
+                "xla or fused_train"
             )
         if ops_name == "fused_train" and cfg.seq_len > 1024:
             raise SetupError(
@@ -709,11 +719,11 @@ def prepare(args) -> TrainSetup:
                 "error: --tome training requires --ops fused_train or xla "
                 "on a dp mesh"
             )
-        if use_dropout or args.mae or args.distill_teacher:
+        if args.mae or args.distill_teacher:
             raise SetupError(
-                "error: --tome training does not compose with --dropout/"
-                "--drop-path/--mae/--distill-teacher (the merged-token "
-                "forward has no hooks for them)"
+                "error: --tome training does not compose with --mae/"
+                "--distill-teacher (the merged-token forward has no hooks "
+                "for them)"
             )
         chunk = args.tome_chunk
         if chunk is not None and chunk < 1:
@@ -730,9 +740,17 @@ def prepare(args) -> TrainSetup:
             else tome_mod.forward_xla
         )
 
-        def tome_forward(p, x, _r=args.tome, _f=fwd_impl, _cfg=cfg,
-                         _counts=tuple(counts)):
-            return _f(p, x, _cfg, _r, counts=list(_counts))
+        if use_dropout:
+            # regularized merged-token training (the ToMe paper's recipe):
+            # both impls regenerate bit-identical masks from the rng
+            def tome_forward(p, x, rng, _r=args.tome, _f=fwd_impl, _cfg=cfg,
+                             _counts=tuple(counts)):
+                return _f(p, x, _cfg, _r, counts=list(_counts),
+                          dropout_rng=rng)
+        else:
+            def tome_forward(p, x, _r=args.tome, _f=fwd_impl, _cfg=cfg,
+                             _counts=tuple(counts)):
+                return _f(p, x, _cfg, _r, counts=list(_counts))
 
         final_t = cfg.seq_len - sum(counts)
         print(
@@ -862,20 +880,41 @@ def prepare(args) -> TrainSetup:
                 f"student trains {cfg.num_classes} — the distillation "
                 "targets must share the student's label space"
             )
-        if compute_dtype is not None:
-            from vit_tpu.models.vit import cast_params
+        # The teacher leg is frozen inference inside the step jit — on the
+        # fused_train path it runs the inference megakernels (measured
+        # ~2.1x the xla per-op rate), or opt-in the W8A8 quant kernels
+        # (--distill-teacher-int8: another ~2x on the teacher leg, under
+        # the int8 path's labels-preserved/looser-logits contract); the
+        # GSPMD paths (xla/qat, tp-capable) keep the partitionable jnp
+        # forward.  Logit parity between the teacher tables is gated in
+        # tests/test_deit.py (1e-4 fused; int8 label-agreement).
+        if args.distill_teacher_int8 and ops_name != "fused_train":
+            raise SetupError(
+                "error: --distill-teacher-int8 requires --ops fused_train "
+                "(the W8A8 kernels run under the dp shard_map step)"
+            )
+        t_tag = ""
+        if ops_name == "fused_train" and args.distill_teacher_int8:
+            from vit_tpu.ops import quant as _q
 
-            t_params = cast_params(t_params, compute_dtype)
+            # quantize from full precision FIRST, then cast the
+            # non-quantized leaves (engine._prepare_params order)
+            t_params = _q.quantize_params(t_params)
+            if compute_dtype is not None:
+                t_params = _q.cast_quantized_params(t_params, compute_dtype)
+            t_ops = get_ops("quant")
+            t_tag = " [teacher on W8A8 kernels]"
+        else:
+            if compute_dtype is not None:
+                from vit_tpu.models.vit import cast_params
+
+                t_params = cast_params(t_params, compute_dtype)
+            t_ops = get_ops("fused") if ops_name == "fused_train" else None
+            if t_ops is not None:
+                t_tag = " [teacher on fused kernels]"
         t_params = jax.tree.map(jnp.asarray, t_params)
 
         from vit_tpu.models import vit as _vit
-
-        # The teacher leg is frozen inference inside the step jit — on the
-        # fused_train path it runs the inference megakernels (measured
-        # ~2.1x the xla per-op rate); the GSPMD paths (xla/qat, tp-capable)
-        # keep the partitionable jnp forward.  Logit parity between the two
-        # teacher tables is gated at 1e-4 (tests/test_deit.py).
-        t_ops = get_ops("fused") if ops_name == "fused_train" else None
 
         def teacher_fwd(x, _p=t_params, _c=t_cfg, _o=t_ops):
             if _o is None:
@@ -889,7 +928,7 @@ def prepare(args) -> TrainSetup:
         print(
             f"distillation: teacher {t_cfg.name} from "
             f"{args.distill_teacher}, alpha={args.distill_alpha}, {mode}"
-            + (" [teacher on fused kernels]" if t_ops is not None else "")
+            + t_tag
         )
 
     augment_fn = None

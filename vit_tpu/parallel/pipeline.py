@@ -48,8 +48,20 @@ def shard_forward_pp(
     num_microbatches: int,
     gelu_variant: str = "exact",
     ops_name: str = "xla",
+    use_dropout: bool = False,
 ):
     """Build ``forward(params, images) -> logits`` pipelined over 'pp'.
+
+    ``use_dropout=True`` (xla / fused_train, no 'tp' axis) returns
+    ``forward(params, images, dropout_rng)`` instead: dropout +
+    stochastic depth run INSIDE the pipelined stages.  The per-layer
+    seeds and drop-path rates are precomputed as (depth,)-arrays and
+    sharded over 'pp' alongside the block stack, so every stage sees its
+    layers' ABSOLUTE indices (the linear drop-path schedule and the
+    counter-hash masks survive pipelining).  At pp=1, microbatches=1 the
+    masks are BIT-IDENTICAL to the plain dp path's (same derivation as
+    models/vit.forward); with multiple microbatches each microbatch's
+    seed is decorrelated (same hash-stream trick as the in-kernel masks).
 
     Params must be placed with :func:`pp_param_pspecs` shardings;
     ``num_microbatches`` must divide the per-dp-shard batch.  The per-stage body is a lax.scan
@@ -71,6 +83,12 @@ def shard_forward_pp(
     if "pp" not in mesh.axis_names:
         raise ValueError(f"mesh {mesh.axis_names} has no 'pp' axis")
     use_tp = "tp" in mesh.axis_names
+    if use_dropout and (use_tp or ops_name not in ("xla", "fused_train")):
+        raise ValueError(
+            "pp dropout/drop-path needs ops 'xla' or 'fused_train' on a "
+            "mesh without 'tp' (the tensor-parallel fused block has no "
+            "regularized train variant)"
+        )
     if ops_name not in (("fused", "fused_train", "quant") if use_tp
                         else ("xla", "fused", "fused_train")):
         raise ValueError(
@@ -91,7 +109,9 @@ def shard_forward_pp(
     m = num_microbatches
     batch_spec = P("dp") if "dp" in mesh.axis_names else P()
 
-    def local_fn(params, images):
+    dp_size = mesh.shape.get("dp", 1)
+
+    def local_fn(params, images, *reg):
         b = images.shape[0]
         if b % m:
             raise ValueError(
@@ -107,6 +127,17 @@ def shard_forward_pp(
         x = reference.add_cls_and_pos(
             x, vit.prefix_tokens(params), params["pos_embed"]
         )
+        if use_dropout:
+            layer_seed, rates_l, k_pos_data = reg
+            if cfg.dropout > 0:
+                # torchvision's input+pos_embedding site, before staging
+                # (replicated compute like the embeddings themselves)
+                k_pos = jax.random.wrap_key_data(k_pos_data)
+                if dp_size > 1:  # decorrelate masks across dp shards
+                    k_pos = jax.random.fold_in(
+                        k_pos, jax.lax.axis_index("dp")
+                    )
+                x = vit._dropout(x, cfg.dropout, k_pos)
         t_len, d = x.shape[-2], x.shape[-1]
         xmb = x.reshape(m, b // m, t_len, d)
 
@@ -120,7 +151,7 @@ def shard_forward_pp(
             interp = interpret_default()
             quant = ops_name == "quant"
 
-            def run_stage(x_mb):
+            def run_stage(x_mb, mb):
                 mb_b = x_mb.shape[0]
 
                 def body(c, blk):
@@ -137,6 +168,40 @@ def shard_forward_pp(
                 )
                 return x2.reshape(mb_b, t_len, d)
 
+        elif use_dropout and ops_name == "fused_train":
+            from vit_tpu.ops.pallas.trainable import encoder_block_train
+
+            def run_stage(x_mb, mb):
+                mb_b = x_mb.shape[0]
+                # decorrelate the hash streams across microbatches / dp
+                # shards (same-position rows would otherwise share masks);
+                # statically zero when there is only one, so pp=1 m=1 is
+                # bit-identical to the plain dp path
+                off = jnp.uint32(0)
+                if m > 1:
+                    off = mb.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                if dp_size > 1:
+                    off = off + (
+                        jax.lax.axis_index("dp").astype(jnp.uint32)
+                        * jnp.uint32(0x85EBCA6B)
+                    )
+
+                def body(c, xs):
+                    blk, seed, rate = xs
+                    return (
+                        encoder_block_train(
+                            c, blk, cfg.num_heads, t_len, cfg.layernorm_eps,
+                            gelu_variant, seed + off, cfg.dropout, rate,
+                        ),
+                        None,
+                    )
+
+                x2, _ = jax.lax.scan(
+                    body, x_mb.reshape(mb_b * t_len, d),
+                    (params["blocks"], layer_seed, rates_l),
+                )
+                return x2.reshape(mb_b, t_len, d)
+
         elif ops_name in ("fused", "fused_train"):
             if ops_name == "fused":
                 from vit_tpu.ops.pallas.fused_block import fused_encoder_block as blk_fn
@@ -145,7 +210,7 @@ def shard_forward_pp(
                     encoder_block_trainable as blk_fn,
                 )
 
-            def run_stage(x_mb):
+            def run_stage(x_mb, mb):
                 mb_b = x_mb.shape[0]
 
                 def body(c, blk):
@@ -162,9 +227,36 @@ def shard_forward_pp(
                 )
                 return x2.reshape(mb_b, t_len, d)
 
+        elif use_dropout:
+
+            def run_stage(x_mb, mb):
+                def body(c, xs):
+                    blk, kd, rate = xs
+                    key = jax.random.wrap_key_data(kd)
+                    # fold-ins are skipped statically when the axis is
+                    # trivial so pp=1 m=1 bit-matches the plain dp path
+                    if m > 1:
+                        key = jax.random.fold_in(key, mb)
+                    if dp_size > 1:
+                        key = jax.random.fold_in(
+                            key, jax.lax.axis_index("dp")
+                        )
+                    return (
+                        vit.encoder_block(
+                            c, blk, cfg, REFERENCE_OPS, gelu_variant,
+                            key, rate,
+                        ),
+                        None,
+                    )
+
+                out, _ = jax.lax.scan(
+                    body, x_mb, (params["blocks"], layer_seed, rates_l)
+                )
+                return out
+
         else:
 
-            def run_stage(x_mb):
+            def run_stage(x_mb, mb):
                 def body(c, blk):
                     return (
                         vit.encoder_block(c, blk, cfg, REFERENCE_OPS, gelu_variant),
@@ -187,7 +279,7 @@ def shard_forward_pp(
             inp = jnp.where(
                 stage == 0, xmb[jnp.clip(mb, 0, m - 1)], buf
             )
-            out = run_stage(inp)
+            out = run_stage(inp, jnp.clip(mb, 0, m - 1))
             # last stage banks its finished microbatch
             is_last = stage == n_stages - 1
             outputs = jax.lax.cond(
@@ -219,6 +311,40 @@ def shard_forward_pp(
         )
         return vit.apply_head(x, params)
 
+    if use_dropout:
+
+        def fn(params, images, dropout_rng):
+            # same derivation order as models/vit.forward so pp=1 m=1
+            # reproduces the plain dp path's masks bit-exactly
+            if cfg.dropout > 0:
+                dropout_rng, k_pos = jax.random.split(dropout_rng)
+                k_pos_data = jax.random.key_data(k_pos)
+            else:
+                k_pos_data = jnp.zeros((2,), jnp.uint32)  # unused
+            if ops_name == "fused_train":
+                layer_seed = jax.random.bits(
+                    dropout_rng, (cfg.depth,), jnp.uint32
+                )
+                seed_spec = P("pp")
+            else:
+                layer_seed = jax.random.key_data(
+                    jax.random.split(dropout_rng, cfg.depth)
+                )
+                seed_spec = P("pp", None)
+            rates = jnp.asarray(vit._dp_rates(cfg), jnp.float32)
+            return jax.shard_map(
+                local_fn,
+                mesh=mesh,
+                in_specs=(
+                    pp_param_pspecs(params, mesh.axis_names), batch_spec,
+                    seed_spec, P("pp"), P(),
+                ),
+                out_specs=batch_spec,
+                check_vma=False,
+            )(params, images, layer_seed, rates, k_pos_data)
+
+        return fn
+
     def fn(params, images):
         # in_specs depend on the params structure, so the shard_map is
         # built per call (jit caches the traced result)
@@ -241,6 +367,7 @@ def make_pp_train_step(
     gelu_variant: str = "exact",
     ops_name: str = "xla",
     label_smoothing: float = 0.0,
+    use_dropout: bool = False,
 ):
     """Pipeline-parallel training step: grads flow backward through the
     microbatched schedule (the scan's transpose runs the stages in reverse
@@ -251,6 +378,12 @@ def make_pp_train_step(
     megakernels with the hand-written backward kernels (the custom VJP in
     ops/pallas/trainable.py); shard_map transposes the ppermute chain around
     them exactly as in the xla case.
+
+    ``use_dropout=True`` adds a per-step rng argument — ``step(params,
+    opt_state, images, labels, rng)`` — and runs dropout + stochastic
+    depth inside the pipelined stages with absolute-layer seeds/rates
+    (see :func:`shard_forward_pp`); the mask-regenerating backward
+    kernels transpose through the schedule like the plain ones.
     """
     import optax
 
@@ -261,7 +394,32 @@ def make_pp_train_step(
 
     if ops_name in ("fused", "quant"):
         raise ValueError("pp training needs 'xla' or 'fused_train' (differentiable)")
-    fwd = shard_forward_pp(cfg, mesh, num_microbatches, gelu_variant, ops_name)
+    fwd = shard_forward_pp(
+        cfg, mesh, num_microbatches, gelu_variant, ops_name,
+        use_dropout=use_dropout,
+    )
+
+    if use_dropout:
+
+        def loss_fn(params, images, labels, rng):
+            return cross_entropy_loss(
+                fwd(params, images, rng), labels, label_smoothing
+            )
+
+        def train_step(params, opt_state, images, labels, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, images, labels, rng
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        jit_kwargs = {}
+        if ops_name == "fused_train":
+            opts = kernel_backward_compiler_options()
+            if opts:
+                jit_kwargs["compiler_options"] = opts
+        return jax.jit(train_step, **jit_kwargs)
 
     def loss_fn(params, images, labels):
         return cross_entropy_loss(fwd(params, images), labels, label_smoothing)

@@ -120,12 +120,22 @@ def attention_sp(x_local, wqkv, bqkv, wo, bo, num_heads, valid_q_keys,
     return reference.linear(ctx, wo, bo)
 
 
-def shard_forward_sp(cfg: ViTConfig, mesh: Mesh, gelu_variant: str = "exact"):
+def shard_forward_sp(cfg: ViTConfig, mesh: Mesh, gelu_variant: str = "exact",
+                     ops_name: str = "xla"):
     """Build ``forward(params, images) -> logits`` with tokens sharded over
     'sp' (and the batch over 'dp' when the mesh has it).  Params replicate;
     each shard runs LN/MLP on its token block and ring attention across the
     ring; the CLS row (global token 0, on shard 0) is psum-gathered for the
-    replicated head."""
+    replicated head.
+
+    ``ops_name='fused_train'`` runs each shard's post-ring compute — the
+    out_proj+residual and LN2+MLP+residual, ~3/4 of the block's local
+    FLOPs — through the differentiable split Pallas kernels (the same
+    custom-VJP pieces train-time ToMe composes, ops/pallas/trainable.py);
+    LN1+QKV stays jnp because its output feeds the cross-chip ring, which
+    is XLA collectives by construction.  'xla' keeps the all-jnp block."""
+    if ops_name not in ("xla", "fused_train"):
+        raise ValueError(f"sp ops {ops_name!r}: use 'xla' or 'fused_train'")
     if "sp" not in mesh.axis_names:
         raise ValueError(f"mesh {mesh.axis_names} has no 'sp' axis")
     n = mesh.shape["sp"]
@@ -216,11 +226,40 @@ def shard_forward_sp(cfg: ViTConfig, mesh: Mesh, gelu_variant: str = "exact"):
             ),
         )
 
-        def body(carry, blk):
-            return (
-                vit_mod.encoder_block(carry, blk, cfg, sp_ops, gelu_variant),
-                None,
-            )
+        if ops_name == "fused_train":
+            from vit_tpu.ops.pallas import interpret_default
+            from vit_tpu.ops.pallas import trainable as TR
+
+            interp = interpret_default()
+
+            def body(carry, blk):
+                x = carry  # (B, T_local, D)
+                bb, tl, dd = x.shape
+                h = reference.layer_norm(
+                    x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps
+                )
+                qkv = reference.linear(h, blk["wqkv"], blk["bqkv"])
+                qh, kh, vh = reference.split_packed_qkv(qkv, cfg.num_heads)
+                ctx = _ring_attention(qh, kh, vh, valid, "sp")
+                ctx = reference.merge_heads(ctx.astype(x.dtype))
+                x2 = TR._out_residual_diff(
+                    ctx.reshape(bb * tl, dd), x.reshape(bb * tl, dd),
+                    blk["wo"], blk["bo"], interp,
+                )
+                x3 = TR._ln_mlp_residual_diff(
+                    x2, blk["ln2_scale"], blk["ln2_bias"],
+                    blk["w1"], blk["b1"], blk["w2"], blk["b2"],
+                    cfg.layernorm_eps, gelu_variant, interp,
+                )
+                return x3.reshape(bb, tl, dd), None
+
+        else:
+
+            def body(carry, blk):
+                return (
+                    vit_mod.encoder_block(carry, blk, cfg, sp_ops, gelu_variant),
+                    None,
+                )
 
         xl, _ = jax.lax.scan(body, xl, params["blocks"])
         xl = reference.layer_norm(
@@ -259,6 +298,7 @@ def make_sp_train_step(
     label_smoothing: float = 0.0,
     compute_dtype=None,
     remat: bool = True,
+    ops_name: str = "xla",
 ):
     """Sequence-parallel TRAINING: grads flow backward through the ring —
     ``jax.grad`` transposes the shard_map, turning each forward ``ppermute``
@@ -267,12 +307,20 @@ def make_sp_train_step(
     This is the long-sequence training strategy: per-chip activation memory
     stays O(T/n) while the loss matches the unsharded step exactly.
 
+    ``ops_name='fused_train'`` runs the per-shard out_proj/MLP through the
+    split Pallas kernels with their hand-written backwards (see
+    :func:`shard_forward_sp`); remat is forced off there — the backward
+    kernels already recompute in VMEM, stacking jax.checkpoint on top
+    would re-run the forward a second time (docs/performance.md).
+
     Returns jitted ``(params, opt_state, images, labels) -> (params,
     opt_state, loss)`` with params/optimizer state replicated and the batch
     over 'dp' when the mesh has it."""
     import optax
 
-    fwd = shard_forward_sp(cfg, mesh, gelu_variant)
+    if ops_name == "fused_train":
+        remat = False
+    fwd = shard_forward_sp(cfg, mesh, gelu_variant, ops_name=ops_name)
 
     from vit_tpu.models import vit as vit_mod
     from vit_tpu.runtime.trainer import cross_entropy_loss
@@ -301,4 +349,11 @@ def make_sp_train_step(
     # the source arrays when the sharding already matches (e.g. a
     # resume/reload that re-enters already-replicated arrays) — donating
     # would delete the caller's buffers out from under checkpoint/eval code
-    return jax.jit(step)
+    jit_kwargs = {}
+    if ops_name == "fused_train":
+        from vit_tpu.runtime.trainer import kernel_backward_compiler_options
+
+        opts = kernel_backward_compiler_options()
+        if opts:
+            jit_kwargs["compiler_options"] = opts
+    return jax.jit(step, **jit_kwargs)
