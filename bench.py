@@ -154,8 +154,14 @@ def main(argv=None) -> None:
                                        batch_pad=batch)
             xq, _ = q_engine._stage(images)
 
+            # 30x5 instead of the headline's 20x3: the quant leg's
+            # artifact-of-record drifted -8% over two rounds with a +/-7%
+            # within-run spread (round-4 verdict) while in-session campaign
+            # numbers sat 5% higher — more samples + median squeezes the
+            # tunnel's RTT tail out of the record.
             qdt, qdt_min, qdt_max = forward_timing(
-                lambda: q_engine._forward(q_engine.params, xq), 20
+                lambda: q_engine._forward(q_engine.params, xq), 30,
+                warm=5, samples=5,
             )
             int8_img_per_sec = round(batch / qdt, 2)
             int8_spread = (round(batch / qdt_max, 2), round(batch / qdt_min, 2))
@@ -165,6 +171,37 @@ def main(argv=None) -> None:
 
             print(f"int8 benchmark path failed: {e!r}", file=sys.stderr)
             traceback.print_exc()
+
+    # Frontier tiers (round-4 verdict item 4): ToMe r=13 token merging on
+    # the fused and int8 kernel paths — the repo's best measured inference
+    # tiers (docs/performance.md round 4: ~5,9k and ~7k img/s) belong in
+    # the driver artifact, not only in docs prose.  Both are opt-in engine
+    # flags; label parity vs the fp32 engine is reported below like int8's.
+    tome_engines = {}
+    tome_rates = {}
+    if ops_impl == "fused" and cfg.name == "vit_b_16":
+        for key, tome_ops in (("tome_r13", "fused"), ("quant_tome_r13", "quant")):
+            try:
+                t_engine = InferenceEngine(
+                    cfg, params, dtype="bfloat16", ops=tome_ops,
+                    batch_pad=batch, tome_r=13,
+                )
+                xt, _ = t_engine._stage(images)
+                tdt_m, tdt_lo, tdt_hi = forward_timing(
+                    lambda: t_engine._forward(t_engine.params, xt), 30,
+                    warm=5, samples=5,
+                )
+                tome_engines[key] = t_engine
+                tome_rates[key] = (
+                    round(batch / tdt_m, 2),
+                    [round(batch / tdt_hi, 2), round(batch / tdt_lo, 2)],
+                )
+            except Exception as e:
+                import sys
+                import traceback
+
+                print(f"{key} benchmark path failed: {e!r}", file=sys.stderr)
+                traceback.print_exc()
 
     stats = roofline(cfg, batch, dt, chip="v5e", dtype="bf16")
 
@@ -261,6 +298,24 @@ def main(argv=None) -> None:
             ).max()
         ), 6)
 
+    # ToMe tier accuracy vs fp32 (reported, not gated: token merging is a
+    # documented throughput<->accuracy trade — the ToMe paper measures
+    # ~1-2% top-1 at r=13 on ViT-B; decisive-label agreement on this batch
+    # is the in-repo proxy, `vit-tpu-eval --tome` the real gate).
+    tome_parity = {}
+    for key, t_engine in tome_engines.items():
+        t_probs = np.asarray(ref_ops.softmax(t_engine.logits(images)))
+        t_lbl = t_probs.argmax(-1)
+        tome_parity[key] = (
+            int(((t_lbl != fp32_lbl) & decisive).sum()),
+            round(float(
+                np.abs(
+                    t_probs[np.arange(batch), t_lbl]
+                    - fp32_probs[np.arange(batch), fp32_lbl]
+                ).max()
+            ), 6),
+        )
+
     result = {
         "metric": f"images/sec/chip, {cfg.name} @{cfg.image_size} batch={batch}",
         "value": round(stats["images_per_sec_per_chip"], 2),
@@ -290,6 +345,21 @@ def main(argv=None) -> None:
         "int8_images_per_sec_spread": list(int8_spread),
         "int8_full_batch_decisive_label_mismatches": int8_decisive_mismatches,
         "int8_full_batch_top_prob_dev_vs_fp32": int8_top_prob_dev,
+        "tome_r13_images_per_sec": tome_rates.get("tome_r13", (None, None))[0],
+        "tome_r13_images_per_sec_spread": tome_rates.get(
+            "tome_r13", (None, [None, None]))[1],
+        "tome_r13_decisive_label_mismatches_vs_fp32": tome_parity.get(
+            "tome_r13", (None, None))[0],
+        "tome_r13_top_prob_dev_vs_fp32": tome_parity.get(
+            "tome_r13", (None, None))[1],
+        "quant_tome_r13_images_per_sec": tome_rates.get(
+            "quant_tome_r13", (None, None))[0],
+        "quant_tome_r13_images_per_sec_spread": tome_rates.get(
+            "quant_tome_r13", (None, [None, None]))[1],
+        "quant_tome_r13_decisive_label_mismatches_vs_fp32": tome_parity.get(
+            "quant_tome_r13", (None, None))[0],
+        "quant_tome_r13_top_prob_dev_vs_fp32": tome_parity.get(
+            "quant_tome_r13", (None, None))[1],
         "train_images_per_sec_fused_bf16_b64": train_img_per_sec,
         "train_images_per_sec_spread": list(train_spread),
         "train384_images_per_sec_fused_bf16_b32": train384_img_per_sec,

@@ -49,7 +49,10 @@ def main():
                     "fused kernels; 'tome:R[:CHUNK]' = train-time ToMe at "
                     "r=R (optional merge-schedule chunk override; default "
                     "models/tome.TRAIN_MERGE_CHUNK=2 — the measured "
-                    "fwd+bwd-chain envelope; 3 and 6 hard-fault)")
+                    "fwd+bwd-chain envelope; 3 and 6 hard-fault); "
+                    "'tome_reg:R[:CHUNK]' = ToMe + dropout 0.1 + "
+                    "drop-path 0.1 (the ToMe paper's recipe through the "
+                    "regularized split kernels)")
     args = ap.parse_args()
 
     # parse first: --help must never touch the device (the preflight can
@@ -130,7 +133,8 @@ def main():
                 f"loss={lv:.3f}"
             )
             continue
-        if ops_name == "reg" or ops_name.startswith("tome:"):
+        if (ops_name == "reg" or ops_name.startswith("tome:")
+                or ops_name.startswith("tome_reg:")):
             # 'reg': the full regularizer recipe in-kernel (VERDICT r4
             # item 1's <10%-overhead gate); 'tome:R': train-time ToMe.
             import dataclasses
@@ -148,24 +152,43 @@ def main():
                 from vit_tpu.models import tome as tome_mod
 
                 parts = ops_name.split(":")
+                reg = parts[0] == "tome_reg"
                 r = int(parts[1])
                 chunk = int(parts[2]) if len(parts) > 2 else None
                 if chunk is not None and chunk < 1:
                     raise SystemExit(
-                        f"tome:{r}:{chunk}: chunk must be >= 1 "
+                        f"{parts[0]}:{r}:{chunk}: chunk must be >= 1 "
                         "(mirrors --tome-chunk's validation)"
                     )
-                raw = trainer.make_train_step(
-                    cfg, optimizer, get_ops("fused_train"), remat=False,
-                    compute_dtype=jnp.bfloat16,
-                    forward_fn=lambda p, im: tome_mod.forward_train(
-                        p, im, cfg, r, chunk=chunk
-                    ),
-                )
-                step_fn = raw
-                label = f"tome r={r} train" + (
-                    f" (chunk {chunk})" if chunk is not None else ""
-                )
+                if reg:
+                    # ToMe x dropout/drop-path: the paper's full training
+                    # recipe — regularized split train kernels on merged
+                    # tokens (models/tome.forward_train dropout_rng=...)
+                    tcfg = dataclasses.replace(
+                        cfg, dropout=0.1, drop_path=0.1
+                    )
+                    raw = trainer.make_train_step(
+                        tcfg, optimizer, get_ops("fused_train"), remat=False,
+                        use_dropout=True, compute_dtype=jnp.bfloat16,
+                        forward_fn=lambda p, im, rng: tome_mod.forward_train(
+                            p, im, tcfg, r, chunk=chunk, dropout_rng=rng
+                        ),
+                    )
+                    key = jax.random.key(0)
+                    step_fn = lambda p, o, x, y: raw(p, o, x, y, key)  # noqa: E731
+                    label = f"tome r={r} + dropout 0.1 + drop-path 0.1 train"
+                else:
+                    raw = trainer.make_train_step(
+                        cfg, optimizer, get_ops("fused_train"), remat=False,
+                        compute_dtype=jnp.bfloat16,
+                        forward_fn=lambda p, im: tome_mod.forward_train(
+                            p, im, cfg, r, chunk=chunk
+                        ),
+                    )
+                    step_fn = raw
+                    label = f"tome r={r} train"
+                if chunk is not None:
+                    label += f" (chunk {chunk})"
             params, opt_state = trainer.init_train_state(
                 jax.random.key(1), cfg, optimizer
             )

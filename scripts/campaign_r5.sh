@@ -1,0 +1,41 @@
+#!/bin/bash
+# Round-5 one-session measurement campaign (VERDICT r4 items 1, 2, 4, 5, 7
+# and the new composition rows).  Everything runs SERIALLY in one session
+# against the same chip so every claim references the same session's headline
+# (docs/performance.md "cross-run variance" rule).  No kills: each step is a
+# fresh process; a worker crash self-recovers in ~1-3 min and the next step's
+# preflight catches a wedged tunnel.
+set -u
+LOG=${1:-/tmp/campaign_r5.log}
+cd "$(dirname "$0")/.."
+echo "=== campaign_r5 start $(date -u +%FT%TZ) ===" | tee -a "$LOG"
+
+step() {
+  echo "--- STEP: $* --- $(date -u +%T)" | tee -a "$LOG"
+  "$@" 2>&1 | grep -viE "^warning.*axon|platform 'axon' is experimental" | tee -a "$LOG"
+  echo "--- exit=$? --- $(date -u +%T)" | tee -a "$LOG"
+}
+
+# 1. headline + the new frontier-tier legs (tome_r13, quant_tome_r13) and the
+#    stabilized int8 leg (30x5) — this run also warms the compile cache the
+#    driver's end-of-round bench.py will reuse (VERDICT r4 items 4, 5)
+step python bench.py
+
+# 2. training re-baseline: fused_train reference point, the MAE row
+#    RE-MEASURED after f3be090 moved the decoder onto the fused kernels
+#    (VERDICT r4 item 2), and the train-time ToMe row at the validated
+#    chunk=2 default (VERDICT r4 item 1's record row)
+step python scripts/bench_train.py --skip-parity --paths fused_train,mae,tome:13
+
+# 3. ToMe x dropout/drop-path (the paper's full recipe): the default chunk=2
+#    chain faulted the worker on first try — sweep chunks in SEPARATE
+#    processes so a fault doesn't take down the rest of the campaign.
+step python scripts/bench_train.py --skip-parity --paths tome_reg:13:1
+step python scripts/bench_train.py --skip-parity --paths tome_reg:13:2
+step python scripts/bench_train.py --skip-parity --paths tome_reg:13:4
+
+# 4. end-to-end b16_wide (heads=6, dh=128): what the fixed-T floor becomes at
+#    full MXU lane occupancy (VERDICT r4 item 7; kernel A measured +17%)
+step python scripts/bench_variants.py --configs vit_b_16_wide:100
+
+echo "=== campaign_r5 done $(date -u +%FT%TZ) ===" | tee -a "$LOG"

@@ -487,6 +487,65 @@ def test_train_cli_distillation_fused(deit_cfg, monkeypatch, capsys, tmp_path):
     assert "kernel-TP" in capsys.readouterr().err
 
 
+def test_train_cli_distillation_int8_teacher(deit_cfg, monkeypatch, capsys,
+                                             tmp_path):
+    """--distill-teacher-int8: the frozen teacher through the W8A8 quant
+    kernels (labels-preserved contract) — the teacher's argmax targets
+    must agree with the fused teacher's on decisive rows."""
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+    from vit_tpu.io import checkpoint as ckpt
+
+    monkeypatch.setitem(config_mod.CONFIGS, "deit_tiny_test", deit_cfg)
+    teacher_cfg = dataclasses.replace(
+        deit_cfg, distilled=False, name="teacher_tiny"
+    )
+    teacher = vit.init_params(jax.random.key(11), teacher_cfg)
+    ckpt.save_npz(teacher, tmp_path / "teacher.npz")
+
+    rc = train_main([
+        "--config", "deit_tiny_test", "--steps", "2", "--batch", "4",
+        "--dp", "2", "--ops", "fused_train",
+        "--distill-teacher", str(tmp_path / "teacher.npz"),
+        "--distill-teacher-int8", "--no-compile-cache",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "[teacher on W8A8 kernels]" in out and "step    1" in out
+
+    # int8 teacher needs the fused_train step
+    rc = train_main([
+        "--config", "deit_tiny_test", "--steps", "1", "--batch", "4",
+        "--dp", "2", "--ops", "xla",
+        "--distill-teacher", str(tmp_path / "teacher.npz"),
+        "--distill-teacher-int8", "--no-compile-cache",
+    ])
+    assert rc == 2
+    assert "fused_train" in capsys.readouterr().err
+
+    # target agreement: int8 teacher's argmax == fp teacher's on rows
+    # where the fp teacher is decisive (the labels-preserved contract)
+    from vit_tpu.models import vit as vit_mod
+    from vit_tpu.ops import quant as q_mod, reference as ref_ops
+    from vit_tpu.ops.dispatch import get_ops
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        rng.normal(size=(8, 3, deit_cfg.image_size, deit_cfg.image_size)),
+        jnp.float32,
+    )
+    fp_logits = np.asarray(vit_mod.forward(teacher, x, teacher_cfg))
+    qp = q_mod.quantize_params(teacher)
+    q_logits = np.asarray(
+        vit_mod.forward(qp, x, teacher_cfg, get_ops("quant"))
+    )
+    fp_probs = np.asarray(ref_ops.softmax(jnp.asarray(fp_logits)))
+    top2 = np.partition(fp_probs, -2, axis=-1)[:, -2:]
+    decisive = (top2[:, 1] - top2[:, 0]) > 0.01
+    agree = fp_logits.argmax(-1) == q_logits.argmax(-1)
+    assert (agree | ~decisive).all()
+
+
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
 def test_train_cli_distillation(deit_cfg, monkeypatch, capsys, tmp_path):
     """vit-tpu-train --distill-teacher end to end: teacher npz -> 2 steps of

@@ -194,6 +194,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--config (deit_*) and --ops xla/qat on a dp/tp mesh",
     )
     p.add_argument(
+        "--distill-teacher-int8", action="store_true",
+        help="run the frozen teacher through the W8A8 quant kernels "
+        "(~2x the bf16 teacher rate; the teacher's soft targets get the "
+        "int8 path's labels-preserved/looser-logits contract).  Requires "
+        "--ops fused_train",
+    )
+    p.add_argument(
         "--distill-config", default=None, metavar="NAME",
         help="teacher config name (default: the student config's "
         "non-distilled twin — same geometry, single CLS head)",
