@@ -27,15 +27,18 @@ step python bench.py
 #    chunk=2 default (VERDICT r4 item 1's record row)
 step python scripts/bench_train.py --skip-parity --paths fused_train,mae,tome:13
 
-# 3. ToMe x dropout/drop-path (the paper's full recipe): the default chunk=2
-#    chain faulted the worker on first try — sweep chunks in SEPARATE
-#    processes so a fault doesn't take down the rest of the campaign.
+# 3. end-to-end b16_wide (heads=6, dh=128): what the fixed-T floor becomes at
+#    full MXU lane occupancy (VERDICT r4 item 7; kernel A measured +17%)
+step python scripts/bench_variants.py --configs vit_b_16_wide:100
+
+# 4. LAST because a worker fault here can wedge the tunnel for a long time:
+#    ToMe x dropout/drop-path (the paper's full recipe).  The default chunk=2
+#    chain hard-faulted the worker on first try — sweep chunks in SEPARATE
+#    processes so one fault doesn't take down the rest, smallest events
+#    first (the round-4 finding: the train chain's failing resource is
+#    per-merge-event size).
 step python scripts/bench_train.py --skip-parity --paths tome_reg:13:1
 step python scripts/bench_train.py --skip-parity --paths tome_reg:13:2
 step python scripts/bench_train.py --skip-parity --paths tome_reg:13:4
-
-# 4. end-to-end b16_wide (heads=6, dh=128): what the fixed-T floor becomes at
-#    full MXU lane occupancy (VERDICT r4 item 7; kernel A measured +17%)
-step python scripts/bench_variants.py --configs vit_b_16_wide:100
 
 echo "=== campaign_r5 done $(date -u +%FT%TZ) ===" | tee -a "$LOG"
