@@ -831,6 +831,11 @@ def prepare(args) -> TrainSetup:
             )
 
     teacher_fwd = None
+    if args.distill_teacher_int8 and not args.distill_teacher:
+        raise SetupError(
+            "error: --distill-teacher-int8 modifies the teacher path — "
+            "pass --distill-teacher WEIGHTS too"
+        )
     if args.distill_teacher:
         if not cfg.distilled:
             raise SetupError(
