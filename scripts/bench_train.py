@@ -52,7 +52,14 @@ def main():
                     "fwd+bwd-chain envelope; 3 and 6 hard-fault); "
                     "'tome_reg:R[:CHUNK]' = ToMe + dropout 0.1 + "
                     "drop-path 0.1 (the ToMe paper's recipe through the "
-                    "regularized split kernels)")
+                    "regularized split kernels); 'tome_dp:R[:CHUNK]' = "
+                    "ToMe + drop-path 0.1 only (clean kernels + "
+                    "stochastic-depth lerp — the DeiT-recipe tier that "
+                    "avoids the regularized chain's backend fault); "
+                    "'distill[:xla|:fused|"
+                    ":int8]' = DeiT-B student on fused_train with the "
+                    "frozen teacher on the named table (the teacher-leg "
+                    "step-time delta)")
     args = ap.parse_args()
 
     # parse first: --help must never touch the device (the preflight can
@@ -133,8 +140,63 @@ def main():
                 f"loss={lv:.3f}"
             )
             continue
+        if ops_name.startswith("distill"):
+            # 'distill[:xla|:fused|:int8]' — DeiT-B student on the fused
+            # train kernels with the frozen teacher (vit_b_16, synthetic
+            # weights) on the named op table.  The three variants isolate
+            # the teacher leg's cost: jnp per-op forward vs the fused
+            # inference megakernels vs the W8A8 quant kernels — the
+            # measured step-time delta behind train_setup's teacher
+            # dispatch (cli/train_setup.py --distill-teacher[-int8]).
+            variant = ops_name.split(":")[1] if ":" in ops_name else "fused"
+            scfg = cfg if cfg.distilled else get_config("deit_b_16")
+            tcfg = get_config("vit_b_16")
+            t_params = vit.init_params(jax.random.key(7), tcfg, jnp.float32)
+            if variant == "int8":
+                from vit_tpu.ops import quant as _q
+
+                t_params = _q.quantize_params(t_params)
+                t_params = _q.cast_quantized_params(t_params, jnp.bfloat16)
+                t_ops = get_ops("quant")
+            elif variant == "fused":
+                t_params = vit.cast_params(t_params, jnp.bfloat16)
+                t_ops = get_ops("fused")
+            elif variant == "xla":
+                t_params = vit.cast_params(t_params, jnp.bfloat16)
+                t_ops = None
+            else:
+                raise SystemExit(f"distill:{variant}: unknown teacher "
+                                 "variant (xla/fused/int8)")
+
+            def teacher_fwd(x, _p=t_params, _c=tcfg, _o=t_ops):
+                if _o is None:
+                    return vit.forward(_p, x, _c)
+                return vit.forward(_p, x, _c, _o)
+
+            params, opt_state = trainer.init_train_state(
+                jax.random.key(1), scfg, optimizer
+            )
+            raw = trainer.make_distill_train_step(
+                scfg, optimizer, teacher_fwd, get_ops("fused_train"),
+                remat=False, compute_dtype=jnp.bfloat16,
+            )
+            step = jax.jit(
+                raw, donate_argnums=(0, 1),
+                compiler_options=trainer.kernel_backward_compiler_options(),
+            )
+            dt, dt_min, dt_max, lv = train_step_timing(
+                step, params, opt_state, imgs, labels, args.iters, warm=3
+            )
+            print(
+                f"distill {scfg.name} (teacher {variant}): "
+                f"{dt*1e3:.1f} ms/step  ({args.batch/dt:.0f} img/s, spread "
+                f"{args.batch/dt_max:.0f}-{args.batch/dt_min:.0f})  "
+                f"loss={lv:.3f}"
+            )
+            continue
         if (ops_name == "reg" or ops_name.startswith("tome:")
-                or ops_name.startswith("tome_reg:")):
+                or ops_name.startswith("tome_reg:")
+                or ops_name.startswith("tome_dp:")):
             # 'reg': the full regularizer recipe in-kernel (VERDICT r4
             # item 1's <10%-overhead gate); 'tome:R': train-time ToMe.
             import dataclasses
@@ -152,7 +214,7 @@ def main():
                 from vit_tpu.models import tome as tome_mod
 
                 parts = ops_name.split(":")
-                reg = parts[0] == "tome_reg"
+                reg = parts[0] in ("tome_reg", "tome_dp")
                 r = int(parts[1])
                 chunk = int(parts[2]) if len(parts) > 2 else None
                 if chunk is not None and chunk < 1:
@@ -161,11 +223,18 @@ def main():
                         "(mirrors --tome-chunk's validation)"
                     )
                 if reg:
-                    # ToMe x dropout/drop-path: the paper's full training
-                    # recipe — regularized split train kernels on merged
-                    # tokens (models/tome.forward_train dropout_rng=...)
+                    # tome_reg: ToMe x dropout/drop-path — the regularized
+                    # split train kernels on merged tokens
+                    # (models/tome.forward_train dropout_rng=...).
+                    # tome_dp: drop-path ONLY (the DeiT/ToMe-paper
+                    # setting) — stochastic depth composes AROUND the
+                    # clean kernels as a jnp lerp, dodging the regularized
+                    # chain's on-chip backend fault.
+                    dp_only = parts[0] == "tome_dp"
                     tcfg = dataclasses.replace(
-                        cfg, dropout=0.1, drop_path=0.1
+                        cfg,
+                        dropout=0.0 if dp_only else 0.1,
+                        drop_path=0.1,
                     )
                     raw = trainer.make_train_step(
                         tcfg, optimizer, get_ops("fused_train"), remat=False,
@@ -176,7 +245,11 @@ def main():
                     )
                     key = jax.random.key(0)
                     step_fn = lambda p, o, x, y: raw(p, o, x, y, key)  # noqa: E731
-                    label = f"tome r={r} + dropout 0.1 + drop-path 0.1 train"
+                    label = (
+                        f"tome r={r} + drop-path 0.1 (lerp) train"
+                        if dp_only
+                        else f"tome r={r} + dropout 0.1 + drop-path 0.1 train"
+                    )
                 else:
                     raw = trainer.make_train_step(
                         cfg, optimizer, get_ops("fused_train"), remat=False,

@@ -31,6 +31,15 @@ step python scripts/bench_train.py --skip-parity --paths fused_train,mae,tome:13
 #    full MXU lane occupancy (VERDICT r4 item 7; kernel A measured +17%)
 step python scripts/bench_variants.py --configs vit_b_16_wide:100
 
+# 3b. the teacher-leg delta (VERDICT r4 item 3's measured number): DeiT-B
+#     student on fused_train, frozen B/16 teacher on xla vs fused vs W8A8
+step python scripts/bench_train.py --skip-parity --paths distill:xla,distill:fused,distill:int8
+
+# 3c. ToMe x drop-path ONLY (the DeiT/ToMe-paper recipe) via the
+#     stochastic-depth lerp around the clean kernels — expected clean
+#     on-chip (no regularized kernels in the chain)
+step python scripts/bench_train.py --skip-parity --paths tome_dp:13
+
 # 4. LAST because a worker fault here can wedge the tunnel for a long time:
 #    ToMe x dropout/drop-path (the paper's full recipe).  The default chunk=2
 #    chain hard-faulted the worker on first try — sweep chunks in SEPARATE

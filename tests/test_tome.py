@@ -462,6 +462,46 @@ def test_tome_train_dropout_matches_xla_twin(cfg, params, images):
     np.testing.assert_array_equal(np.asarray(reg), np.asarray(reg2))
 
 
+def test_tome_train_droppath_only_lerp_matches_xla(cfg, params, images):
+    """Drop-path-only recipe (cfg.dropout == 0 — DeiT's/the ToMe paper's
+    actual setting): forward_train composes stochastic depth AROUND the
+    clean kernels as the lerp x + s*(k(x) - x) instead of entering the
+    regularized ``*_train`` twins (whose merged-token chain hard-faults
+    the TPU worker on-chip, docs/performance.md round 5).  Outputs and
+    grads must still match the jnp twin with bit-identical masks."""
+    rcfg = dataclasses.replace(cfg, dropout=0.0, drop_path=0.2)
+    r = 4
+    counts = tome_model.schedule(rcfg, r, chunk=2)
+    rng = jax.random.key(11)
+
+    def loss_k(p):
+        return jnp.sum(jnp.sin(tome_model.forward_train(
+            p, images, rcfg, r, counts=counts, dropout_rng=rng
+        )))
+
+    def loss_x(p):
+        return jnp.sum(jnp.sin(tome_model.forward_xla(
+            p, images, rcfg, r, counts=counts, dropout_rng=rng
+        )))
+
+    np.testing.assert_allclose(
+        float(loss_k(params)), float(loss_x(params)), rtol=1e-5
+    )
+    gk = jax.grad(loss_k)(params)
+    gx = jax.grad(loss_x)(params)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gx)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, np.abs(b).max())
+        assert np.abs(a - b).max() / scale < 2e-4
+
+    # stochastic depth actually fires (some sample dropped at rate 0.2)
+    plain = tome_model.forward_train(params, images, rcfg, r, counts=counts)
+    reg = tome_model.forward_train(
+        params, images, rcfg, r, counts=counts, dropout_rng=rng
+    )
+    assert np.abs(np.asarray(reg) - np.asarray(plain)).max() > 1e-3
+
+
 def test_tome_train_dropout_zero_rates_is_identity(cfg, params, images):
     """rng threaded but rates at 0.0: the regularized path must reproduce
     the plain forward exactly (plumbing does not perturb the math)."""
@@ -509,6 +549,24 @@ def test_train_cli_tome_with_dropout(cfg, monkeypatch, capsys):
     assert "tome training: r=4" in out and "dropout: 0.1" in out
     assert "step    1" in out
     assert train_main(base + ["--ops", "xla"]) == 0
+    capsys.readouterr()
+
+
+def test_train_cli_tome_droppath_only(cfg, monkeypatch, capsys):
+    """--tome + --drop-path WITHOUT --dropout (the DeiT/ToMe-paper
+    recipe) runs through the stochastic-depth lerp around the clean
+    kernels (models/tome.forward_train dp_lerp) — the tier that avoids
+    the regularized chain's on-chip backend fault."""
+    import vit_tpu.config as config_mod
+    from vit_tpu.cli.train import main as train_main
+
+    monkeypatch.setitem(config_mod.CONFIGS, "vit_tome_test", cfg)
+    base = ["--config", "vit_tome_test", "--steps", "2", "--batch", "4",
+            "--dp", "1", "--no-compile-cache", "--tome", "4",
+            "--drop-path", "0.1"]
+    assert train_main(base + ["--ops", "fused_train"]) == 0
+    out = capsys.readouterr().out
+    assert "tome training: r=4" in out and "step    1" in out
     capsys.readouterr()
 
 

@@ -405,6 +405,15 @@ def forward_train(
     sizes = jnp.ones((b, cfg.seq_len), jnp.float32)
     merged_any = False
     use_reg = dropout_rng is not None
+    # Drop-path-only recipes (cfg.dropout == 0 — DeiT's and the ToMe
+    # paper's actual setting) compose AROUND the clean kernels instead of
+    # through the regularized `*_train` twins: the kernel returns
+    # k(x) = x + f(x), so stochastic depth y = x + s*f(x) is the jnp lerp
+    # x + s*(k(x) - x) — bit-identical masks (same drop_path_scale_rows
+    # hash), XLA fuses the two elementwise ops, and the on-chip backend
+    # envelope that hard-faults the regularized merged-token chain
+    # (docs/performance.md round 5) is never entered.
+    dp_lerp = use_reg and float(cfg.dropout) == 0.0
     if use_reg:
         if cfg.dropout > 0:
             # torchvision's input+pos_embedding dropout site (vit.forward)
@@ -429,10 +438,20 @@ def forward_train(
             dp_attn = TR.drop_path_scale_rows(
                 seed_l, TR.DROP_SITE_DP_ATTN, b, t, rates[l]
             )
-            y = TR._out_residual_diff_train(
-                ctx, x2, blk["wo"], blk["bo"], dp_attn, seed_l,
-                float(cfg.dropout), interpret,
-            )
+            if dp_lerp:
+                k = TR._out_residual_diff(
+                    ctx, x2, blk["wo"], blk["bo"], interpret
+                )
+                # rate 0 (layer 0 of the linear schedule): exact identity,
+                # no lerp rounding
+                y = k if float(rates[l]) == 0.0 else (
+                    x2 + dp_attn.astype(k.dtype) * (k - x2)
+                )
+            else:
+                y = TR._out_residual_diff_train(
+                    ctx, x2, blk["wo"], blk["bo"], dp_attn, seed_l,
+                    float(cfg.dropout), interpret,
+                )
         else:
             y = TR._out_residual_diff(ctx, x2, blk["wo"], blk["bo"], interpret)
         x = y.reshape(b, t, d)
@@ -450,6 +469,17 @@ def forward_train(
             dp_mlp = TR.drop_path_scale_rows(
                 seed_l, TR.DROP_SITE_DP_MLP, b, t, rates[l]
             )
+            if dp_lerp:
+                x2m = x.reshape(b * t, d)
+                k = TR._ln_mlp_residual_diff(
+                    x2m, blk["ln2_scale"], blk["ln2_bias"],
+                    blk["w1"], blk["b1"], blk["w2"], blk["b2"],
+                    cfg.layernorm_eps, gelu_variant, interpret,
+                )
+                x = (k if float(rates[l]) == 0.0 else (
+                    x2m + dp_mlp.astype(k.dtype) * (k - x2m)
+                )).reshape(b, t, d)
+                continue
             x = TR._ln_mlp_residual_diff_train(
                 x.reshape(b * t, d), blk["ln2_scale"], blk["ln2_bias"],
                 blk["w1"], blk["b1"], blk["w2"], blk["b2"], dp_mlp, seed_l,
