@@ -54,8 +54,11 @@ def main():
                     "drop-path 0.1 (the ToMe paper's recipe through the "
                     "regularized split kernels); 'tome_dp:R[:CHUNK]' = "
                     "ToMe + drop-path 0.1 only (clean kernels + "
-                    "stochastic-depth lerp — the DeiT-recipe tier that "
-                    "avoids the regularized chain's backend fault); "
+                    "stochastic-depth lerp); 'tome_xla:R[:CHUNK]' / "
+                    "'tome_xla_reg:R[:CHUNK]' = the same merged-token "
+                    "step at the xla tier (pure jnp forward_xla - no "
+                    "Pallas, runs where the kernel tier's backend "
+                    "envelope faults); "
                     "'distill[:xla|:fused|"
                     ":int8]' = DeiT-B student on fused_train with the "
                     "frozen teacher on the named table (the teacher-leg "
@@ -196,7 +199,8 @@ def main():
             continue
         if (ops_name == "reg" or ops_name.startswith("tome:")
                 or ops_name.startswith("tome_reg:")
-                or ops_name.startswith("tome_dp:")):
+                or ops_name.startswith("tome_dp:")
+                or ops_name.startswith("tome_xla")):
             # 'reg': the full regularizer recipe in-kernel (VERDICT r4
             # item 1's <10%-overhead gate); 'tome:R': train-time ToMe.
             import dataclasses
@@ -214,7 +218,8 @@ def main():
                 from vit_tpu.models import tome as tome_mod
 
                 parts = ops_name.split(":")
-                reg = parts[0] in ("tome_reg", "tome_dp")
+                reg = parts[0] in ("tome_reg", "tome_dp", "tome_xla_reg")
+                xla_tier = parts[0] in ("tome_xla", "tome_xla_reg")
                 r = int(parts[1])
                 chunk = int(parts[2]) if len(parts) > 2 else None
                 if chunk is not None and chunk < 1:
@@ -222,14 +227,30 @@ def main():
                         f"{parts[0]}:{r}:{chunk}: chunk must be >= 1 "
                         "(mirrors --tome-chunk's validation)"
                     )
+                # xla tier: forward_xla (pure jnp, GSPMD-partitionable, no
+                # Pallas operand staging) — the tier the CLI's
+                # `--tome --ops xla` runs; the fallback with an on-chip
+                # number when the kernel-tier merged-token train chain's
+                # backend envelope faults (docs/performance.md round 5)
+                fwd_impl = (
+                    tome_mod.forward_xla if xla_tier
+                    else tome_mod.forward_train
+                )
+                step_ops = get_ops("xla" if xla_tier else "fused_train")
+                step_remat = xla_tier  # custom-VJP kernels already recompute
+                tier_tag = " [xla tier]" if xla_tier else ""
+                counts = tome_mod.schedule(
+                    cfg, r,
+                    tome_mod.TRAIN_MERGE_CHUNK if chunk is None else chunk,
+                )
                 if reg:
                     # tome_reg: ToMe x dropout/drop-path — the regularized
                     # split train kernels on merged tokens
                     # (models/tome.forward_train dropout_rng=...).
                     # tome_dp: drop-path ONLY (the DeiT/ToMe-paper
                     # setting) — stochastic depth composes AROUND the
-                    # clean kernels as a jnp lerp, dodging the regularized
-                    # chain's on-chip backend fault.
+                    # clean kernels as a jnp lerp.
+                    # tome_xla_reg: the full recipe at the xla tier.
                     dp_only = parts[0] == "tome_dp"
                     tcfg = dataclasses.replace(
                         cfg,
@@ -237,10 +258,10 @@ def main():
                         drop_path=0.1,
                     )
                     raw = trainer.make_train_step(
-                        tcfg, optimizer, get_ops("fused_train"), remat=False,
+                        tcfg, optimizer, step_ops, remat=step_remat,
                         use_dropout=True, compute_dtype=jnp.bfloat16,
-                        forward_fn=lambda p, im, rng: tome_mod.forward_train(
-                            p, im, tcfg, r, chunk=chunk, dropout_rng=rng
+                        forward_fn=lambda p, im, rng: fwd_impl(
+                            p, im, tcfg, r, counts=counts, dropout_rng=rng
                         ),
                     )
                     key = jax.random.key(0)
@@ -249,17 +270,17 @@ def main():
                         f"tome r={r} + drop-path 0.1 (lerp) train"
                         if dp_only
                         else f"tome r={r} + dropout 0.1 + drop-path 0.1 train"
-                    )
+                    ) + tier_tag
                 else:
                     raw = trainer.make_train_step(
-                        cfg, optimizer, get_ops("fused_train"), remat=False,
+                        cfg, optimizer, step_ops, remat=step_remat,
                         compute_dtype=jnp.bfloat16,
-                        forward_fn=lambda p, im: tome_mod.forward_train(
-                            p, im, cfg, r, chunk=chunk
+                        forward_fn=lambda p, im: fwd_impl(
+                            p, im, cfg, r, counts=counts
                         ),
                     )
                     step_fn = raw
-                    label = f"tome r={r} train"
+                    label = f"tome r={r} train{tier_tag}"
                 if chunk is not None:
                     label += f" (chunk {chunk})"
             params, opt_state = trainer.init_train_state(
