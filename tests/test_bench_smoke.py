@@ -32,7 +32,8 @@ def test_bench_main_cpu_smoke(tiny_cfg, capsys, monkeypatch):
 
 
 @pytest.mark.parametrize(
-    "script", ["bench_kernels", "bench_train", "bench_train_longseq"]
+    "script",
+    ["bench_kernels", "bench_train", "bench_train_longseq", "bench_variants"],
 )
 def test_bench_scripts_help_never_touches_device(script, monkeypatch):
     """--help must print usage without running the device preflight: the
