@@ -36,9 +36,15 @@ step python scripts/bench_variants.py --configs vit_b_16_wide:100
 step python scripts/bench_train.py --skip-parity --paths distill:xla,distill:fused,distill:int8
 
 # 3c. ToMe x drop-path ONLY (the DeiT/ToMe-paper recipe) via the
-#     stochastic-depth lerp around the clean kernels — expected clean
-#     on-chip (no regularized kernels in the chain)
+#     stochastic-depth lerp around the clean kernels.  MEASURED OUTCOME:
+#     still hard-faults the worker at run time (the merged-token train
+#     chain itself is at the envelope edge) — kept here as the minimal
+#     repro; the full-recipe row of record is the xla tier (step 3d)
 step python scripts/bench_train.py --skip-parity --paths tome_dp:13
+
+# 3d. the full ToMe recipe at the xla tier (pure jnp, no envelope) —
+#     measured clean: 80.5 / 85.0 ms/step
+step python scripts/bench_train.py --skip-parity --paths tome_xla:13,tome_xla_reg:13
 
 # 4. LAST because a worker fault here can wedge the tunnel for a long time:
 #    ToMe x dropout/drop-path (the paper's full recipe).  The default chunk=2

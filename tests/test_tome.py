@@ -555,8 +555,9 @@ def test_train_cli_tome_with_dropout(cfg, monkeypatch, capsys):
 def test_train_cli_tome_droppath_only(cfg, monkeypatch, capsys):
     """--tome + --drop-path WITHOUT --dropout (the DeiT/ToMe-paper
     recipe) runs through the stochastic-depth lerp around the clean
-    kernels (models/tome.forward_train dp_lerp) — the tier that avoids
-    the regularized chain's on-chip backend fault."""
+    kernels (models/tome.forward_train dp_lerp; note the on-chip
+    backend envelope still faults even on this minimal chain — the
+    xla tier is the on-chip route, docs/performance.md round 5)."""
     import vit_tpu.config as config_mod
     from vit_tpu.cli.train import main as train_main
 

@@ -410,9 +410,12 @@ def forward_train(
     # through the regularized `*_train` twins: the kernel returns
     # k(x) = x + f(x), so stochastic depth y = x + s*f(x) is the jnp lerp
     # x + s*(k(x) - x) — bit-identical masks (same drop_path_scale_rows
-    # hash), XLA fuses the two elementwise ops, and the on-chip backend
-    # envelope that hard-faults the regularized merged-token chain
-    # (docs/performance.md round 5) is never entered.
+    # hash), XLA fuses the two elementwise ops.  NOTE: measured on-chip,
+    # even this minimal delta still trips the merged-token train chain's
+    # backend envelope (the chain itself sits at the edge — the sweep's
+    # answer across chunks 1/2/3/6 is "none"; docs/performance.md round
+    # 5); for regularized merged-token training on today's backend use
+    # the xla tier (forward_xla), measured clean at 85.0 ms/step.
     dp_lerp = use_reg and float(cfg.dropout) == 0.0
     if use_reg:
         if cfg.dropout > 0:
