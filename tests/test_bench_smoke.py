@@ -37,7 +37,7 @@ def test_bench_main_cpu_smoke(tiny_cfg, capsys, monkeypatch):
 )
 def test_bench_scripts_help_never_touches_device(script, monkeypatch):
     """--help must print usage without running the device preflight: the
-    preflight can legitimately block for VIT_TPU_PREFLIGHT_S (420 s) on a
+    preflight can legitimately block for VIT_TPU_PREFLIGHT_S (900 s) on a
     wedged tunnel — exactly when a user reaches for --help.  Args parse
     first; SystemExit(0) fires before the (poisoned) probe can."""
     scripts = Path(__file__).resolve().parent.parent / "scripts"

@@ -53,7 +53,10 @@ def timing_spread(fn, iters, samples=3):
 
 def device_preflight(timeout_s=None, probe=None):
     """True iff a trivial device matmul completes within ``timeout_s``
-    (default: $VIT_TPU_PREFLIGHT_S or 420; <=0 skips the probe -> True).
+    (default: $VIT_TPU_PREFLIGHT_S or 900; <=0 skips the probe -> True).
+    The default was 420 s; measured 2026-08-21, the FIRST client
+    connection after a tunnel recovery can take 146-347 s just to
+    establish, so 420 left too little margin for the probe itself.
 
     The TPU in this environment sits behind a remote tunnel that can wedge
     for hours after a killed job (docs/performance.md): a benchmark started
@@ -67,7 +70,7 @@ def device_preflight(timeout_s=None, probe=None):
     import threading
 
     if timeout_s is None:
-        timeout_s = float(os.environ.get("VIT_TPU_PREFLIGHT_S", "420"))
+        timeout_s = float(os.environ.get("VIT_TPU_PREFLIGHT_S", "900"))
     if timeout_s <= 0:
         return True
 
